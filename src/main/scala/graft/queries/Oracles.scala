@@ -1,0 +1,172 @@
+package graft.queries
+
+/** DuckDB oracle SQL mirroring each query in [[Queries]] exactly (same
+  * integer arithmetic, same fold order for doubles, same output column names
+  * and types: Spark int <-> INTEGER, long <-> BIGINT, double <-> DOUBLE). */
+object Oracles {
+
+  /** DuckDB mirror of Queries.dets. */
+  private val detsCte: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |e AS (SELECT doc_id, w, UNNEST(generate_series(1, len(w))) AS i FROM d),
+      |words AS (SELECT doc_id, (i - 1)::INT AS pos, w[i] AS word FROM e),
+      |dets AS (SELECT doc_id, pos, word,
+      |  length(word)::INT AS wlen,
+      |  (pos // 24)::INT AS page,
+      |  (40 + (pos % 12 % 4) * 130)::DOUBLE AS x0,
+      |  (60 + ((pos % 12) // 4) * 110)::DOUBLE AS y0,
+      |  (40 + (pos % 12 % 4) * 130 + 20 + 8 * length(word))::DOUBLE AS x1,
+      |  (60 + ((pos % 12) // 4) * 110 + 18 + (length(word) % 5) * 16)::DOUBLE AS y1,
+      |  ((length(word) * 7 + pos * 13) % 100) / 100.0 AS score,
+      |  CASE (pos * 31 + length(word)) % 12 WHEN 0 THEN 'title' WHEN 7 THEN 'figure'
+      |    WHEN 8 THEN 'caption' WHEN 9 THEN 'table' WHEN 10 THEN 'footnote'
+      |    WHEN 11 THEN 'abandon' ELSE 'text' END AS cat
+      |  FROM words)""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "det_low_conf_filter" ->
+      s"""$detsCte
+         |SELECT doc_id, pos, word, score FROM dets WHERE score > 0.05
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    "det_iou_dedup" ->
+      s"""$detsCte
+         |SELECT a.doc_id, a.pos, a.word FROM dets a WHERE NOT EXISTS (
+         |  SELECT 1 FROM dets b
+         |  WHERE b.doc_id = a.doc_id AND b.page = a.page AND b.pos <> a.pos
+         |    AND (greatest(least(a.x1, b.x1) - greatest(a.x0, b.x0), 0.0)
+         |         * greatest(least(a.y1, b.y1) - greatest(a.y0, b.y0), 0.0))
+         |        / ((a.x1 - a.x0) * (a.y1 - a.y0) + (b.x1 - b.x0) * (b.y1 - b.y0)
+         |           - greatest(least(a.x1, b.x1) - greatest(a.x0, b.x0), 0.0)
+         |             * greatest(least(a.y1, b.y1) - greatest(a.y0, b.y0), 0.0)) > 0.9
+         |    AND (b.score > a.score OR (b.score = a.score AND b.pos < a.pos)))
+         |ORDER BY a.doc_id, a.pos""".stripMargin,
+
+    "page_median_height" ->
+      s"""$detsCte
+         |SELECT doc_id, page, quantile_cont(y1 - y0, 0.5) AS med_h,
+         |       count(*)::BIGINT AS n_dets
+         |FROM dets GROUP BY doc_id, page ORDER BY doc_id, page""".stripMargin,
+
+    "reading_order" ->
+      s"""$detsCte
+         |SELECT doc_id, ord::INT AS ord, word FROM (
+         |  SELECT doc_id, word,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY page, y0, x0, pos) AS ord
+         |  FROM dets) ORDER BY doc_id, ord""".stripMargin,
+
+    "media_ref" ->
+      s"""$detsCte
+         |SELECT doc_id, pos, cat,
+         |  'img://' || sha256(concat_ws('_', doc_id::VARCHAR, page::VARCHAR,
+         |    x0::INT::VARCHAR, y0::INT::VARCHAR, x1::INT::VARCHAR, y1::INT::VARCHAR)) AS media_ref
+         |FROM dets WHERE cat IN ('figure', 'table') ORDER BY doc_id, pos""".stripMargin,
+
+    "classify_router" ->
+      """SELECT doc_id, len(string_split(text, ' '))::INT AS ntok,
+        |  CASE WHEN length(text) < 150 THEN 'ocr'
+        |       WHEN len(string_split(text, ' ')) < 25 THEN 'ocr'
+        |       ELSE 'txt' END AS route
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "caption_nearest" ->
+      s"""$detsCte,
+         |caps AS (SELECT doc_id, page, pos AS cap_pos,
+         |  (x0 + x1) / 2 AS ccx, (y0 + y1) / 2 AS ccy FROM dets WHERE cat = 'caption'),
+         |bodies AS (SELECT doc_id AS b_doc, page AS b_page, pos AS body_pos,
+         |  (x0 + x1) / 2 AS bcx, (y0 + y1) / 2 AS bcy FROM dets WHERE cat IN ('figure', 'table')),
+         |j AS (SELECT caps.doc_id, caps.cap_pos, bodies.body_pos,
+         |  (ccx - bcx) * (ccx - bcx) + (ccy - bcy) * (ccy - bcy) AS d2
+         |  FROM caps JOIN bodies ON caps.doc_id = b_doc AND caps.page = b_page),
+         |r AS (SELECT doc_id, cap_pos, body_pos, d2,
+         |  row_number() OVER (PARTITION BY doc_id, cap_pos ORDER BY d2, body_pos) AS rn FROM j)
+         |SELECT doc_id, cap_pos, body_pos, d2 FROM r WHERE rn = 1
+         |ORDER BY doc_id, cap_pos""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(array_to_string((string_split(text, ' '))[1:3], ' ')) AS fp,
+        |  count(*)::BIGINT AS cnt, min(doc_id)::BIGINT AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id, len(string_split(text, ' '))::INT AS n_tokens,
+        |  length(text)::INT AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_score" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(w)::INT AS ntok,
+        |  len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of'))::INT AS stop_hits,
+        |  (length(text) - (len(w)::INT - 1)) / len(w)::DOUBLE AS avg_wlen
+        |  FROM t)
+        |SELECT doc_id, ntok, stop_hits / ntok::DOUBLE AS stop_ratio,
+        |  0.3 * least(ntok / 100.0, 1.0)
+        |  + 0.4 * (1.0 - stop_hits / ntok::DOUBLE)
+        |  + 0.3 * least(avg_wlen / 8.0, 1.0) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(w, x -> x = 'the' OR x = 'a'))::INT / len(w)::DOUBLE AS ratio FROM t)
+        |SELECT doc_id, CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'unk' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5,
+        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp_int
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS grams
+        |  FROM d WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, len(grams) AS gsz FROM g),
+        |ex AS (SELECT doc_id, UNNEST(grams) AS gr FROM g),
+        |pairs AS (SELECT a.doc_id AS doc_id, b.doc_id AS b_id, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.gr = b.gr AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT p.doc_id, p.b_id, p.inter,
+        |  p.inter / (sa.gsz + sb.gsz - p.inter)::DOUBLE AS jac
+        |  FROM pairs p JOIN sz sa ON sa.doc_id = p.doc_id JOIN sz sb ON sb.doc_id = p.b_id)
+        |SELECT doc_id, b_id, inter::BIGINT AS inter, jac FROM j WHERE jac >= 0.12
+        |ORDER BY doc_id, b_id""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |n AS (SELECT vec_id AS n_id, v FROM e WHERE vec_id >= 10),
+        |s AS (SELECT q_id, n_id,
+        |  list_reduce(list_transform(list_zip(qv, v), z -> z[1] * z[2]), (a, b) -> a + b) AS dot,
+        |  list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS nq,
+        |  list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nv
+        |  FROM q, n),
+        |r AS (SELECT q_id, n_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY dot / (sqrt(nq) * sqrt(nv)) DESC, n_id) AS rank
+        |  FROM s)
+        |SELECT q_id, n_id, rank::INT AS rank FROM r WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
+        |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+        |  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_price_cents
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_join_topk" ->
+      """SELECT c_mktsegment, o_orderkey, rn::INT AS rn FROM (
+        |  SELECT c.c_mktsegment, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY c.c_mktsegment
+        |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT event_type, epoch_ms(date_trunc('hour', ts))::BIGINT AS hour_ms,
+        |  count(*)::BIGINT AS cnt
+        |FROM events GROUP BY event_type, hour_ms
+        |ORDER BY event_type, hour_ms""".stripMargin,
+  )
+}

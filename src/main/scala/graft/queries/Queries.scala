@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SQL-checkable operator queries over the driver testdata tables.
+  *
+  * Each builder here has a DuckDB oracle in [[Oracles]]. All arithmetic is
+  * integer-exact (or order-identical double arithmetic) on both sides so the
+  * driver's value-hash compare is bit-stable. The `dets` table below is the
+  * SQL-expressible analogue of the reference's layout-detection output rows
+  * (cf. /root/reference/rapid_doc/model/layout/rapid_layout.py:99-106): one
+  * detection per word token with a deterministic bbox/score/category, used to
+  * exercise the geometric cleanup operators of SURVEY.md §2.2-2.5 in a form
+  * DuckDB can replay.
+  */
+object Queries {
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic synthetic layout-det table derived from `documents`:
+    * one det per word. Bboxes collide pairwise (slot = pos % 12, two words
+    * per 24-word page share a cell) so IoU dedup is non-trivial. */
+  def dets(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .withColumn("wlen", length(col("word")))
+      .withColumn("page", expr("pos div 24"))
+      .withColumn("slot", expr("pos % 12"))
+      .withColumn("x0", expr("CAST(40 + (slot % 4) * 130 AS DOUBLE)"))
+      .withColumn("y0", expr("CAST(60 + (slot div 4) * 110 AS DOUBLE)"))
+      .withColumn("x1", expr("x0 + 20 + 8 * wlen"))
+      .withColumn("y1", expr("y0 + 18 + (wlen % 5) * 16"))
+      .withColumn("score", expr("((wlen * 7 + pos * 13) % 100) / 100.0"))
+      .withColumn("cat", expr(
+        "CASE (pos * 31 + wlen) % 12 WHEN 0 THEN 'title' WHEN 7 THEN 'figure' " +
+          "WHEN 8 THEN 'caption' WHEN 9 THEN 'table' WHEN 10 THEN 'footnote' " +
+          "WHEN 11 THEN 'abandon' ELSE 'text' END"))
+
+  // ---------------------------------------------------------------------
+  // §2.2 geometric cleanup operators
+  // ---------------------------------------------------------------------
+
+  /** Low-confidence filter: drop dets with score <= 0.05
+    * (reference: pipeline_magic_model.py:72-82). */
+  def detLowConfFilter(spark: SparkSession, dir: String): DataFrame =
+    dets(spark, dir)
+      .filter(col("score") > 0.05)
+      .select(col("doc_id"), col("pos"), col("word"), col("score"))
+      .orderBy("doc_id", "pos")
+
+  /** High-IoU dedup: within a page, drop a det when another det overlaps it
+    * with IoU > 0.9 and has a higher score (ties: lower pos wins)
+    * (reference: pipeline_magic_model.py:84-110). Expressed as a left-anti
+    * self-join — the distributed form of the reference's O(n^2) page loop. */
+  def detIouDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = dets(spark, dir)
+    val a = d.select(col("doc_id"), col("page"), col("pos"), col("word"),
+      col("x0"), col("y0"), col("x1"), col("y1"), col("score"))
+    val b = a.select(a.columns.map(c => col(c).as("b_" + c)): _*)
+    val interW = greatest(least(col("x1"), col("b_x1")) - greatest(col("x0"), col("b_x0")), lit(0.0))
+    val interH = greatest(least(col("y1"), col("b_y1")) - greatest(col("y0"), col("b_y0")), lit(0.0))
+    val inter = interW * interH
+    val areaA = (col("x1") - col("x0")) * (col("y1") - col("y0"))
+    val areaB = (col("b_x1") - col("b_x0")) * (col("b_y1") - col("b_y0"))
+    val iou = inter / (areaA + areaB - inter)
+    val losers = a.join(b,
+      col("doc_id") === col("b_doc_id") && col("page") === col("b_page") &&
+        col("pos") =!= col("b_pos") && iou > 0.9 &&
+        (col("b_score") > col("score") ||
+          (col("b_score") === col("score") && col("b_pos") < col("pos"))),
+      "left_semi")
+    a.join(losers.select(col("doc_id").as("l_doc"), col("pos").as("l_pos")),
+        col("doc_id") === col("l_doc") && col("pos") === col("l_pos"), "left_anti")
+      .select(col("doc_id"), col("pos"), col("word"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Exact per-page median det height (reference: block_sort.py:40-54 uses an
+    * exact median of line heights; percentile() is Spark's exact median). */
+  def pageMedianHeight(spark: SparkSession, dir: String): DataFrame =
+    dets(spark, dir)
+      .groupBy(col("doc_id"), col("page"))
+      .agg(expr("percentile(y1 - y0, 0.5)").as("med_h"),
+        count(lit(1)).as("n_dets"))
+      .orderBy("doc_id", "page")
+
+  /** Reading-order sort via the model-order shortcut analogue
+    * (reference: block_sort.py:154-170): order dets per doc by
+    * (page, y0, x0, pos) and emit a dense order index. */
+  def readingOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("page"), col("y0"), col("x0"), col("pos"))
+    dets(spark, dir)
+      .withColumn("ord", row_number().over(w))
+      .select(col("doc_id"), col("ord"), col("word"))
+      .orderBy("doc_id", "ord")
+  }
+
+  /** Deterministic media_ref derivation for figure/table dets — the
+    * reference names cropped images sha256(content-addressed)
+    * (rapid_doc/utils/pdf_image_tools.py:203-218). Pure column expression:
+    * no pixel I/O is needed for span identity. */
+  def mediaRef(spark: SparkSession, dir: String): DataFrame =
+    dets(spark, dir)
+      .filter(col("cat").isin("figure", "table"))
+      .withColumn("media_ref", concat(lit("img://"), sha2(concat_ws("_",
+        col("doc_id").cast("string"), col("page").cast("string"),
+        col("x0").cast("int").cast("string"), col("y0").cast("int").cast("string"),
+        col("x1").cast("int").cast("string"), col("y1").cast("int").cast("string")), 256)))
+      .select(col("doc_id"), col("pos"), col("cat"), col("media_ref"))
+      .orderBy("doc_id", "pos")
+
+  /** txt-vs-ocr router (reference: rapid_doc/utils/pdf_classify.py:91-237):
+    * ordered short-circuit rules over per-doc scalar aggregates. */
+  def classifyRouter(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .withColumn("ntok", size(split(col("text"), " ")))
+      .withColumn("route", expr(
+        "CASE WHEN length(text) < 150 THEN 'ocr' WHEN size(split(text, ' ')) < 25 THEN 'ocr' ELSE 'txt' END"))
+      .select(col("doc_id"), col("ntok"), col("route"))
+      .orderBy("doc_id")
+
+  /** Caption→body nearest-neighbour assignment, the SQL-checkable core of
+    * the reference's caption tie-up (magic_model_utils.py:30-169): each
+    * caption det joins to the nearest figure/table body det on its page by
+    * squared center distance (ties: lower body pos). */
+  def captionNearest(spark: SparkSession, dir: String): DataFrame = {
+    val d = dets(spark, dir)
+    val caps = d.filter(col("cat") === "caption")
+      .select(col("doc_id"), col("page"), col("pos").as("cap_pos"),
+        ((col("x0") + col("x1")) / 2).as("ccx"), ((col("y0") + col("y1")) / 2).as("ccy"))
+    val bodies = d.filter(col("cat").isin("figure", "table"))
+      .select(col("doc_id").as("b_doc"), col("page").as("b_page"), col("pos").as("body_pos"),
+        ((col("x0") + col("x1")) / 2).as("bcx"), ((col("y0") + col("y1")) / 2).as("bcy"))
+    val joined = caps.join(bodies,
+      col("doc_id") === col("b_doc") && col("page") === col("b_page"), "inner")
+      .withColumn("d2", (col("ccx") - col("bcx")) * (col("ccx") - col("bcx")) +
+        (col("ccy") - col("bcy")) * (col("ccy") - col("bcy")))
+    val w = Window.partitionBy(col("doc_id"), col("cap_pos"))
+      .orderBy(col("d2"), col("body_pos"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cap_pos"), col("body_pos"), col("d2"))
+      .orderBy("doc_id", "cap_pos")
+  }
+
+  // ---------------------------------------------------------------------
+  // Training-data pipeline operators (dedup / text analysis / similarity)
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup by content fingerprint: hash-groupBy on a normalized key
+    * (here: first 3 tokens) — the map-side-combinable exact-dedup shape. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .withColumn("fp", md5(concat_ws(" ", slice(split(col("text"), " "), 1, 3))))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
+      .orderBy("fp")
+
+  /** Whitespace token count per document. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
+        length(col("text")).as("n_chars_m"))
+      .orderBy("doc_id")
+
+  /** Heuristic document quality score: token count, stopword ratio and
+    * average token length folded into [0,1]. Raw double output — identical
+    * operation order on both sides makes it bit-exact. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("ntok", size(col("w")))
+      .withColumn("stop_hits", size(filter(col("w"),
+        x => x === "the" || x === "a" || x === "of")))
+      .withColumn("avg_wlen",
+        (length(col("text")) - (col("ntok") - 1)) / col("ntok").cast("double"))
+      .withColumn("stop_ratio", col("stop_hits") / col("ntok").cast("double"))
+      .withColumn("quality",
+        lit(0.3) * least(col("ntok") / lit(100.0), lit(1.0)) +
+          lit(0.4) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * least(col("avg_wlen") / lit(8.0), lit(1.0)))
+      .select(col("doc_id"), col("ntok"), col("stop_ratio"), col("quality"))
+      .orderBy("doc_id")
+
+  /** Heuristic language ID by stopword ratio (n-gram-free deterministic
+    * variant; the reference delegates to fasttext, utils/language.py:22-41). */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("stop_hits", size(filter(col("w"), x => x === "the" || x === "a")))
+      .withColumn("ratio", col("stop_hits") / size(col("w")).cast("double"))
+      .withColumn("lang_pred",
+        when(col("ratio") >= lit(0.08), lit("en")).otherwise(lit("unk")))
+      .select(col("doc_id"), col("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Content-addressed document fingerprint: md5 plus its first 60 bits as a
+    * join-friendly int64 (the reference fingerprints crops/bytes with
+    * md5/sha256, rapid_doc/utils/hash_utils.py:7-27). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .withColumn("fp_md5", md5(col("text")))
+      .withColumn("fp_int", conv(substring(col("fp_md5"), 1, 15), 16, 10).cast("long"))
+      .select(col("doc_id"), col("fp_md5"), col("fp_int"))
+      .orderBy("doc_id")
+
+  /** Near-dup detection by exact word-3-gram Jaccard: shingle -> explode ->
+    * self-join on shingle -> |A∩B| / (|A|+|B|-|A∩B|). The exact oracle for
+    * the MinHash/LSH scale path. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"))
+    val sizes = docs.select(col("doc_id"), size(col("grams")).as("gsz"))
+    val ex = docs.select(col("doc_id"), explode(col("grams")).as("g"))
+    val pairs = ex.join(ex.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
+      .filter(col("doc_id") < col("b_id"))
+      .groupBy(col("doc_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id"), col("gsz").as("a_sz")), Seq("doc_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("gsz").as("b_sz")), Seq("b_id"))
+      .withColumn("jac", col("inter") / (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
+      .filter(col("jac") >= 0.12)
+      .select(col("doc_id"), col("b_id"), col("inter"), col("jac"))
+      .orderBy("doc_id", "b_id")
+  }
+
+  /** Brute-force cosine top-k over the embeddings table: the exact ANN
+    * baseline. Query set = vec_id < 10, k = 5. Output is rank-only (ints) so
+    * float formatting can't break the compare; the cosine itself is computed
+    * in double with identical left-to-right folds on both sides. */
+  def annCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val joined = broadcast(q).join(e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("v")))
+      .withColumn("dot", expr("aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"))
+      .withColumn("nq", expr("aggregate(transform(qv, x -> x * x), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"))
+      .withColumn("nv", expr("aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"))
+      .withColumn("sim", col("dot") / (sqrt(col("nq")) * sqrt(col("nv"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // Relational headliners over the TPC-H-ish tables
+  // ---------------------------------------------------------------------
+
+  /** Pricing-summary aggregation (money summed as exact integer cents so the
+    * double-accumulation order can't produce last-cent drift vs DuckDB). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sum_price_cents"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Top-3 orders per market segment: broadcast dim join + window top-k. */
+  def q2JoinTopK(spark: SparkSession, dir: String): DataFrame = {
+    val c = tbl(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val o = tbl(spark, dir, "orders")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("o_orderkey"), col("rn"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** Hourly event-type counts (epoch millis keeps timestamp formatting out
+    * of the compare). */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .withColumn("hour_ms", unix_millis(date_trunc("hour", col("ts"))))
+      .groupBy(col("event_type"), col("hour_ms"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type", "hour_ms")
+
+  /** Registry consumed by SparkEntry. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "det_low_conf_filter" -> detLowConfFilter _,
+    "det_iou_dedup" -> detIouDedup _,
+    "page_median_height" -> pageMedianHeight _,
+    "reading_order" -> readingOrder _,
+    "media_ref" -> mediaRef _,
+    "classify_router" -> classifyRouter _,
+    "caption_nearest" -> captionNearest _,
+    "dedup_exact" -> dedupExact _,
+    "token_count" -> tokenCount _,
+    "quality_score" -> qualityScore _,
+    "lang_id" -> langId _,
+    "doc_fingerprint" -> docFingerprint _,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "ann_cosine_topk" -> annCosineTopK _,
+    "q1_agg" -> q1Agg _,
+    "q2_join_topk" -> q2JoinTopK _,
+    "events_hourly" -> eventsHourly _,
+  )
+}
