@@ -4,9 +4,10 @@ import graft.queries.{Queries, Oracles}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full extraction pipeline over the synthetic interleaved corpus. */
   def entry(spark: SparkSession): DataFrame =
-    Queries.readingOrder(spark, "/root/testdata/sf0.001")
+    graft.pipeline.Extract.extractSpans(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all

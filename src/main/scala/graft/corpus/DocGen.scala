@@ -1,0 +1,247 @@
+package graft.corpus
+
+import graft.schema._
+import graft.util.{Rng, SplitMix64}
+import java.security.MessageDigest
+
+/** Deterministic synthetic corpus of interleaved text+media documents
+  * (FIXTURES.md §2). Every document is generated from its doc_id hash alone,
+  * so generation is order-, partition- and resume-independent.
+  *
+  * The generator also computes the GOLDEN output (FIXTURES.md §3): the
+  * expected `(kind, text, media_ref, order)` sequence, derived from the
+  * authoring structure alone — page boundaries, continuation flags, group
+  * membership. The Spark pipeline never sees those flags: it must recover
+  * the same sequence from the kernel stub's scrambled geometric detections.
+  * Semantics mirror the reference pipeline's content_list construction
+  * (rapid_doc/backend/pipeline/pipeline_middle_json_mkcontent.py:240-352).
+  */
+object DocGen {
+
+  // -- text synthesis ------------------------------------------------------
+
+  private val words = Vector(
+    "analysis", "spark", "layout", "document", "model", "table", "figure",
+    "formula", "page", "span", "block", "order", "merge", "column", "region",
+    "text", "title", "caption", "footnote", "pipeline", "kernel", "batch",
+    "stream", "filter", "sort", "join", "group", "median", "vector", "token",
+    "corpus", "extract", "render", "scale", "shuffle", "salt", "bucket",
+    "resume", "lineage", "metric")
+
+  private def word(r: SplitMix64): String = words(r.nextInt(words.size))
+
+  private def cap(s: String): String = s.head.toUpper + s.tail
+
+  /** One sentence: capitalized, 6-12 words, terminated with '.'. Normal
+    * paragraphs always end with a stop and start uppercase, so the para-merge
+    * predicate can never fire on a non-continuation boundary. */
+  private def sentence(r: SplitMix64): String = {
+    val n = 6 + r.nextInt(7)
+    val ws = Vector.fill(n)(word(r))
+    cap(ws.head) + ws.tail.map(" " + _).mkString + "."
+  }
+
+  private def paragraph(r: SplitMix64): String =
+    Vector.fill(1 + r.nextInt(3))(sentence(r)).mkString(" ")
+
+  private def titleText(r: SplitMix64): String =
+    Vector.fill(2 + r.nextInt(3))(cap(word(r))).mkString(" ")
+
+  private def listText(r: SplitMix64): String =
+    Vector.fill(3 + r.nextInt(4))("- " + word(r) + " " + word(r)).mkString("\n")
+
+  private def tableHtml(r: SplitMix64, k: Int): String = {
+    val a = word(r); val b = word(r)
+    val v1 = 100 + r.nextInt(900); val v2 = r.nextInt(100)
+    s"<table><tr><td>Model</td><td>${cap(a)}</td></tr>" +
+      s"<tr><td>Testing Error</td><td>0.$v2$v1</td></tr>" +
+      s"<tr><td>${cap(b)} Regression</td><td>$v1.2</td></tr></table>"
+  }
+
+  private def formulaLatex(r: SplitMix64): String = {
+    val i = 1 + r.nextInt(9)
+    s"$$$$ \\lambda_{$i} = \\frac{a_{$i}}{\\bar{x}} $$$$".replace("$$$$", "$$")
+  }
+
+  def sha256Hex(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // -- authoring structure -------------------------------------------------
+
+  /** Authored block. `contWith` marks the page-boundary paragraph
+    * continuation (this block merges with the FIRST main block of the next
+    * page); `hyphen` selects the hyphen-join variant
+    * (reference para merge: para_split.py:273-314,
+    * hyphen rule pipeline_middle_json_mkcontent.py:11-21). */
+  case class ABlock(kind: String, text: String, mediaRef: String = "",
+      contWith: Boolean = false, hyphen: Boolean = false)
+
+  case class APage(blocks: Vector[ABlock])
+
+  case class ADoc(docId: String, pages: Vector[APage])
+
+  /** Page-count distribution with the skew the salting must defeat
+    * (FIXTURES.md §2): 80% 1-3 pages, 15% 4-12, 5% 13-64. */
+  private def nPages(r: SplitMix64): Int = {
+    val roll = r.nextDouble()
+    if (roll < 0.80) 1 + r.nextInt(3)
+    else if (roll < 0.95) 4 + r.nextInt(9)
+    else 13 + r.nextInt(52)
+  }
+
+  def authored(docId: String): ADoc = {
+    val r = Rng.stream("gen", docId)
+    val np = nPages(r)
+    var figK = 0
+    var tabK = 0
+    val pages = Vector.tabulate(np) { p =>
+      val blocks = Vector.newBuilder[ABlock]
+      if (p == 0 || r.chance(0.25)) blocks += ABlock(Kinds.Title, titleText(r))
+      val nGroups = 2 + r.nextInt(4)
+      var g = 0
+      while (g < nGroups) {
+        val roll = r.nextDouble()
+        if (roll < 0.55) blocks += ABlock(Kinds.Text, paragraph(r))
+        else if (roll < 0.70) {
+          figK += 1
+          blocks += ABlock(Kinds.Figure, "",
+            mediaRef = "img://" + sha256Hex(docId + ":fig:" + figK))
+          if (r.chance(0.8)) blocks += ABlock(Kinds.Caption, s"Figure $figK: Figure Caption")
+        } else if (roll < 0.82) {
+          tabK += 1
+          blocks += ABlock(Kinds.Table, tableHtml(r, tabK))
+          if (r.chance(0.8)) blocks += ABlock(Kinds.Caption, s"Table $tabK: Table Caption")
+          if (r.chance(0.4)) blocks += ABlock(Kinds.Footnote, s"Note: ${word(r)} ${word(r)}.")
+        } else if (roll < 0.92) {
+          blocks += ABlock(Kinds.Formula, formulaLatex(r))
+          if (r.chance(0.5)) blocks += ABlock(Kinds.FormulaNumber, s"(${1 + r.nextInt(20)})")
+        } else blocks += ABlock(Kinds.ListK, listText(r))
+        g += 1
+      }
+      APage(blocks.result())
+    }
+    // Continuation post-pass: a paragraph flowing across a page boundary.
+    // Part 1 ends mid-sentence (no stop), part 2 starts lowercase — exactly
+    // the reference's merge predicate; the hyphen variant splits inside a
+    // word. Normal paragraphs can never satisfy the predicate.
+    val adjusted = pages.toArray
+    val headReplaced = new Array[Boolean](np)
+    var p = 0
+    while (p < np - 1) {
+      val cur = adjusted(p)
+      val nxt = adjusted(p + 1)
+      val lastIsText = cur.blocks.nonEmpty && cur.blocks.last.kind == Kinds.Text
+      val firstIsText = nxt.blocks.nonEmpty && nxt.blocks.head.kind == Kinds.Text
+      // never rewrite a page whose only block is itself a continuation part:
+      // that would break the predicate chain the pipeline relies on
+      val clobber = headReplaced(p) && cur.blocks.length == 1
+      if (lastIsText && firstIsText && !clobber && r.chance(0.35)) {
+        val hyphen = r.chance(0.3)
+        val para = paragraph(r)
+        val ws = para.split(" ").toVector
+        // split strictly inside the final sentence so part2 starts lowercase
+        val lastStart = {
+          val idx = ws.lastIndexWhere(w => w.head.isUpper)
+          math.max(idx, 0)
+        }
+        if (ws.length - lastStart >= 4) {
+          val cut = lastStart + 1 + r.nextInt(ws.length - lastStart - 2)
+          if (hyphen && ws(cut).length >= 4) {
+            val w = ws(cut)
+            val mid = 2 + r.nextInt(w.length - 3)
+            val a = (ws.take(cut) :+ (w.substring(0, mid) + "-")).mkString(" ")
+            val b = (w.substring(mid) +: ws.drop(cut + 1)).mkString(" ")
+            adjusted(p) = APage(cur.blocks.init :+ ABlock(Kinds.Text, a, contWith = true, hyphen = true))
+            adjusted(p + 1) = APage(ABlock(Kinds.Text, b) +: nxt.blocks.tail)
+            headReplaced(p + 1) = true
+          } else {
+            val a = ws.take(cut).mkString(" ")
+            val b = ws.drop(cut).mkString(" ")
+            adjusted(p) = APage(cur.blocks.init :+ ABlock(Kinds.Text, a, contWith = true))
+            adjusted(p + 1) = APage(ABlock(Kinds.Text, b) +: nxt.blocks.tail)
+            headReplaced(p + 1) = true
+          }
+        }
+      }
+      p += 1
+    }
+    ADoc(docId, adjusted.toVector)
+  }
+
+  // -- input table rows ----------------------------------------------------
+
+  /** Input spans in authoring order, with per-page boilerplate
+    * (header/footer/page_number) interleaved — the "interleaved text+media"
+    * table of the north rule. */
+  def docRow(docId: String): DocRow = {
+    val doc = authored(docId)
+    val spans = Vector.newBuilder[InSpan]
+    var off = 0
+    def add(kind: String, text: String, ref: String = ""): Unit = {
+      spans += InSpan(kind, text, ref, off); off += 1
+    }
+    doc.pages.zipWithIndex.foreach { case (pg, p) =>
+      add(Kinds.Header, s"RUNNING HEAD ${docId} page ${p + 1}")
+      pg.blocks.foreach(b => add(b.kind, b.text, b.mediaRef))
+      add(Kinds.Footer, s"footer ${p + 1}")
+      add(Kinds.PageNumber, (p + 1).toString)
+    }
+    DocRow(docId, spans.result())
+  }
+
+  // -- golden oracle -------------------------------------------------------
+
+  /** Expected output sequence, straight from the authoring structure:
+    * boilerplate stripped, formula numbers attached as \tag{n}, page-boundary
+    * continuations merged, list blocks kept as 'list'. */
+  def golden(docId: String): DocResult = {
+    val doc = authored(docId)
+    // flatten with page indices
+    var flat = doc.pages.zipWithIndex.flatMap { case (pg, p) =>
+      pg.blocks.map(b => (p, b))
+    }
+    // formula-number attach (reference: model_json_to_middle_json.py:256-292)
+    val tagged = Vector.newBuilder[(Int, ABlock)]
+    var i = 0
+    while (i < flat.length) {
+      val (p, b) = flat(i)
+      if (b.kind == Kinds.Formula && i + 1 < flat.length &&
+          flat(i + 1)._2.kind == Kinds.FormulaNumber && flat(i + 1)._1 == p) {
+        val n = flat(i + 1)._2.text.stripPrefix("(").stripSuffix(")")
+        tagged += ((p, b.copy(text = b.text + s" \\tag{$n}")))
+        i += 2
+      } else if (b.kind == Kinds.FormulaNumber) {
+        // orphan number degrades to text (reference same)
+        tagged += ((p, b.copy(kind = Kinds.Text)))
+        i += 1
+      } else {
+        tagged += ((p, b)); i += 1
+      }
+    }
+    flat = tagged.result()
+    // cross-page paragraph merge
+    val merged = Vector.newBuilder[(Int, ABlock)]
+    var j = 0
+    while (j < flat.length) {
+      var (p, b) = flat(j)
+      var k = j
+      while (b.contWith && k + 1 < flat.length) {
+        val (p2, b2) = flat(k + 1)
+        require(p2 == p + (k - j) + 1 && b2.kind == Kinds.Text,
+          s"golden continuation invariant broken in $docId")
+        val t =
+          if (b.hyphen) b.text.dropRight(1) + b2.text
+          else b.text + " " + b2.text
+        b = b.copy(text = t, contWith = b2.contWith, hyphen = b2.hyphen)
+        k += 1
+      }
+      merged += ((p, b))
+      j = k + 1
+    }
+    val out = merged.result().zipWithIndex.map { case ((_, b), ord) =>
+      OutSpan(b.kind, b.text, b.mediaRef, ord)
+    }
+    DocResult(docId, out, markdown = null)
+  }
+}

@@ -1,0 +1,243 @@
+package graft.kernel
+
+import graft.schema._
+import graft.util.{Rng, SplitMix64}
+import graft.order.XYCut
+import scala.collection.mutable.ArrayBuffer
+
+/** The kernel boundary (SURVEY.md §2.8): the only stage allowed to leave
+  * Catalyst. In production this is a per-partition lazily-initialized ONNX
+  * Runtime session running layout detection / OCR / table recognition; in
+  * the sandbox it is a deterministic stub honoring the same interface
+  * (pipeline_analyze.py:21-51 model singletons -> executor-local object).
+  */
+trait DocModel extends Serializable {
+  /** doc -> per-page model output (the analogue of the reference's
+    * `infer_results` model JSON, pipeline_analyze.py:221-228). */
+  def analyze(doc: DocRow): Seq[PageModel]
+}
+
+/** Deterministic stub "layout model": renders the document's spans onto
+  * 612x792 pages (title band, one or two columns, boilerplate margins),
+  * then emulates model imperfections the pipeline must clean up —
+  * low-confidence noise detections, duplicate boxes, mislabeled page
+  * numbers, and a scrambled emission order. Everything derives from
+  * Rng.stream("kernel", doc_id): reproducible on any executor. */
+object StubModel extends DocModel {
+  val PageW = 612.0
+  val PageH = 792.0
+  private val MarginX = 36.0
+  // Both the unit gap and the column gap must exceed the worst intra-unit
+  // attachment distance (body->caption->footnote = 4+18+4 = 26), or the
+  // greedy tie-up could prefer a neighbouring unit's body — including one
+  // across the column gutter — over the attachment's own.
+  private val ColGap = 40.0
+  private val UnitGap = 34.0   // between logical units
+  private val AttachGap = 4.0  // body <-> caption/footnote (tie-up anchor)
+  private val ContentTopTitle = 100.0
+  private val ContentTop = 60.0
+  private val ContentBottom = 744.0
+
+  private val attachKinds = Set(Kinds.Caption, Kinds.Footnote, Kinds.FormulaNumber)
+
+  /** A logical unit: a leading block plus its trailing attachments. */
+  private case class Unit(blocks: Vector[InSpan])
+
+  private def blockHeight(s: InSpan, colWidth: Double): Double = s.kind match {
+    case Kinds.Figure => 120.0
+    case Kinds.Table => 90.0
+    case Kinds.Formula => 36.0
+    case Kinds.Caption => 18.0
+    case Kinds.Footnote => 16.0
+    case Kinds.FormulaNumber => 0.0 // rendered beside the formula
+    case _ =>
+      val cpl = math.max(20, (colWidth / 6.0).toInt) // chars per line
+      val lines = math.max(1, (s.text.length + cpl - 1) / cpl)
+      lines * 14.0 + 8.0
+  }
+
+  /** Stack units into one column starting at (x0, yStart); returns placed
+    * (span, bbox) plus the running bottom y. */
+  private def placeColumn(units: Vector[Unit], x0: Double, width: Double,
+      yStart: Double): (Vector[(InSpan, (Double, Double, Double, Double))], Double) = {
+    val out = Vector.newBuilder[(InSpan, (Double, Double, Double, Double))]
+    var y = yStart
+    units.foreach { u =>
+      var first = true
+      u.blocks.foreach { s =>
+        if (s.kind == Kinds.FormulaNumber) {
+          // placed beside the preceding formula; fixed up after the loop
+          out += ((s, (0.0, 0.0, 0.0, 0.0)))
+        } else {
+          if (!first) y += AttachGap
+          val h = blockHeight(s, width)
+          val w = s.kind match {
+            case Kinds.Formula => width - 70.0 // leave room for the number
+            case Kinds.Caption | Kinds.Footnote => width - 40.0
+            case _ => width
+          }
+          out += ((s, (x0, y, x0 + w, y + h)))
+          y += h
+          first = false
+        }
+      }
+      y += UnitGap
+    }
+    // fix up formula_number boxes: sit beside their preceding formula
+    val placed = out.result()
+    val fixed = placed.zipWithIndex.map { case ((s, box), i) =>
+      if (s.kind == Kinds.FormulaNumber) {
+        val (fx0, fy0, fx1, fy1) = placed(i - 1)._2
+        (s, (fx1 + AttachGap, fy0 + 8.0, fx1 + AttachGap + 30.0, fy0 + 28.0))
+      } else (s, box)
+    }
+    (fixed, y)
+  }
+
+  /** Group a page's main spans into units (block + trailing attachments). */
+  private def toUnits(spans: Vector[InSpan]): Vector[Unit] = {
+    val units = Vector.newBuilder[Unit]
+    var cur = Vector.empty[InSpan]
+    spans.foreach { s =>
+      if (attachKinds(s.kind) && cur.nonEmpty) cur = cur :+ s
+      else {
+        if (cur.nonEmpty) units += Unit(cur)
+        cur = Vector(s)
+      }
+    }
+    if (cur.nonEmpty) units += Unit(cur)
+    units.result()
+  }
+
+  /** Place one page; guarantees the classic XY-cut recovers authoring order
+    * (two-column placements are validated by simulation and fall back to a
+    * single column when no staggering offset is order-safe). */
+  private def placePage(mains: Vector[InSpan], twoCol: Boolean)
+      : Vector[(InSpan, (Double, Double, Double, Double))] = {
+    val (titleOpt, rest) = mains.headOption match {
+      case Some(t) if t.kind == Kinds.Title => (Some(t), mains.tail)
+      case _ => (None, mains)
+    }
+    val yStart = if (titleOpt.isDefined) ContentTopTitle else ContentTop
+    val titlePlaced = titleOpt.map(t => (t, (MarginX, 50.0, PageW - MarginX, 82.0))).toVector
+    val units = toUnits(rest)
+
+    def single: Vector[(InSpan, (Double, Double, Double, Double))] =
+      titlePlaced ++ placeColumn(units, MarginX, PageW - 2 * MarginX, yStart)._1
+
+    if (!twoCol || units.length < 2) single
+    else {
+      val colW = (PageW - 2 * MarginX - ColGap) / 2
+      // split units at roughly half the stacked height
+      val heights = units.map(u => u.blocks.map(b =>
+        blockHeight(b, colW) + AttachGap).sum + UnitGap)
+      val total = heights.sum
+      var acc = 0.0
+      var splitAt = units.length - 1
+      var i = 0
+      var found = false
+      while (i < units.length - 1 && !found) {
+        acc += heights(i)
+        if (acc >= total / 2) { splitAt = i + 1; found = true }
+        i += 1
+      }
+      val (u1, u2) = units.splitAt(splitAt)
+      if (u1.isEmpty || u2.isEmpty) return single
+      val (c1, bottom1) = placeColumn(u1, MarginX, colW, yStart)
+      val offsets = Vector(0.0, 5.0, 11.0, 18.0, 26.0, 35.0, 45.0)
+      val ok = offsets.iterator.map { off =>
+        val (c2, bottom2) = placeColumn(u2, MarginX + colW + ColGap, colW, yStart + off)
+        if (bottom1 > ContentBottom || bottom2 > ContentBottom) None
+        else {
+          val placed = titlePlaced ++ c1 ++ c2
+          // simulate: does XY-cut over the non-attachment boxes reproduce
+          // authoring order?
+          val cutIn = placed.filter(p => !attachKinds(p._1.kind))
+          val orderGot = XYCut.order(cutIn.map(_._2))
+          val authoring = cutIn.map(_._1.offset).sorted
+          val got = orderGot.map(i => cutIn(i)._1.offset)
+          if (got == authoring) Some(placed) else None
+        }
+      }.collectFirst { case Some(p) => p }
+      ok.getOrElse(single)
+    }
+  }
+
+  override def analyze(doc: DocRow): Seq[PageModel] = {
+    val kr = Rng.stream("kernel", doc.doc_id)
+    // page boundaries are explicit in the interleaved stream: each page
+    // starts with its header span
+    val pages = ArrayBuffer.empty[Vector[InSpan]]
+    var cur = ArrayBuffer.empty[InSpan]
+    doc.spans.foreach { s =>
+      if (s.kind == Kinds.Header && cur.nonEmpty) {
+        pages += cur.toVector; cur = ArrayBuffer.empty[InSpan]
+      }
+      cur += s
+    }
+    if (cur.nonEmpty) pages += cur.toVector
+
+    pages.toVector.zipWithIndex.map { case (pageSpans, p) =>
+      val twoCol = kr.chance(0.3)
+      val mains = pageSpans.filter(s => !Kinds.discarded(s.kind))
+      val placed = placePage(mains, twoCol)
+
+      val dets = ArrayBuffer.empty[Det]
+      // main dets, authoring order (scores drawn in this fixed order)
+      placed.foreach { case (s, (x0, y0, x1, y1)) =>
+        val score = 0.55 + 0.44 * kr.nextDouble()
+        val cat = s.kind match {
+          case Kinds.ListK => Kinds.Text // the model can't see list-ness
+          case k => k
+        }
+        dets += Det(cat, x0, y0, x1, y1, score, s.text, s.media_ref)
+      }
+      // boilerplate dets: header/footer detected as abandon; the page number
+      // is mislabeled as text half the time — the geometric discard rules
+      // must catch it (block_pre_proc.py:79-97 footnote/margin fences)
+      pageSpans.filter(s => Kinds.discarded(s.kind)).foreach { s =>
+        s.kind match {
+          case Kinds.Header =>
+            dets += Det(Kinds.Abandon, MarginX, 12, PageW - MarginX, 30, 0.95, s.text, "")
+          case Kinds.Footer =>
+            dets += Det(Kinds.Abandon, MarginX, 752, 400, 768, 0.93, s.text, "")
+          case Kinds.PageNumber =>
+            // mislabel as text only when the page-number band stays isolated
+            // (an overflowing column would defeat the isolation fence and the
+            // pipeline could never discard it)
+            val mislabel = kr.chance(0.5)
+            val bandClear = !placed.exists { case (_, (_, y0, _, y1)) =>
+              y1 > 770.0 && y0 < 788.0
+            }
+            val cat = if (mislabel && bandClear) Kinds.Text else Kinds.Abandon
+            dets += Det(cat, 290, 772, 322, 786, 0.6, s.text, "")
+          case _ =>
+        }
+      }
+      // low-confidence noise detections
+      val nNoise = kr.nextInt(3)
+      var i = 0
+      while (i < nNoise) {
+        val nx = 40.0 + kr.nextInt(500)
+        val ny = 60.0 + kr.nextInt(650)
+        dets += Det(Kinds.Text, nx, ny, nx + 10 + kr.nextInt(30), ny + 8 + kr.nextInt(20),
+          0.01 + 0.039 * kr.nextDouble(), "zz", "")
+        i += 1
+      }
+      // duplicate detections of main blocks (same box, lower score)
+      val dups = dets.toVector.filter(d =>
+        d.cat != Kinds.Abandon && d.score > 0.5 && kr.chance(0.15))
+        .map(d => d.copy(score = d.score - 0.25))
+      dets ++= dups
+      // scramble emission order (Fisher-Yates)
+      val arr = dets.toArray
+      var j = arr.length - 1
+      while (j > 0) {
+        val k = kr.nextInt(j + 1)
+        val t = arr(j); arr(j) = arr(k); arr(k) = t
+        j -= 1
+      }
+      PageModel(doc.doc_id, p, PageW, PageH, arr.toVector)
+    }
+  }
+}

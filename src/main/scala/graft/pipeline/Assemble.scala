@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.schema._
+
+/** Document-level assembly: the ordered fold that runs after page-parallel
+  * processing (SURVEY.md §2.11) — formula-number attach, cross-page
+  * paragraph merge (space and hyphen joins), final span numbering and
+  * markdown rendering. Pure and deterministic. */
+object Assemble {
+
+  private val stops = Set('.', '!', '?', ':')
+
+  /** prev/next text-paragraph merge predicate
+    * (reference: para_split.py:273-314). */
+  private def shouldMerge(prev: OrderedBlock, next: OrderedBlock): Boolean =
+    prev.kind == Kinds.Text && next.kind == Kinds.Text &&
+      prev.text.nonEmpty && next.text.nonEmpty &&
+      !stops(prev.text.last) && next.text.head.isLower
+
+  /** hyphen-at-line-end join (pipeline_middle_json_mkcontent.py:11-21). */
+  private def join(a: String, b: String): String =
+    if (a.endsWith("-")) a.dropRight(1) + b else a + " " + b
+
+  def assemble(docId: String, pageBlocks: Seq[Vector[OrderedBlock]]): DocResult = {
+    val flat = pageBlocks.sortBy(pb => if (pb.isEmpty) Int.MaxValue else pb.head.page_idx)
+      .flatten.toVector
+
+    // formula-number attach: an adjacent (formula, formula_number) pair on
+    // the same page becomes `latex \tag{n}`; an orphan number degrades to
+    // text (model_json_to_middle_json.py:256-292)
+    val tagged = Vector.newBuilder[OrderedBlock]
+    var i = 0
+    while (i < flat.length) {
+      val b = flat(i)
+      if (b.kind == Kinds.Formula && i + 1 < flat.length &&
+          flat(i + 1).kind == Kinds.FormulaNumber && flat(i + 1).page_idx == b.page_idx) {
+        val n = flat(i + 1).text.stripPrefix("(").stripSuffix(")")
+        tagged += b.copy(text = b.text + s" \\tag{$n}")
+        i += 2
+      } else if (b.kind == Kinds.FormulaNumber) {
+        tagged += b.copy(kind = Kinds.Text)
+        i += 1
+      } else { tagged += b; i += 1 }
+    }
+
+    // cross-page paragraph merge, chained left-to-right
+    val merged = Vector.newBuilder[OrderedBlock]
+    var cur: OrderedBlock = null
+    tagged.result().foreach { b =>
+      if (cur == null) cur = b
+      else if (shouldMerge(cur, b)) cur = cur.copy(text = join(cur.text, b.text))
+      else { merged += cur; cur = b }
+    }
+    if (cur != null) merged += cur
+    val blocks = merged.result()
+
+    val spans = blocks.zipWithIndex.map { case (b, ord) =>
+      OutSpan(b.kind, b.text, b.media_ref, ord)
+    }
+    DocResult(docId, spans, renderMarkdown(blocks))
+  }
+
+  /** Per-document markdown (pipeline_middle_json_mkcontent.py:24-110). */
+  def renderMarkdown(blocks: Seq[OrderedBlock]): String =
+    blocks.map { b =>
+      b.kind match {
+        case Kinds.Title => "# " + b.text
+        case Kinds.Figure => s"![](${b.media_ref})"
+        case Kinds.Formula => b.text
+        case Kinds.Caption | Kinds.Footnote => "*" + b.text + "*"
+        case _ => b.text
+      }
+    }.mkString("\n\n")
+}

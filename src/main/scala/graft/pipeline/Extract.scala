@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema._
+import graft.corpus.DocGen
+import graft.kernel.{DocModel, StubModel}
+
+/** End-to-end extraction job (SURVEY.md §3.1 Spark shape):
+  *
+  *   input docs table
+  *     -> salted repartition on doc-size buckets   (defeats page-count skew)
+  *     -> mapPartitions kernel stage               (per-partition model session)
+  *     -> page ops + doc assembly (fused — docs stay whole, zero extra shuffle)
+  *     -> result Dataset[DocResult]
+  *
+  * Keeping each document whole through one mapPartitions fuses kernel,
+  * page processing and doc-level folds into a single stage: the only
+  * shuffle in the job is the skew-balancing repartition. Page-level
+  * fan-out (explode pages, groupByKey(doc_id) to reassemble) is only
+  * worth a second shuffle for monster documents; at the reference's
+  * 64-page windows a whole doc is far below task granularity. */
+object Extract {
+
+  /** Pure per-document extraction — unit-testable without Spark. */
+  def extractDoc(doc: DocRow, model: DocModel = StubModel): DocResult = {
+    val pages = model.analyze(doc)
+    Assemble.assemble(doc.doc_id, pages.map(PageOps.process))
+  }
+
+  /** Deterministic corpus table from a dataset of doc ids (FIXTURES.md §2). */
+  def corpus(ids: Dataset[String]): Dataset[DocRow] = {
+    import ids.sparkSession.implicits._
+    ids.map(DocGen.docRow _)
+  }
+
+  /** Synthesize n doc ids "doc-%012d". */
+  def idRange(spark: SparkSession, n: Long): Dataset[String] = {
+    import spark.implicits._
+    spark.range(n).map(i => f"doc-$i%012d")
+  }
+
+  /** Salted repartition on size buckets: span count proxies page count
+    * (the skew axis — 5% of docs have 13-64 pages). Large-doc buckets get a
+    * wider salt fan-out so no partition accumulates several monsters. */
+  def saltRepartition(docs: Dataset[DocRow], partitions: Int): Dataset[DocRow] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("size_bucket",
+        when(size(col("spans")) <= 32, lit(0))
+          .when(size(col("spans")) <= 128, lit(1))
+          .otherwise(lit(2)))
+      .withColumn("salt",
+        pmod(xxhash64(col("doc_id")),
+          when(col("size_bucket") === 2, lit(partitions * 4))
+            .otherwise(lit(partitions))))
+      .repartition(partitions, col("size_bucket"), col("salt"))
+      .select(col("doc_id"), col("spans"))
+      .as[DocRow]
+  }
+
+  /** The extraction job. `model` defaults to the deterministic stub; a real
+    * deployment swaps in an ONNX-backed DocModel with the same contract. */
+  def run(docs: Dataset[DocRow], partitions: Int = 32,
+      model: DocModel = StubModel): Dataset[DocResult] = {
+    import docs.sparkSession.implicits._
+    saltRepartition(docs, partitions).mapPartitions { it =>
+      // per-partition model scope: a real model would lazily create its
+      // ONNX session here and reuse it across the iterator
+      val m = model
+      it.map(d => extractDoc(d, m))
+    }
+  }
+
+  /** Exploded span view of the extraction output (one row per span) —
+    * the rows-only driver query and the shape golden compares run on. */
+  def extractSpans(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
+    run(corpus(ids))
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.order").as("ord"), col("s.kind"),
+        col("s.media_ref"), col("s.text"))
+      .orderBy("doc_id", "ord")
+  }
+}

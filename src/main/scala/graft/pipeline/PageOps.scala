@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import graft.schema._
+import graft.geom.Geo
+import graft.order.XYCut
+import scala.collection.mutable
+
+/** Page-level processing: the geometric cleanup + tie-up + reading-order
+  * stages of SURVEY.md §2.2-2.5, as one pure function per page row. All
+  * decisions are geometry/score-based and independent of the kernel's
+  * (scrambled) emission order. */
+object PageOps {
+
+  private val LowConf = 0.05          // pipeline_magic_model.py:72-82
+  private val IouDedup = 0.9          // pipeline_magic_model.py:84-110
+  private val PageNumMaxW = 60.0
+  private val PageNumMaxH = 20.0
+  private val BottomFenceFrac = 0.93  // block_pre_proc.py:79-97 analogue
+
+  private val attachCats = Set(Kinds.Caption, Kinds.Footnote)
+
+  def process(pm: PageModel): Vector[OrderedBlock] = {
+    // 1. low-confidence filter
+    val conf = pm.dets.filter(_.score > LowConf).toVector
+
+    // 2. high-IoU dedup: drop a det when a strictly better overlapping det
+    //    exists (ties impossible by construction; tiebreak on geometry+text
+    //    keeps this deterministic regardless of emission order)
+    val deduped = conf.filter { d =>
+      !conf.exists { o =>
+        (o ne d) && Geo.iou(d.x0, d.y0, d.x1, d.y1, o.x0, o.y0, o.x1, o.y1) > IouDedup &&
+          (o.score > d.score ||
+            (o.score == d.score && (o.x0, o.y0, o.text).toString < (d.x0, d.y0, d.text).toString))
+      }
+    }
+
+    // 3. drop model-abandoned regions (headers/footers -> Abandon)
+    val live = deduped.filter(_.cat != Kinds.Abandon)
+
+    // 4. page-number fence: a small isolated box in the bottom margin is
+    //    boilerplate even when the model mislabeled it as text
+    val kept = live.filter { d =>
+      val smallBottom = d.w <= PageNumMaxW && d.h <= PageNumMaxH &&
+        d.y0 > BottomFenceFrac * pm.height
+      val isolated = !live.exists(o =>
+        (o ne d) && Geo.interLen(o.y0, o.y1, d.y0, d.y1) > 0)
+      !(smallBottom && isolated)
+    }
+
+    // 5. tie-up: captions/footnotes attach to the nearest figure/table body,
+    //    formula numbers to the nearest formula (greedy by edge distance —
+    //    magic_model_utils.py:30-169 tie_up_category_by_distance_v3)
+    val attachments = kept.filter(d => attachCats(d.cat))
+    val numbers = kept.filter(_.cat == Kinds.FormulaNumber)
+    val bodies = kept.filter(d => Kinds.bodies(d.cat))
+    val formulas = kept.filter(_.cat == Kinds.Formula)
+
+    def greedyAssign(objs: Vector[Det], subjects: Vector[Det]): Map[Det, Det] = {
+      if (objs.isEmpty || subjects.isEmpty) return Map.empty
+      val pairs = for (o <- objs; s <- subjects)
+        yield (Geo.edgeDist(o.x0, o.y0, o.x1, o.y1, s.x0, s.y0, s.x1, s.y1), o, s)
+      val sorted = pairs.sortBy { case (dist, o, s) => (dist, o.y0, o.x0, s.y0, s.x0) }
+      val assigned = mutable.Map.empty[Det, Det]
+      sorted.foreach { case (_, o, s) =>
+        if (!assigned.contains(o)) assigned(o) = s
+      }
+      assigned.toMap
+    }
+
+    val attachTo = greedyAssign(attachments, bodies) ++ greedyAssign(numbers, formulas)
+    val orphans = (attachments ++ numbers).filterNot(attachTo.contains)
+
+    // 6. reading order over the anchor blocks (XY-cut; orphan attachments
+    //    degrade to ordinary blocks)
+    val anchors = kept.filterNot(d => attachTo.contains(d)) // includes orphans
+    val order = XYCut.order(anchors.map(d => (d.x0, d.y0, d.x1, d.y1)))
+
+    // 7. expand anchors with their attachments (top-to-bottom, then
+    //    left-to-right within the group — group median placement degenerates
+    //    to this for contiguous authoring indices, block_sort.py:276-292)
+    val byAnchor = attachTo.toVector.groupBy(_._2).map { case (s, kv) =>
+      s -> kv.map(_._1).sortBy(a => (a.y0, a.x0))
+    }
+    val expanded = order.flatMap { i =>
+      val a = anchors(i)
+      a +: byAnchor.getOrElse(a, Vector.empty)
+    }
+
+    // 8. list re-classification on text blocks (para_split.py:73-270 rules,
+    //    simplified: >=3 lines, >=80% bullet/numbered starts)
+    expanded.zipWithIndex.map { case (d, idx) =>
+      val kind =
+        if (d.cat == Kinds.Text) {
+          val lines = d.text.split("\n", -1)
+          val listLike = lines.count(l =>
+            l.startsWith("- ") || l.startsWith("• ") || l.matches("^\\d+[.)].*"))
+          if (lines.length >= 3 && listLike * 5 >= lines.length * 4) Kinds.ListK
+          else Kinds.Text
+        } else d.cat
+      OrderedBlock(kind, d.text, d.media_ref, pm.page_idx, idx)
+    }
+  }
+}

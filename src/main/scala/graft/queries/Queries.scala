@@ -292,6 +292,10 @@ object Queries {
 
   /** Registry consumed by SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // full extraction pipeline (rows-only check: not SQL-expressible; its
+    // exact-match gate is the golden-fixture ScalaTest suite)
+    "extract_pipeline" -> ((s: SparkSession, d: String) =>
+      graft.pipeline.Extract.extractSpans(s, d)),
     "det_low_conf_filter" -> detLowConfFilter _,
     "det_iou_dedup" -> detIouDedup _,
     "page_median_height" -> pageMedianHeight _,

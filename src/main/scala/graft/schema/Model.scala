@@ -1,0 +1,88 @@
+package graft.schema
+
+/** Core data model of the extraction engine (SURVEY.md §1.5).
+  *
+  * The input table carries interleaved text + media documents with exactly
+  * the BASELINE.json `input_hint` shape:
+  * `(doc_id: string, spans: array<struct<kind,text,media_ref,offset>>)`.
+  * The result table carries the ordered extraction output whose
+  * `(kind, text, media_ref, order)` sequence is the correctness invariant.
+  */
+
+/** One authored span of the input document (pre-extraction position). */
+case class InSpan(kind: String, text: String, media_ref: String, offset: Int)
+
+/** One input document row (the Iceberg-shaped corpus table). */
+case class DocRow(doc_id: String, spans: Seq[InSpan])
+
+/** One extracted span of the result (reading-order position). */
+case class OutSpan(kind: String, text: String, media_ref: String, order: Int)
+
+/** One result row; `markdown` is the rendered per-document markdown
+  * (reference: pipeline_middle_json_mkcontent.py union_make MM_MD). */
+case class DocResult(doc_id: String, spans: Seq[OutSpan], markdown: String)
+
+/** Span kind vocabulary (closed enums, cf. reference
+  * rapid_doc/utils/enum_class.py — Spark has no enum type so these are
+  * string constants invariant-checked in tests). */
+object Kinds {
+  val Title = "title"
+  val Text = "text"
+  val ListK = "list"
+  val Figure = "figure"
+  val Table = "table"
+  val Formula = "formula"
+  val FormulaNumber = "formula_number"
+  val Caption = "caption"
+  val Footnote = "footnote"
+  val Header = "header"
+  val Footer = "footer"
+  val PageNumber = "page_number"
+  /** kinds suppressed from the main flow (boilerplate strip). */
+  val discarded: Set[String] = Set(Header, Footer, PageNumber)
+  /** model category for explicitly-abandoned regions (CategoryId.Abandon=2,
+    * enum_class.py:93). */
+  val Abandon = "abandon"
+  val bodies: Set[String] = Set(Figure, Table)
+}
+
+/** One layout detection emitted by the kernel (the analogue of the
+  * reference model-JSON layout_dets rows, rapid_layout.py:99-106). */
+case class Det(
+    cat: String,
+    x0: Double, y0: Double, x1: Double, y1: Double,
+    score: Double,
+    text: String,
+    media_ref: String) {
+  def w: Double = x1 - x0
+  def h: Double = y1 - y0
+  def cx: Double = (x0 + x1) / 2
+  def cy: Double = (y0 + y1) / 2
+  def area: Double = math.max(0, w) * math.max(0, h)
+}
+
+/** Per-page model output row (one row per (doc, page) after the kernel). */
+case class PageModel(
+    doc_id: String,
+    page_idx: Int,
+    width: Double,
+    height: Double,
+    dets: Seq[Det])
+
+/** An ordered block after page-level processing, pre doc-assembly. */
+case class OrderedBlock(
+    kind: String,
+    text: String,
+    media_ref: String,
+    page_idx: Int,
+    index: Int)
+
+/** Checkpoint-table row for resumable partition-grain lineage
+  * (FIXTURES.md §4). */
+case class CheckpointRow(
+    run_id: String,
+    bucket: Int,
+    status: String,
+    docs: Long,
+    spans: Long,
+    wall_ms: Long)
