@@ -35,14 +35,26 @@ object DocGen {
   /** One sentence: capitalized, 6-12 words, terminated with '.'. Normal
     * paragraphs always end with a stop and start uppercase, so the para-merge
     * predicate can never fire on a non-continuation boundary. */
-  private def sentence(r: SplitMix64): String = {
+  private def sentence(r: SplitMix64, sb: StringBuilder): Unit = {
     val n = 6 + r.nextInt(7)
-    val ws = Vector.fill(n)(word(r))
-    cap(ws.head) + ws.tail.map(" " + _).mkString + "."
+    val first = word(r)
+    sb.append(first.head.toUpper).append(first, 1, first.length)
+    var i = 1
+    while (i < n) { sb.append(' ').append(word(r)); i += 1 }
+    sb.append('.')
   }
 
-  private def paragraph(r: SplitMix64): String =
-    Vector.fill(1 + r.nextInt(3))(sentence(r)).mkString(" ")
+  private def paragraph(r: SplitMix64): String = {
+    val sb = new StringBuilder(160)
+    val n = 1 + r.nextInt(3)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sentence(r, sb)
+      i += 1
+    }
+    sb.toString
+  }
 
   private def titleText(r: SplitMix64): String =
     Vector.fill(2 + r.nextInt(3))(cap(word(r))).mkString(" ")
@@ -63,9 +75,24 @@ object DocGen {
     s"$$$$ \\lambda_{$i} = \\frac{a_{$i}}{\\bar{x}} $$$$".replace("$$$$", "$$")
   }
 
-  def sha256Hex(s: String): String =
-    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-256")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  def sha256Hex(s: String): String = {
+    val md = digest.get()
+    md.reset()
+    val bytes = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(i * 2) = hexChars((bytes(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   // -- authoring structure -------------------------------------------------
 
@@ -89,6 +116,11 @@ object DocGen {
     else if (roll < 0.95) 4 + r.nextInt(9)
     else 13 + r.nextInt(52)
   }
+
+  /** Page count of a doc without generating it (replays the first draws) —
+    * lets the job salt-repartition the doc_id stream before materializing
+    * any heavy rows. */
+  def pageCount(docId: String): Int = nPages(Rng.stream("gen", docId))
 
   def authored(docId: String): ADoc = {
     val r = Rng.stream("gen", docId)

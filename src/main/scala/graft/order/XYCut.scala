@@ -1,64 +1,91 @@
 package graft.order
 
-import graft.geom.Geo
-
 /** Classic recursive XY-cut reading order — a behavioral port of the
   * reference's fallback sorter (/root/reference/rapid_doc/model/
   * reading_order/xycut_plus.py:69-209, sort_by_xycut:254-289): project
-  * boxes onto y, split at zero-coverage gaps, recurse; inside an
-  * unsplittable y-band project onto x and split into columns; a band that
-  * splits on neither axis is emitted top-to-bottom, left-to-right.
+  * boxes onto y, split at zero-coverage gaps (min_gap=1), recurse; inside
+  * an unsplittable y-band project onto x and split into columns; a band
+  * that splits on neither axis is emitted top-to-bottom, left-to-right.
   *
   * The model-order shortcut (block_sort.py:154-170) bypasses this when the
   * layout model supplies `original_order`; our kernel stub never does, so
-  * this is the hot ordering path. Pure, deterministic, page-local. */
+  * this is the hot ordering path. Implemented over primitive arrays — it
+  * runs once per page per document, so allocation churn here is fleet-wide
+  * memory bandwidth at 10^12 documents. */
 object XYCut {
 
   private val MinGap = 1.0
 
-  /** Returns the indices of `boxes` in reading order. */
-  def order(boxes: IndexedSeq[(Double, Double, Double, Double)]): Vector[Int] =
-    recurse(boxes.indices.toVector, boxes)
-
-  private def recurse(ids: Vector[Int],
-      boxes: IndexedSeq[(Double, Double, Double, Double)]): Vector[Int] = {
-    if (ids.length <= 1) return ids
-    val ybands = splitByAxis(ids, boxes, vertical = true)
-    if (ybands.length > 1) ybands.flatMap(recurse(_, boxes))
-    else {
-      val xcols = splitByAxis(ids, boxes, vertical = false)
-      if (xcols.length > 1)
-        xcols.flatMap { col =>
-          // inside a column, only y-splits remain meaningful; fall back to
-          // positional sort if the column is atomic
-          val sub = splitByAxis(col, boxes, vertical = true)
-          if (sub.length > 1) sub.flatMap(recurse(_, boxes))
-          else col.sortBy(i => (boxes(i)._2, boxes(i)._1))
-        }
-      else ids.sortBy(i => (boxes(i)._2, boxes(i)._1))
+  /** Tuple-friendly wrapper (tests, simulation checks). */
+  def order(boxes: IndexedSeq[(Double, Double, Double, Double)]): Vector[Int] = {
+    val n = boxes.length
+    val x0 = new Array[Double](n); val y0 = new Array[Double](n)
+    val x1 = new Array[Double](n); val y1 = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val b = boxes(i); x0(i) = b._1; y0(i) = b._2; x1(i) = b._3; y1(i) = b._4
+      i += 1
     }
+    orderArrays(x0, y0, x1, y1).toVector
   }
 
-  /** Partition ids into bands/columns separated by zero-coverage gaps on
-    * one axis, ordered by coordinate. */
-  private def splitByAxis(ids: Vector[Int],
-      boxes: IndexedSeq[(Double, Double, Double, Double)],
-      vertical: Boolean): Vector[Vector[Int]] = {
-    val iv = ids.map { i =>
-      val (x0, y0, x1, y1) = boxes(i)
-      if (vertical) (y0, y1) else (x0, x1)
+  def orderArrays(x0: Array[Double], y0: Array[Double],
+      x1: Array[Double], y1: Array[Double]): Array[Int] = {
+    val ids = Array.range(0, x0.length)
+    val out = new Array[Int](ids.length)
+    val pos = new Pos(out)
+    recurse(ids, x0, y0, x1, y1, vertical = true, pos)
+    out
+  }
+
+  private final class Pos(val out: Array[Int]) { var i = 0
+    def emit(id: Int): Unit = { out(i) = id; i += 1 }
+  }
+
+  /** Sort ids by low edge on `vertical` axis, then emit bands separated by
+    * zero-coverage gaps. Returns band boundaries via recursion. */
+  private def recurse(ids: Array[Int], x0: Array[Double], y0: Array[Double],
+      x1: Array[Double], y1: Array[Double], vertical: Boolean, pos: Pos): Unit = {
+    val n = ids.length
+    if (n == 0) return
+    if (n == 1) { pos.emit(ids(0)); return }
+    val lo = if (vertical) y0 else x0
+    val hi = if (vertical) y1 else x1
+    // sort ids in place by (lo, cross-lo) — stable enough for determinism
+    val cross = if (vertical) x0 else y0
+    val sorted = ids.sortBy(i => (lo(i), cross(i)))
+    // find gap boundaries
+    var bandStart = 0
+    var runningHi = hi(sorted(0))
+    var i = 1
+    var splitAny = false
+    // first pass: detect whether any split exists to avoid infinite recursion
+    while (i < n) {
+      val id = sorted(i)
+      if (lo(id) > runningHi + MinGap) { splitAny = true; i = n }
+      else { if (hi(id) > runningHi) runningHi = hi(id); i += 1 }
     }
-    val segs = Geo.coverage(iv, MinGap)
-    if (segs.length <= 1) Vector(ids)
-    else {
-      // assign each box to the segment containing its low edge
-      segs.map { case (lo, hi) =>
-        ids.filter { i =>
-          val (x0, y0, _, _) = boxes(i)
-          val v = if (vertical) y0 else x0
-          v >= lo - 1e-9 && v <= hi + 1e-9
-        }
-      }.filter(_.nonEmpty)
+    if (splitAny) {
+      // emit bands, recursing each on the same axis first (a y-band may
+      // itself split on y after the x recursion inside)
+      runningHi = hi(sorted(0))
+      i = 1
+      while (i <= n) {
+        if (i == n || lo(sorted(i)) > runningHi + MinGap) {
+          val band = java.util.Arrays.copyOfRange(sorted, bandStart, i)
+          recurse(band, x0, y0, x1, y1, vertical = true, pos)
+          if (i < n) { bandStart = i; runningHi = hi(sorted(i)) }
+        } else if (hi(sorted(i)) > runningHi) runningHi = hi(sorted(i))
+        i += 1
+      }
+    } else if (vertical) {
+      // no y-split: try x
+      recurse(sorted, x0, y0, x1, y1, vertical = false, pos)
+    } else {
+      // no split on either axis: atomic group, top-to-bottom/left-to-right
+      val atomic = ids.sortBy(i => (y0(i), x0(i)))
+      var j = 0
+      while (j < atomic.length) { pos.emit(atomic(j)); j += 1 }
     }
   }
 }

@@ -72,6 +72,30 @@ object Extract {
     }
   }
 
+  /** Generation-fused variant: salt-repartition the doc_id STREAM (the size
+    * bucket is derivable from the id), then generate + extract inside one
+    * mapPartitions. The only shuffle moves bare id strings — the pattern a
+    * real deployment gets from a bucket-partitioned input table, where the
+    * heavy rows never cross the wire either. */
+  def runFromIds(ids: Dataset[String], partitions: Int = 32,
+      model: DocModel = StubModel): Dataset[DocResult] = {
+    import ids.sparkSession.implicits._
+    ids
+      .map(id => (id, DocGen.pageCount(id)))
+      .toDF("doc_id", "pages")
+      .withColumn("size_bucket",
+        when(col("pages") <= 3, lit(0)).when(col("pages") <= 12, lit(1)).otherwise(lit(2)))
+      .withColumn("salt",
+        pmod(xxhash64(col("doc_id")),
+          when(col("size_bucket") === 2, lit(partitions * 4)).otherwise(lit(partitions))))
+      .repartition(partitions, col("size_bucket"), col("salt"))
+      .select(col("doc_id")).as[String]
+      .mapPartitions { it =>
+        val m = model
+        it.map(id => extractDoc(DocGen.docRow(id), m))
+      }
+  }
+
   /** Exploded span view of the extraction output (one row per span) —
     * the rows-only driver query and the shape golden compares run on. */
   def extractSpans(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.Extract
+import graft.io.ExtractJob
+import java.nio.file.Files
+
+/** Kill-at-50% resume idempotency (FIXTURES.md §4): a run that commits only
+  * half its bucket groups, resumed, must produce exactly the output of a
+  * cold full run — and already-done buckets must be skipped, not redone. */
+class ResumeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def collectOut(dir: String): Map[String, Seq[(String, String, String, Int)]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/data")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.explode(org.apache.spark.sql.functions.col("spans")).as("s"))
+      .selectExpr("doc_id", "s.kind", "s.text", "s.media_ref", "s.order")
+      .as[(String, String, String, String, Int)]
+      .collect().toSeq
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.sortBy(_._5).map(t => (t._2, t._3, t._4, t._5))
+      }
+  }
+
+  test("kill at 50% of commit units, resume, output equals cold run") {
+    val n = 300L
+    val docs = Extract.corpus(Extract.idRange(spark, n))
+    val cold = Files.createTempDirectory("graft_cold").toString
+    val warm = Files.createTempDirectory("graft_warm").toString
+
+    val r0 = ExtractJob.run(spark, docs, cold, buckets = 16, groups = 4,
+      runId = "cold", partitions = 4)
+    assert(r0.processed == 16 && r0.docs == n)
+
+    // crash after 2 of 4 commit units
+    val r1 = ExtractJob.run(spark, docs, warm, buckets = 16, groups = 4,
+      runId = "attempt-1", partitions = 4, failAfterGroups = 2)
+    assert(r1.processed == 8 && r1.skipped == 0)
+
+    // resume: skips the 8 done buckets, finishes the rest
+    val r2 = ExtractJob.run(spark, docs, warm, buckets = 16, groups = 4,
+      runId = "attempt-2", partitions = 4)
+    assert(r2.skipped == 8 && r2.processed == 8)
+
+    assert(collectOut(warm) == collectOut(cold))
+
+    // lineage: every bucket has exactly one done row, doc counts add up
+    import spark.implicits._
+    val ckpt = spark.read.parquet(s"$warm/_checkpoint")
+    assert(ckpt.count() == 16)
+    assert(ckpt.agg(org.apache.spark.sql.functions.sum("docs")).as[Long].head() == n)
+  }
+}
