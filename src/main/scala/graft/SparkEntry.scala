@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Queries, Oracles}
+import graft.queries.{Queries, Oracles, ScaleQueries, ScaleOracles}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,9 +10,11 @@ object SparkEntry {
     graft.pipeline.Extract.extractSpans(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ ScaleQueries.all ++ graft.multimodal.MediaStub.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Oracles.all
+  def oracleSql: Map[String, String] =
+    Oracles.all ++ ScaleOracles.all ++ graft.multimodal.MediaStub.oracles
 }

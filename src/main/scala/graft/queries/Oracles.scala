@@ -148,6 +148,18 @@ object Oracles {
         |SELECT q_id, n_id, rank::INT AS rank FROM r WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
 
+    "textnorm_roundtrip" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  replace(translate(text, 'aeos', 'ａｅｏｓ'), 'fi', 'ﬁ') AS inj
+        |  FROM documents)
+        |SELECT doc_id, md5(inj) AS inj_md5, md5(text) AS norm_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "markdown_escape" ->
+      """SELECT doc_id,
+        |  md5(replace(replace(replace(replace(text, 'a', '*a'), '*', '\*'), '`', '\`'), '~', '\~')) AS esc_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
         |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,

@@ -234,25 +234,45 @@ object Queries {
 
   /** Brute-force cosine top-k over the embeddings table: the exact ANN
     * baseline. Query set = vec_id < 10, k = 5. Output is rank-only (ints) so
-    * float formatting can't break the compare; the cosine itself is computed
-    * in double with identical left-to-right folds on both sides. */
+    * float formatting can't break the compare; the cosine itself is the
+    * native codegen'd CosineSim expression, whose fused per-element loop is
+    * bit-identical to the oracle's separate left-to-right folds. */
   def annCosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = tbl(spark, dir, "embeddings")
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val joined = broadcast(q).join(e.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("n_id"), col("v")))
-      .withColumn("dot", expr("aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"))
-      .withColumn("nq", expr("aggregate(transform(qv, x -> x * x), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"))
-      .withColumn("nv", expr("aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"))
-      .withColumn("sim", col("dot") / (sqrt(col("nq")) * sqrt(col("nv"))))
+      .select(col("vec_id").as("n_id"), col("embedding").as("v")))
+      .withColumn("sim", graft.functions.VecFns.cosineSim(col("qv"), col("v")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("n_id"), col("rank"))
       .orderBy("q_id", "rank")
   }
+
+  /** full_to_half + ligature normalization (reference:
+    * pipeline_middle_json_mkcontent.py:113-130, span_pre_proc.py:128-138)
+    * as native codegen expressions, checked by roundtrip: inject fullwidth
+    * chars + ligatures, normalize, and the md5 must equal the original. */
+  def textnormRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns
+    tbl(spark, dir, "documents")
+      .withColumn("inj", expr("replace(translate(text, 'aeos', 'ａｅｏｓ'), 'fi', 'ﬁ')"))
+      .withColumn("norm", TextFns.fullToHalf(TextFns.deligature(col("inj"))))
+      .select(col("doc_id"), md5(col("inj")).as("inj_md5"), md5(col("norm")).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Markdown-active character escaping (pipeline_middle_json_mkcontent
+    * .py:372-381): inject a '*' per 'a', escape, compare by md5. */
+  def markdownEscape(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .withColumn("inj", expr("replace(text, 'a', '*a')"))
+      .withColumn("esc", expr(
+        """replace(replace(replace(inj, '*', '\\*'), '`', '\\`'), '~', '\\~')"""))
+      .select(col("doc_id"), md5(col("esc")).as("esc_md5"))
+      .orderBy("doc_id")
 
   // ---------------------------------------------------------------------
   // Relational headliners over the TPC-H-ish tables
@@ -310,6 +330,8 @@ object Queries {
     "doc_fingerprint" -> docFingerprint _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "ann_cosine_topk" -> annCosineTopK _,
+    "textnorm_roundtrip" -> textnormRoundtrip _,
+    "markdown_escape" -> markdownEscape _,
     "q1_agg" -> q1Agg _,
     "q2_join_topk" -> q2JoinTopK _,
     "events_hourly" -> eventsHourly _,

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VecFns
+
+/** Scale-path similarity/dedup operators: MinHash+LSH banding, 64-bit
+  * SimHash, embedding cosine near-dup and hyperplane-LSH bucketing. Like
+  * [[Queries]], every arithmetic step is replayable bit-exactly in DuckDB
+  * (hashes derive from md5 hex, folds are left-to-right doubles). */
+object ScaleQueries {
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Distinct word-3-gram shingles with a 32-bit integer hash per shingle. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .withColumn("g32", expr("CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)"))
+
+  /** MinHash signature (16 hashes, universal-hash family over the 32-bit
+    * shingle space) -> 4 LSH bands of 4 rows -> candidate pairs sharing >=1
+    * band. The scalable counterpart of the exact dedup_ngram_jaccard. */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val minh = sh
+      .select(col("doc_id"), col("g32"), explode(expr("sequence(0, 15)")).as("i"))
+      .withColumn("h", expr("((17 + 13 * i) * g32 + (3 + 7 * i)) % 4294967311"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(col("h")).as("mh"))
+    val bands = minh
+      .withColumn("band", expr("i div 4"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws("_", expr("transform(sort_array(collect_list(struct(i, mh))), s -> CAST(s.mh AS STRING))")).as("key"))
+    val b2 = bands.select(col("doc_id").as("b_id"), col("band"), col("key"))
+    bands.join(b2, Seq("band", "key"))
+      .filter(col("doc_id") < col("b_id"))
+      .groupBy(col("doc_id"), col("b_id"))
+      .agg(count(lit(1)).as("nbands"))
+      .orderBy("doc_id", "b_id")
+  }
+
+  /** 64-bit SimHash over distinct tokens, carried as two 32-bit halves so
+    * neither side can overflow a signed 64-bit shift-accumulate. */
+  def simhash64(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tbl(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("hi", expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("lo", expr("CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT)"))
+    val bits = toks
+      .select(col("doc_id"), col("hi"), col("lo"), explode(expr("sequence(0, 31)")).as("j"))
+      .select(col("doc_id"), col("j"),
+        expr("(shiftright(hi, j) & 1)").as("hbit"),
+        expr("(shiftright(lo, j) & 1)").as("lbit"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(count(lit(1)).as("cnt"), sum(col("hbit")).as("oh"), sum(col("lbit")).as("ol"))
+    bits.groupBy(col("doc_id"))
+      .agg(
+        sum(expr("CASE WHEN 2 * oh >= cnt THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END")).as("sig_hi"),
+        sum(expr("CASE WHEN 2 * ol >= cnt THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END")).as("sig_lo"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding cosine near-duplicate pairs (exact, native codegen'd
+    * CosineSim expression — one fused loop per pair instead of three
+    * interpreted HOF folds). */
+  def cosNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", VecFns.cosineSim(col("va"), col("vb")))
+      // corpus-relative threshold: the synthetic embeddings are near-
+      // orthogonal (max pairwise cosine ~0.51), so "near-dup" here is the
+      // far tail of the similarity distribution
+      .filter(col("sim") >= 0.42)
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Deterministic random-hyperplane LSH planes (8 planes x 64 dims). */
+  def planes: Array[Array[Double]] = Array.tabulate(8) { j =>
+    Array.tabulate(64) { i =>
+      (((j * 64 + i) * 2654435761L) % 1000) / 1000.0 - 0.5
+    }
+  }
+
+  /** Hyperplane-LSH bucket id per embedding — the scale path for ANN: a
+    * 256-way bucketing turns the brute-force O(n^2) into per-bucket search.
+    * DotConst embeds the plane as a codegen reference array. */
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      when(VecFns.dotConst(col("embedding"), p) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    e.select(col("vec_id"), bucket.cast("int").as("bucket"))
+      .orderBy("vec_id")
+  }
+
+  /** LSH-accelerated cosine top-k: rank only within the query's bucket
+    * (plus no candidates -> absent). Rows-only check (recall depends on
+    * bucketing); the exact baseline is ann_cosine_topk. */
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val withBucket = annLshBuckets(spark, dir)
+    val e = tbl(spark, dir, "embeddings").join(withBucket, "vec_id")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
+    val n = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    broadcast(q).join(n, "bucket")
+      .withColumn("sim", VecFns.cosineSim(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "minhash_lsh_pairs" -> minhashLshPairs _,
+    "simhash64" -> simhash64 _,
+    "cos_neardup_pairs" -> cosNeardupPairs _,
+    "ann_lsh_buckets" -> annLshBuckets _,
+    "ann_lsh_topk" -> annLshTopK _,
+  )
+}

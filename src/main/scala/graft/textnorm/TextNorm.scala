@@ -1,0 +1,55 @@
+package graft.textnorm
+
+/** Text normalization kernel (reference surface:
+  * full_to_half pipeline_middle_json_mkcontent.py:113-130,
+  * ligature/unicode cleanup span_pre_proc.py:128-138,
+  * markdown escaping pipeline_middle_json_mkcontent.py:372-381). */
+object TextNorm {
+
+  /** Fullwidth -> halfwidth: U+FF01..U+FF5E shift by -0xFEE0, ideographic
+    * space U+3000 -> ' '. Exact port of the reference mapping. */
+  def fullToHalf(s: String): String = {
+    var changed = false
+    var i = 0
+    val n = s.length
+    while (i < n && !changed) {
+      val c = s.charAt(i)
+      if ((c >= 0xff01 && c <= 0xff5e) || c == 0x3000) changed = true
+      i += 1
+    }
+    if (!changed) return s
+    val out = new Array[Char](n)
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      out(i) =
+        if (c >= 0xff01 && c <= 0xff5e) (c - 0xfee0).toChar
+        else if (c == 0x3000) ' '
+        else c
+      i += 1
+    }
+    new String(out)
+  }
+
+  private val ligatures = Seq(
+    "ﬀ" -> "ff", "ﬁ" -> "fi", "ﬂ" -> "fl",
+    "ﬃ" -> "ffi", "ﬄ" -> "ffl")
+
+  /** Typographic ligatures -> ASCII sequences (span_pre_proc.py:128-133). */
+  def replaceLigatures(s: String): String = {
+    var out = s
+    ligatures.foreach { case (lig, rep) =>
+      if (out.contains(lig)) out = out.replace(lig, rep)
+    }
+    out
+  }
+
+  /** CR/LF scrub inside spans (span_pre_proc.py:136-138). */
+  def stripNewlines(s: String): String =
+    if (s.indexOf('\r') < 0 && s.indexOf('\n') < 0) s
+    else s.replace("\r", "").replace("\n", "")
+
+  /** Escape markdown-active chars (pipeline_middle_json_mkcontent.py:372). */
+  def escapeMarkdown(s: String): String =
+    s.replace("*", "\\*").replace("`", "\\`").replace("~", "\\~")
+}
