@@ -62,12 +62,31 @@ object DocGen {
   private def listText(r: SplitMix64): String =
     Vector.fill(3 + r.nextInt(4))("- " + word(r) + " " + word(r)).mkString("\n")
 
+  /** TOC-style index block: "<Heading> . . . . <page>" lines
+    * (para_split.py:73-270 index rules). */
+  private def indexText(r: SplitMix64): String =
+    Vector.fill(3 + r.nextInt(4))(
+      cap(word(r)) + " " + word(r) + " . . . . " + (1 + r.nextInt(40))).mkString("\n")
+
+  /** The header row carries the per-doc table counter so two DIFFERENT
+    * tables can never share a header — header equality is the pipeline's
+    * cross-page merge signal (table_merge.py detect_table_headers:483). */
   private def tableHtml(r: SplitMix64, k: Int): String = {
     val a = word(r); val b = word(r)
     val v1 = 100 + r.nextInt(900); val v2 = r.nextInt(100)
-    s"<table><tr><td>Model</td><td>${cap(a)}</td></tr>" +
+    s"<table><tr><td>Model $k</td><td>${cap(a)}</td></tr>" +
       s"<tr><td>Testing Error</td><td>0.$v2$v1</td></tr>" +
       s"<tr><td>${cap(b)} Regression</td><td>$v1.2</td></tr></table>"
+  }
+
+  /** A table split across a page boundary: both parts repeat the header. */
+  private def splitTable(r: SplitMix64, k: Int): (String, String) = {
+    val header = s"<tr><td>Model $k</td><td>${cap(word(r))}</td></tr>"
+    val rows = Vector.fill(3 + r.nextInt(4))(
+      s"<tr><td>${cap(word(r))}</td><td>${100 + r.nextInt(900)}.${r.nextInt(10)}</td></tr>")
+    val cut = 1 + r.nextInt(rows.length - 1)
+    (s"<table>$header${rows.take(cut).mkString}</table>",
+      s"<table>$header${rows.drop(cut).mkString}</table>")
   }
 
   private def formulaLatex(r: SplitMix64): String = {
@@ -102,7 +121,8 @@ object DocGen {
     * (reference para merge: para_split.py:273-314,
     * hyphen rule pipeline_middle_json_mkcontent.py:11-21). */
   case class ABlock(kind: String, text: String, mediaRef: String = "",
-      contWith: Boolean = false, hyphen: Boolean = false)
+      contWith: Boolean = false, hyphen: Boolean = false,
+      contTable: Boolean = false)
 
   case class APage(blocks: Vector[ABlock])
 
@@ -148,16 +168,33 @@ object DocGen {
         } else if (roll < 0.92) {
           blocks += ABlock(Kinds.Formula, formulaLatex(r))
           if (r.chance(0.5)) blocks += ABlock(Kinds.FormulaNumber, s"(${1 + r.nextInt(20)})")
-        } else blocks += ABlock(Kinds.ListK, listText(r))
+        } else if (roll < 0.96) blocks += ABlock(Kinds.ListK, listText(r))
+        else blocks += ABlock(Kinds.Index, indexText(r))
         g += 1
       }
       APage(blocks.result())
+    }
+    // Cross-page TABLE continuation pass (runs before the paragraph pass so
+    // a boundary gets at most one continuation construct): a table whose
+    // rows flow onto the next page, both parts repeating the header row
+    // (reference: utils/table_merge.py:857-1006).
+    val withTables = pages.toArray
+    var tp = 0
+    while (tp < np - 1) {
+      if (r.chance(0.15)) {
+        tabK += 1
+        val (part1, part2) = splitTable(r, tabK)
+        withTables(tp) = APage(withTables(tp).blocks :+
+          ABlock(Kinds.Table, part1, contTable = true))
+        withTables(tp + 1) = APage(ABlock(Kinds.Table, part2) +: withTables(tp + 1).blocks)
+      }
+      tp += 1
     }
     // Continuation post-pass: a paragraph flowing across a page boundary.
     // Part 1 ends mid-sentence (no stop), part 2 starts lowercase — exactly
     // the reference's merge predicate; the hyphen variant splits inside a
     // word. Normal paragraphs can never satisfy the predicate.
-    val adjusted = pages.toArray
+    val adjusted = withTables
     val headReplaced = new Array[Boolean](np)
     var p = 0
     while (p < np - 1) {
@@ -252,6 +289,20 @@ object DocGen {
       }
     }
     flat = tagged.result()
+    // cross-page table merge (golden side: driven by the authoring flag;
+    // the pipeline must re-derive the decision from header equality)
+    val tmerged = Vector.newBuilder[(Int, ABlock)]
+    var ti = 0
+    while (ti < flat.length) {
+      val (p, b) = flat(ti)
+      if (b.contTable && ti + 1 < flat.length && flat(ti + 1)._2.kind == Kinds.Table) {
+        val b2 = flat(ti + 1)._2
+        tmerged += ((p, b.copy(
+          text = graft.pipeline.TableMerge.merge(b.text, b2.text), contTable = false)))
+        ti += 2
+      } else { tmerged += ((p, b)); ti += 1 }
+    }
+    flat = tmerged.result()
     // cross-page paragraph merge
     val merged = Vector.newBuilder[(Int, ABlock)]
     var j = 0

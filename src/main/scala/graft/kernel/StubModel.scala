@@ -43,6 +43,25 @@ object StubModel extends DocModel {
   /** A logical unit: a leading block plus its trailing attachments. */
   private case class Unit(blocks: Vector[InSpan])
 
+  /** Greedy word-boundary line fill at `cpl` chars/line — the text layer a
+    * pdftext/OCR pass produces; the pipeline's line merge must reassemble
+    * the paragraph exactly (space join restores the original). */
+  def lineSplit(text: String, cpl: Int): Vector[String] = {
+    if (text.length <= cpl) return Vector(text)
+    val out = Vector.newBuilder[String]
+    val words = text.split(" ", -1)
+    val sb = new StringBuilder(cpl + 16)
+    words.foreach { w =>
+      if (sb.isEmpty) sb.append(w)
+      else if (sb.length + 1 + w.length <= cpl) sb.append(' ').append(w)
+      else { out += sb.toString; sb.clear(); sb.append(w) }
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.result()
+  }
+
+  private def cplOf(colWidth: Double): Int = math.max(20, (colWidth / 6.0).toInt)
+
   private def blockHeight(s: InSpan, colWidth: Double): Double = s.kind match {
     case Kinds.Figure => 120.0
     case Kinds.Table => 90.0
@@ -50,9 +69,11 @@ object StubModel extends DocModel {
     case Kinds.Caption => 18.0
     case Kinds.Footnote => 16.0
     case Kinds.FormulaNumber => 0.0 // rendered beside the formula
-    case _ =>
-      val cpl = math.max(20, (colWidth / 6.0).toInt) // chars per line
-      val lines = math.max(1, (s.text.length + cpl - 1) / cpl)
+    // box bottom == union of its line boxes (14px pitch, 12px glyphs), so
+    // the placement simulation sees exactly the pipeline's post-merge box
+    case Kinds.Text => lineSplit(s.text, cplOf(colWidth)).length * 14.0 - 2.0
+    case _ => // list/index blocks keep their authored line structure
+      val lines = math.max(1, s.text.count(_ == '\n') + 1)
       lines * 14.0 + 8.0
   }
 
@@ -165,6 +186,11 @@ object StubModel extends DocModel {
 
   override def analyze(doc: DocRow): Seq[PageModel] = {
     val kr = Rng.stream("kernel", doc.doc_id)
+    // scanned documents route through OCR (pdf_classify.py:91-237 'auto'
+    // router): recognition scores are lower and garbled low-confidence rec
+    // results appear — the pipeline's rec-confidence filter must drop them
+    // (ocr_utils.py:374-375, OcrConfidence.min_confidence)
+    val scanned = kr.chance(0.1)
     // page boundaries are explicit in the interleaved stream: each page
     // starts with its header span
     val pages = ArrayBuffer.empty[Vector[InSpan]]
@@ -183,14 +209,29 @@ object StubModel extends DocModel {
       val placed = placePage(mains, twoCol)
 
       val dets = ArrayBuffer.empty[Det]
-      // main dets, authoring order (scores drawn in this fixed order)
+      // main dets, authoring order (scores drawn in this fixed order).
+      // Paragraph text is emitted as PER-LINE detections (justified to the
+      // block width) — the text layer a pdftext/OCR pass yields; the
+      // pipeline's line merge reassembles blocks (span_block_fix.py line
+      // building + fill_spans_in_blocks).
       placed.foreach { case (s, (x0, y0, x1, y1)) =>
-        val score = 0.55 + 0.44 * kr.nextDouble()
-        val cat = s.kind match {
-          case Kinds.ListK => Kinds.Text // the model can't see list-ness
-          case k => k
+        val score =
+          if (scanned) 0.32 + 0.5 * kr.nextDouble()
+          else 0.55 + 0.44 * kr.nextDouble()
+        s.kind match {
+          case Kinds.Text =>
+            val lines = lineSplit(s.text, cplOf(x1 - x0))
+            var i = 0
+            while (i < lines.length) {
+              dets += Det(Kinds.Text, x0, y0 + 14.0 * i, x1, y0 + 14.0 * i + 12.0,
+                score, lines(i), "")
+              i += 1
+            }
+          case Kinds.ListK | Kinds.Index => // the model can't see list/TOC-ness
+            dets += Det(Kinds.Text, x0, y0, x1, y1, score, s.text, s.media_ref)
+          case k =>
+            dets += Det(k, x0, y0, x1, y1, score, s.text, s.media_ref)
         }
-        dets += Det(cat, x0, y0, x1, y1, score, s.text, s.media_ref)
       }
       // boilerplate dets: header/footer detected as abandon; the page number
       // is mislabeled as text half the time — the geometric discard rules
@@ -223,6 +264,19 @@ object StubModel extends DocModel {
         dets += Det(Kinds.Text, nx, ny, nx + 10 + kr.nextInt(30), ny + 8 + kr.nextInt(20),
           0.01 + 0.039 * kr.nextDouble(), "zz", "")
         i += 1
+      }
+      // garbled OCR rec results on scanned docs: readable-looking boxes with
+      // rec confidence below OcrConfidence.min_confidence
+      if (scanned) {
+        val nGarbled = 1 + kr.nextInt(3)
+        var g = 0
+        while (g < nGarbled) {
+          val gx = 40.0 + kr.nextInt(500)
+          val gy = 60.0 + kr.nextInt(650)
+          dets += Det(Kinds.Text, gx, gy, gx + 12 + kr.nextInt(40), gy + 10 + kr.nextInt(8),
+            0.06 + 0.23 * kr.nextDouble(), "▯▯▯", "")
+          g += 1
+        }
       }
       // duplicate detections of main blocks (same box, lower score)
       val dups = dets.toVector.filter(d =>

@@ -21,9 +21,32 @@ object Assemble {
   private def join(a: String, b: String): String =
     if (a.endsWith("-")) a.dropRight(1) + b else a + " " + b
 
-  def assemble(docId: String, pageBlocks: Seq[Vector[OrderedBlock]]): DocResult = {
-    val flat = pageBlocks.sortBy(pb => if (pb.isEmpty) Int.MaxValue else pb.head.page_idx)
+  def assemble(docId: String, pageBlocks: Seq[Vector[OrderedBlock]],
+      mergeTables: Boolean = true): DocResult = {
+    var flat = pageBlocks.sortBy(pb => if (pb.isEmpty) Int.MaxValue else pb.head.page_idx)
       .flatten.toVector
+
+    // cross-page table merge (flag-gated; reference env
+    // MINERU_TABLE_MERGE_ENABLE, utils/table_merge.py:950-1006): adjacent
+    // tables across a page boundary sharing an identical header row merge
+    // into one, dropping the repeated header
+    if (mergeTables) {
+      val out = Vector.newBuilder[OrderedBlock]
+      var i = 0
+      while (i < flat.length) {
+        var b = flat(i)
+        var k = i
+        while (b.kind == Kinds.Table && k + 1 < flat.length &&
+            flat(k + 1).kind == Kinds.Table && flat(k + 1).page_idx == b.page_idx + (k - i) + 1 &&
+            TableMerge.canMerge(b.text, flat(k + 1).text)) {
+          b = b.copy(text = TableMerge.merge(b.text, flat(k + 1).text))
+          k += 1
+        }
+        out += b
+        i = k + 1
+      }
+      flat = out.result()
+    }
 
     // formula-number attach: an adjacent (formula, formula_number) pair on
     // the same page becomes `latex \tag{n}`; an orphan number degrades to

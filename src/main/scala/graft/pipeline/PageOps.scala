@@ -16,12 +16,18 @@ object PageOps {
   private val PageNumMaxW = 60.0
   private val PageNumMaxH = 20.0
   private val BottomFenceFrac = 0.93  // block_pre_proc.py:79-97 analogue
+  private val LineGapMax = 6.0        // max inter-line gap inside a block
 
   private val attachCats = Set(Kinds.Caption, Kinds.Footnote)
 
+  /** OCR rec-confidence floor (ocr_utils.py:374-375): garbled recognition
+    * results land below it; real text lines stay above on both routes. */
+  private val RecMinConf = 0.3
+
   def process(pm: PageModel): Vector[OrderedBlock] = {
-    // 1. low-confidence filter
-    val conf = pm.dets.filter(_.score > LowConf).toVector
+    // 1. low-confidence filter + OCR rec-confidence filter on text
+    val conf = pm.dets.filter(d =>
+      d.score > LowConf && !(d.cat == Kinds.Text && d.score < RecMinConf)).toVector
 
     // 2. high-IoU dedup: drop a det when a strictly better overlapping det
     //    exists (ties impossible by construction; tiebreak on geometry+text
@@ -47,13 +53,37 @@ object PageOps {
       !(smallBottom && isolated)
     }
 
+    // 4.5 line merge: consecutive text-line detections sharing the same
+    //     column extent merge into paragraph blocks (the reference's
+    //     span->line->block build, span_block_fix.py:9-47,126; hyphen rule
+    //     pipeline_middle_json_mkcontent.py:11-21)
+    val (textLines, nonText) = kept.partition(_.cat == Kinds.Text)
+    val mergedText = {
+      val sorted = textLines.sortBy(d => (d.x0, d.x1, d.y0))
+      val out = Vector.newBuilder[Det]
+      var cur: Det = null
+      sorted.foreach { d =>
+        if (cur == null) cur = d
+        else if (d.x0 == cur.x0 && d.x1 == cur.x1 &&
+            d.y0 >= cur.y1 && d.y0 - cur.y1 <= LineGapMax) {
+          val joined =
+            if (cur.text.endsWith("-")) cur.text.dropRight(1) + d.text
+            else cur.text + " " + d.text
+          cur = cur.copy(text = joined, y1 = d.y1, score = math.max(cur.score, d.score))
+        } else { out += cur; cur = d }
+      }
+      if (cur != null) out += cur
+      out.result()
+    }
+    val blocks = mergedText ++ nonText
+
     // 5. tie-up: captions/footnotes attach to the nearest figure/table body,
     //    formula numbers to the nearest formula (greedy by edge distance —
     //    magic_model_utils.py:30-169 tie_up_category_by_distance_v3)
-    val attachments = kept.filter(d => attachCats(d.cat))
-    val numbers = kept.filter(_.cat == Kinds.FormulaNumber)
-    val bodies = kept.filter(d => Kinds.bodies(d.cat))
-    val formulas = kept.filter(_.cat == Kinds.Formula)
+    val attachments = blocks.filter(d => attachCats(d.cat))
+    val numbers = blocks.filter(_.cat == Kinds.FormulaNumber)
+    val bodies = blocks.filter(d => Kinds.bodies(d.cat))
+    val formulas = blocks.filter(_.cat == Kinds.Formula)
 
     def greedyAssign(objs: Vector[Det], subjects: Vector[Det]): Map[Det, Det] = {
       if (objs.isEmpty || subjects.isEmpty) return Map.empty
@@ -72,7 +102,7 @@ object PageOps {
 
     // 6. reading order over the anchor blocks (XY-cut; orphan attachments
     //    degrade to ordinary blocks)
-    val anchors = kept.filterNot(d => attachTo.contains(d)) // includes orphans
+    val anchors = blocks.filterNot(d => attachTo.contains(d)) // includes orphans
     val order = XYCut.order(anchors.map(d => (d.x0, d.y0, d.x1, d.y1)))
 
     // 7. expand anchors with their attachments (top-to-bottom, then
@@ -94,7 +124,10 @@ object PageOps {
           val lines = d.text.split("\n", -1)
           val listLike = lines.count(l =>
             l.startsWith("- ") || l.startsWith("• ") || l.matches("^\\d+[.)].*"))
-          if (lines.length >= 3 && listLike * 5 >= lines.length * 4) Kinds.ListK
+          val indexLike = lines.count(l =>
+            l.contains(". . .") && l.nonEmpty && l.last.isDigit)
+          if (lines.length >= 3 && indexLike * 5 >= lines.length * 4) Kinds.Index
+          else if (lines.length >= 3 && listLike * 5 >= lines.length * 4) Kinds.ListK
           else Kinds.Text
         } else d.cat
       OrderedBlock(kind, d.text, d.media_ref, pm.page_idx, idx)

@@ -29,6 +29,7 @@ object Kinds {
   val Title = "title"
   val Text = "text"
   val ListK = "list"
+  val Index = "index"
   val Figure = "figure"
   val Table = "table"
   val Formula = "formula"

@@ -35,8 +35,15 @@ class GoldenSpec extends AnyFunSuite {
     val all = ids(300).map(DocGen.docRow)
     val kinds = all.flatMap(_.spans.map(_.kind)).toSet
     assert(Set(Kinds.Title, Kinds.Text, Kinds.Figure, Kinds.Table, Kinds.Formula,
-      Kinds.FormulaNumber, Kinds.Caption, Kinds.Footnote, Kinds.ListK,
+      Kinds.FormulaNumber, Kinds.Caption, Kinds.Footnote, Kinds.ListK, Kinds.Index,
       Kinds.Header, Kinds.Footer, Kinds.PageNumber).subsetOf(kinds))
+    // the OCR route (scanned docs) is exercised: some kernel output carries
+    // garbled rec results the pipeline must drop
+    val scannedSeen = ids(120).exists { id =>
+      graft.kernel.StubModel.analyze(DocGen.docRow(id))
+        .exists(_.dets.exists(_.text == "▯▯▯"))
+    }
+    assert(scannedSeen, "no scanned-route docs in 120")
     // page-count skew present
     val pageCounts = all.map(_.spans.count(_.kind == Kinds.Header))
     assert(pageCounts.max >= 13, "large-doc tail missing")
@@ -44,6 +51,34 @@ class GoldenSpec extends AnyFunSuite {
     // media refs content-addressed
     val refs = all.flatMap(_.spans.filter(_.kind == Kinds.Figure).map(_.media_ref))
     assert(refs.nonEmpty && refs.forall(r => r.startsWith("img://") && r.length == 6 + 64))
+  }
+
+  test("cross-page table merge happens and the flag gates it") {
+    import graft.kernel.StubModel
+    import graft.pipeline.{PageOps, Assemble}
+    // find docs whose input has two adjacent tables across a page boundary
+    // with the same header (the split-table construct)
+    val affected = ids(400).filter { id =>
+      val row = DocGen.docRow(id)
+      row.spans.sliding(5).exists {
+        case Seq(a, b, c, d, e) =>
+          a.kind == Kinds.Table && b.kind == Kinds.Footer &&
+            c.kind == Kinds.PageNumber && d.kind == Kinds.Header &&
+            e.kind == Kinds.Table
+        case _ => false
+      }
+    }
+    assert(affected.nonEmpty, "no split-table docs generated in 400")
+    var gated = 0
+    affected.foreach { id =>
+      val row = DocGen.docRow(id)
+      val pages = StubModel.analyze(row).map(PageOps.process)
+      val on = Assemble.assemble(id, pages, mergeTables = true)
+      val off = Assemble.assemble(id, pages, mergeTables = false)
+      assert(on.spans == DocGen.golden(id).spans)
+      if (on.spans != off.spans) gated += 1
+    }
+    assert(gated > 0, "flag-off never changed output — merge not exercised")
   }
 
   test("golden output contains merged cross-page paragraphs and formula tags") {
