@@ -278,6 +278,23 @@ object StubModel extends DocModel {
           g += 1
         }
       }
+      // split detections: a figure/table body sometimes comes out as two
+      // 85%-height boxes overlapping 70% — the pipeline's body-overlap
+      // union must reassemble the full box
+      // (pipeline_magic_model.py:164-204 __fix_by_remove_overlap_image_table_body)
+      val splits = ArrayBuffer.empty[(Int, Det, Det)]
+      dets.zipWithIndex.foreach { case (d, i) =>
+        if (Kinds.bodies(d.cat) && kr.chance(0.2)) {
+          val h = d.y1 - d.y0
+          splits += ((i,
+            d.copy(y1 = d.y0 + 0.85 * h),
+            d.copy(y0 = d.y1 - 0.85 * h, score = d.score - 0.1, text = "", media_ref = "")))
+        }
+      }
+      splits.reverse.foreach { case (i, top, bottom) =>
+        dets(i) = top
+        dets += bottom
+      }
       // duplicate detections of main blocks (same box, lower score)
       val dups = dets.toVector.filter(d =>
         d.cat != Kinds.Abandon && d.score > 0.5 && kr.chance(0.15))

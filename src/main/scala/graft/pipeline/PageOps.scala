@@ -75,7 +75,37 @@ object PageOps {
       if (cur != null) out += cur
       out.result()
     }
-    val blocks = mergedText ++ nonText
+    // 4.6 body-overlap union: figure/table boxes overlapping >=0.8 of the
+    //     smaller box merge into their union, keeping the higher-score
+    //     carrier's text/media (pipeline_magic_model.py:164-204)
+    val unionedBodies = {
+      val (bodyDets, others) = nonText.partition(d => Kinds.bodies(d.cat))
+      val buf = mutable.ArrayBuffer.from(bodyDets.sortBy(d => (d.x0, d.y0, d.y1, -d.score)))
+      var changed = true
+      while (changed) {
+        changed = false
+        var i = 0
+        while (i < buf.length && !changed) {
+          var j = i + 1
+          while (j < buf.length && !changed) {
+            val a = buf(i); val b = buf(j)
+            if (a.cat == b.cat &&
+                Geo.overlapOverMin(a.x0, a.y0, a.x1, a.y1, b.x0, b.y0, b.x1, b.y1) >= 0.8) {
+              val hi = if (a.score >= b.score) a else b
+              buf(i) = hi.copy(
+                x0 = math.min(a.x0, b.x0), y0 = math.min(a.y0, b.y0),
+                x1 = math.max(a.x1, b.x1), y1 = math.max(a.y1, b.y1))
+              buf.remove(j)
+              changed = true
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      buf.toVector ++ others
+    }
+    val blocks = mergedText ++ unionedBodies
 
     // 5. tie-up: captions/footnotes attach to the nearest figure/table body,
     //    formula numbers to the nearest formula (greedy by edge distance —

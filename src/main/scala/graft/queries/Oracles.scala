@@ -160,6 +160,19 @@ object Oracles {
         |  md5(replace(replace(replace(replace(text, 'a', '*a'), '*', '\*'), '`', '\`'), '~', '\~')) AS esc_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "chunk_text" ->
+      """WITH d AS (SELECT doc_id, string_split(text, '. ') AS ss FROM documents),
+        |e AS (SELECT doc_id, ss, UNNEST(generate_series(1, len(ss))) AS i FROM d),
+        |s AS (SELECT doc_id, (i - 1)::INT AS sent_idx,
+        |  len(string_split(ss[i], ' '))::INT AS toks FROM e),
+        |c AS (SELECT doc_id, sent_idx, toks,
+        |  (sum(toks) OVER (PARTITION BY doc_id ORDER BY sent_idx
+        |     ROWS UNBOUNDED PRECEDING) - toks) AS cum_before FROM s)
+        |SELECT doc_id, (cum_before // 40)::INT AS chunk_id,
+        |  count(*)::BIGINT AS n_sent, sum(toks)::BIGINT AS n_tokens
+        |FROM c GROUP BY doc_id, (cum_before // 40)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
         |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,

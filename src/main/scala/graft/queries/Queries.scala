@@ -274,6 +274,23 @@ object Queries {
       .select(col("doc_id"), md5(col("esc")).as("esc_md5"))
       .orderBy("doc_id")
 
+  /** Token-budget chunker (reference: chunker/text_splitters.py:43-580 —
+    * markdown-AST splitter reduced to its sentence/budget core): sentences
+    * pack greedily into 40-token chunks by cumulative token count. */
+  def chunkText(spark: SparkSession, dir: String): DataFrame = {
+    val sents = tbl(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. ")).as(Seq("sent_idx", "sent")))
+      .withColumn("toks", size(split(col("sent"), " ")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("sent_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sents
+      .withColumn("cum_before", sum(col("toks")).over(w) - col("toks"))
+      .withColumn("chunk_id", expr("CAST(cum_before div 40 AS INT)"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sent"), sum(col("toks")).as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   // ---------------------------------------------------------------------
   // Relational headliners over the TPC-H-ish tables
   // ---------------------------------------------------------------------
@@ -332,6 +349,7 @@ object Queries {
     "ann_cosine_topk" -> annCosineTopK _,
     "textnorm_roundtrip" -> textnormRoundtrip _,
     "markdown_escape" -> markdownEscape _,
+    "chunk_text" -> chunkText _,
     "q1_agg" -> q1Agg _,
     "q2_join_topk" -> q2JoinTopK _,
     "events_hourly" -> eventsHourly _,
