@@ -42,6 +42,40 @@ object Geo {
     math.sqrt(dx * dx + dy * dy)
   }
 
+  /** Merge overlapping/touching 1-D intervals (ocr_utils.py merge_intervals
+    * :144-160). */
+  def mergeIntervals(iv: Seq[(Double, Double)]): Vector[(Double, Double)] = {
+    if (iv.isEmpty) return Vector.empty
+    val sorted = iv.sortBy(_._1)
+    val out = Vector.newBuilder[(Double, Double)]
+    var (lo, hi) = sorted.head
+    sorted.tail.foreach { case (s, e) =>
+      if (s <= hi) { if (e > hi) hi = e }
+      else { out += ((lo, hi)); lo = s; hi = e }
+    }
+    out += ((lo, hi))
+    out.result()
+  }
+
+  /** Subtract a set of intervals from [lo, hi] (ocr_utils.py
+    * remove_intervals:163-190 — the formula-mask x-range subtraction that
+    * punches formula spans out of text-detection boxes). */
+  def subtractIntervals(lo: Double, hi: Double,
+      cuts: Seq[(Double, Double)]): Vector[(Double, Double)] = {
+    var rest = Vector((lo, hi))
+    mergeIntervals(cuts).foreach { case (c0, c1) =>
+      rest = rest.flatMap { case (a, b) =>
+        if (c1 <= a || c0 >= b) Vector((a, b))
+        else {
+          val left = if (c0 > a) Vector((a, c0)) else Vector.empty
+          val right = if (c1 < b) Vector((c1, b)) else Vector.empty
+          left ++ right
+        }
+      }
+    }
+    rest
+  }
+
   /** Merge 1-D intervals into maximal covered segments; gaps narrower than
     * `minGap` are bridged (the XY-cut `min_gap=1` semantics,
     * xycut_plus.py:5-31). Returns segments sorted ascending. */

@@ -83,6 +83,36 @@ object Oracles {
          |SELECT doc_id, cap_pos, body_pos, d2 FROM r WHERE rn = 1
          |ORDER BY doc_id, cap_pos""".stripMargin,
 
+    "page_majority_label" ->
+      s"""$detsCte,
+         |counts AS (SELECT doc_id, page, cat, count(*) AS cnt FROM dets
+         |  GROUP BY doc_id, page, cat),
+         |r AS (SELECT doc_id, page, cat, cnt,
+         |  row_number() OVER (PARTITION BY doc_id, page ORDER BY cnt DESC, cat) AS rn
+         |  FROM counts)
+         |SELECT doc_id, page, cat AS majority, cnt::BIGINT AS cnt FROM r WHERE rn = 1
+         |ORDER BY doc_id, page""".stripMargin,
+
+    "footnote_reclass" ->
+      s"""$detsCte,
+         |fns AS (SELECT doc_id, page, pos AS fn_pos,
+         |  (x0 + x1) / 2 AS fcx, (y0 + y1) / 2 AS fcy FROM dets WHERE cat = 'footnote'),
+         |bodies AS (SELECT doc_id AS b_doc, page AS b_page, pos AS b_pos, cat AS b_cat,
+         |  (x0 + x1) / 2 AS bcx, (y0 + y1) / 2 AS bcy FROM dets WHERE cat IN ('figure', 'table')),
+         |j AS (SELECT fns.doc_id, fn_pos, b_pos, b_cat,
+         |  (fcx - bcx) * (fcx - bcx) + (fcy - bcy) * (fcy - bcy) AS d2
+         |  FROM fns JOIN bodies ON fns.doc_id = b_doc AND fns.page = b_page),
+         |r AS (SELECT doc_id, fn_pos, b_cat,
+         |  row_number() OVER (PARTITION BY doc_id, fn_pos ORDER BY d2, b_pos) AS rn FROM j)
+         |SELECT doc_id, fn_pos,
+         |  CASE WHEN b_cat = 'figure' THEN 'image_footnote' ELSE 'table_footnote' END AS reclass
+         |FROM r WHERE rn = 1 ORDER BY doc_id, fn_pos""".stripMargin,
+
+    "det_min_width_filter" ->
+      s"""$detsCte
+         |SELECT doc_id, pos FROM dets WHERE x1 - x0 >= 40
+         |ORDER BY doc_id, pos""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(array_to_string((string_split(text, ' '))[1:3], ' ')) AS fp,
         |  count(*)::BIGINT AS cnt, min(doc_id)::BIGINT AS keep_id
@@ -124,7 +154,8 @@ object Oracles {
         |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS grams
         |  FROM d WHERE len(w) >= 3),
         |sz AS (SELECT doc_id, len(grams) AS gsz FROM g),
-        |ex AS (SELECT doc_id, UNNEST(grams) AS gr FROM g),
+        |ex AS (SELECT doc_id, ('0x' || substr(md5(gr), 1, 8))::BIGINT AS gr
+        |  FROM (SELECT doc_id, UNNEST(grams) AS gr FROM g)),
         |pairs AS (SELECT a.doc_id AS doc_id, b.doc_id AS b_id, count(*) AS inter
         |  FROM ex a JOIN ex b ON a.gr = b.gr AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |j AS (SELECT p.doc_id, p.b_id, p.inter,

@@ -147,6 +147,55 @@ object Queries {
       .orderBy("doc_id", "cap_pos")
   }
 
+  /** Per-page majority label (the reference's majority votes for rotation /
+    * sort label / text direction, SURVEY §2.4) with a deterministic
+    * tiebreak (count desc, label asc). */
+  def pageMajorityLabel(spark: SparkSession, dir: String): DataFrame = {
+    val counts = dets(spark, dir)
+      .groupBy(col("doc_id"), col("page"), col("cat"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("doc_id"), col("page"))
+      .orderBy(col("cnt").desc, col("cat"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("page"), col("cat").as("majority"), col("cnt"))
+      .orderBy("doc_id", "page")
+  }
+
+  /** Footnote re-classification by nearest body kind (reference
+    * __fix_footnote, pipeline_magic_model.py:112-162): a footnote nearer to
+    * a figure than any table becomes an image footnote. */
+  def footnoteReclass(spark: SparkSession, dir: String): DataFrame = {
+    val d = dets(spark, dir)
+    val fns = d.filter(col("cat") === "footnote")
+      .select(col("doc_id"), col("page"), col("pos").as("fn_pos"),
+        ((col("x0") + col("x1")) / 2).as("fcx"), ((col("y0") + col("y1")) / 2).as("fcy"))
+    val bodies = d.filter(col("cat").isin("figure", "table"))
+      .select(col("doc_id").as("b_doc"), col("page").as("b_page"),
+        col("pos").as("b_pos"), col("cat").as("b_cat"),
+        ((col("x0") + col("x1")) / 2).as("bcx"), ((col("y0") + col("y1")) / 2).as("bcy"))
+    val w = Window.partitionBy(col("doc_id"), col("fn_pos"))
+      .orderBy(col("d2"), col("b_pos"))
+    fns.join(bodies, col("doc_id") === col("b_doc") && col("page") === col("b_page"))
+      .withColumn("d2", (col("fcx") - col("bcx")) * (col("fcx") - col("bcx")) +
+        (col("fcy") - col("bcy")) * (col("fcy") - col("bcy")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("reclass",
+        when(col("b_cat") === "figure", lit("image_footnote"))
+          .otherwise(lit("table_footnote")))
+      .select(col("doc_id"), col("fn_pos"), col("reclass"))
+      .orderBy("doc_id", "fn_pos")
+  }
+
+  /** OCR min-width filter (ocr_utils.py:388-390): detection boxes narrower
+    * than the minimum are dropped before recognition. */
+  def detMinWidthFilter(spark: SparkSession, dir: String): DataFrame =
+    dets(spark, dir)
+      .filter(col("x1") - col("x0") >= 40)
+      .select(col("doc_id"), col("pos"))
+      .orderBy("doc_id", "pos")
+
   // ---------------------------------------------------------------------
   // Training-data pipeline operators (dedup / text analysis / similarity)
   // ---------------------------------------------------------------------
@@ -218,7 +267,10 @@ object Queries {
       .withColumn("grams", expr(
         "array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"))
     val sizes = docs.select(col("doc_id"), size(col("grams")).as("gsz"))
-    val ex = docs.select(col("doc_id"), explode(col("grams")).as("g"))
+    // join on a 32-bit shingle hash: the shuffle moves 8-byte keys instead
+    // of 20-char strings (same result — both sides hash identically)
+    val ex = docs.select(col("doc_id"), explode(col("grams")).as("gs"))
+      .select(col("doc_id"), expr("CAST(conv(substring(md5(gs), 1, 8), 16, 10) AS BIGINT)").as("g"))
     val pairs = ex.join(ex.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
       .filter(col("doc_id") < col("b_id"))
       .groupBy(col("doc_id"), col("b_id"))
@@ -340,6 +392,9 @@ object Queries {
     "media_ref" -> mediaRef _,
     "classify_router" -> classifyRouter _,
     "caption_nearest" -> captionNearest _,
+    "page_majority_label" -> pageMajorityLabel _,
+    "footnote_reclass" -> footnoteReclass _,
+    "det_min_width_filter" -> detMinWidthFilter _,
     "dedup_exact" -> dedupExact _,
     "token_count" -> tokenCount _,
     "quality_score" -> qualityScore _,

@@ -28,15 +28,20 @@ object ScaleQueries {
     * band. The scalable counterpart of the exact dedup_ngram_jaccard. */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
-    val minh = sh
-      .select(col("doc_id"), col("g32"), explode(expr("sequence(0, 15)")).as("i"))
-      .withColumn("h", expr("((17 + 13 * i) * g32 + (3 + 7 * i)) % 4294967311"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("h")).as("mh"))
+    // all 16 minima as aggregate columns in ONE pass over the shingles —
+    // no 16x row explosion, a single map-side-combinable shuffle on doc_id
+    val minCols = (0 until 16).map { i =>
+      min(expr(s"(${17 + 13 * i} * g32 + ${3 + 7 * i}) % 4294967311")).as(s"mh$i")
+    }
+    val minh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    // 4 bands of 4 rows -> (band, key) pairs, then bucket self-join
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*).as("key"))
+    }
     val bands = minh
-      .withColumn("band", expr("i div 4"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws("_", expr("transform(sort_array(collect_list(struct(i, mh))), s -> CAST(s.mh AS STRING))")).as("key"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val b2 = bands.select(col("doc_id").as("b_id"), col("band"), col("key"))
     bands.join(b2, Seq("band", "key"))
       .filter(col("doc_id") < col("b_id"))

@@ -44,4 +44,15 @@ class XYCutSpec extends AnyFunSuite {
     val segs = Geo.coverage(Seq((0.0, 10.0), (10.5, 20.0), (40.0, 50.0)), 1.0)
     assert(segs == Vector((0.0, 20.0), (40.0, 50.0)))
   }
+
+  test("interval subtraction punches formula masks out of text ranges") {
+    // ocr_utils.py:144-217 semantics
+    assert(Geo.subtractIntervals(0, 100, Seq((20.0, 30.0), (50.0, 60.0))) ==
+      Vector((0.0, 20.0), (30.0, 50.0), (60.0, 100.0)))
+    assert(Geo.subtractIntervals(0, 100, Seq((25.0, 35.0), (30.0, 40.0))) ==
+      Vector((0.0, 25.0), (40.0, 100.0))) // overlapping cuts merge first
+    assert(Geo.subtractIntervals(10, 20, Seq((0.0, 30.0))) == Vector.empty)
+    assert(Geo.subtractIntervals(10, 20, Seq((0.0, 15.0))) == Vector((15.0, 20.0)))
+    assert(Geo.subtractIntervals(10, 20, Nil) == Vector((10.0, 20.0)))
+  }
 }
