@@ -76,7 +76,19 @@ object ExtractJob {
       totDocs += rows.map(_.docs).sum
       totSpans += rows.map(_.spans).sum
     }
-    JobReport(runId, buckets, processedBuckets, done.size, totDocs, totSpans,
-      (System.nanoTime() - t0) / 1000000)
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    // metrics table (FIXTURES.md §4): per-run throughput/lineage scalars
+    val metrics = Seq(
+      ("extract", "docs", totDocs.toDouble),
+      ("extract", "spans", totSpans.toDouble),
+      ("extract", "wall_ms", wallMs.toDouble),
+      ("extract", "docs_per_sec",
+        if (wallMs > 0) totDocs * 1000.0 / wallMs else 0.0),
+      ("extract", "buckets_processed", processedBuckets.toDouble),
+      ("extract", "buckets_skipped", done.size.toDouble))
+      .map { case (stage, key, value) => (runId, stage, key, value) }
+    spark.createDataset(metrics).toDF("run_id", "stage", "key", "value")
+      .write.mode(SaveMode.Append).parquet(s"$outDir/_metrics")
+    JobReport(runId, buckets, processedBuckets, done.size, totDocs, totSpans, wallMs)
   }
 }

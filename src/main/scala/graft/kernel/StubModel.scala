@@ -265,6 +265,17 @@ object StubModel extends DocModel {
           0.01 + 0.039 * kr.nextDouble(), "zz", "")
         i += 1
       }
+      // spurious text misfires INSIDE figure/table bodies (the model "reads"
+      // chart labels) — the span scope filter must drop them
+      // (span_pre_proc.py remove_outside_spans:20-59 / containment dedup)
+      dets.toVector.foreach { d =>
+        if (Kinds.bodies(d.cat) && kr.chance(0.25)) {
+          val mx = d.x0 + 8 + kr.nextInt(40)
+          val my = d.y0 + 8 + kr.nextInt(30)
+          dets += Det(Kinds.Text, mx, my, mx + 30 + kr.nextInt(60), my + 10,
+            0.5 + 0.3 * kr.nextDouble(), "axis " + kr.nextInt(100), "")
+        }
+      }
       // garbled OCR rec results on scanned docs: readable-looking boxes with
       // rec confidence below OcrConfidence.min_confidence
       if (scanned) {

@@ -105,7 +105,21 @@ object PageOps {
       }
       buf.toVector ++ others
     }
-    val blocks = mergedText ++ unionedBodies
+    // 4.7 span scope filter: a text block mostly contained in a figure/table
+    //     body is a model misfire (chart labels, cell text) — the body
+    //     carries its own content (span_pre_proc.py remove_outside_spans /
+    //     remove_overlaps_min_spans:90-125)
+    val scopedText = mergedText.filter { t =>
+      val tArea = t.area
+      tArea <= 0 || !unionedBodies.exists { b =>
+        Kinds.bodies(b.cat) && {
+          val inter = Geo.interLen(t.x0, t.x1, b.x0, b.x1) *
+            Geo.interLen(t.y0, t.y1, b.y0, b.y1)
+          inter / tArea >= 0.8
+        }
+      }
+    }
+    val blocks = scopedText ++ unionedBodies
 
     // 5. tie-up: captions/footnotes attach to the nearest figure/table body,
     //    formula numbers to the nearest formula (greedy by edge distance —
