@@ -122,7 +122,7 @@ object DocGen {
     * hyphen rule pipeline_middle_json_mkcontent.py:11-21). */
   case class ABlock(kind: String, text: String, mediaRef: String = "",
       contWith: Boolean = false, hyphen: Boolean = false,
-      contTable: Boolean = false)
+      contTable: Boolean = false, level: Int = 0)
 
   case class APage(blocks: Vector[ABlock])
 
@@ -149,7 +149,8 @@ object DocGen {
     var tabK = 0
     val pages = Vector.tabulate(np) { p =>
       val blocks = Vector.newBuilder[ABlock]
-      if (p == 0 || r.chance(0.25)) blocks += ABlock(Kinds.Title, titleText(r))
+      if (p == 0 || r.chance(0.25))
+        blocks += ABlock(Kinds.Title, titleText(r), level = if (p == 0) 1 else 2)
       val nGroups = 2 + r.nextInt(4)
       var g = 0
       while (g < nGroups) {
@@ -322,9 +323,17 @@ object DocGen {
       merged += ((p, b))
       j = k + 1
     }
-    val out = merged.result().zipWithIndex.map { case ((_, b), ord) =>
+    val finalBlocks = merged.result()
+    val out = finalBlocks.zipWithIndex.map { case ((_, b), ord) =>
       OutSpan(b.kind, b.text, b.mediaRef, ord)
     }
-    DocResult(docId, out, markdown = null)
+    // golden markdown: same renderer, but levels/content/order come from the
+    // authoring structure — the pipeline must recover the title level from
+    // box geometry (get_title_level analogue)
+    val goldenMd = graft.pipeline.Assemble.renderMarkdown(
+      finalBlocks.zipWithIndex.map { case ((p, b), ord) =>
+        OrderedBlock(b.kind, b.text, b.mediaRef, p, ord, b.level)
+      })
+    DocResult(docId, out, goldenMd)
   }
 }

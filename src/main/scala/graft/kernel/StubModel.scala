@@ -133,14 +133,20 @@ object StubModel extends DocModel {
   /** Place one page; guarantees the classic XY-cut recovers authoring order
     * (two-column placements are validated by simulation and fall back to a
     * single column when no staggering offset is order-safe). */
-  private def placePage(mains: Vector[InSpan], twoCol: Boolean)
+  private def placePage(mains: Vector[InSpan], twoCol: Boolean, pageIdx: Int)
       : Vector[(InSpan, (Double, Double, Double, Double))] = {
     val (titleOpt, rest) = mains.headOption match {
       case Some(t) if t.kind == Kinds.Title => (Some(t), mains.tail)
       case _ => (None, mains)
     }
     val yStart = if (titleOpt.isDefined) ContentTopTitle else ContentTop
-    val titlePlaced = titleOpt.map(t => (t, (MarginX, 50.0, PageW - MarginX, 82.0))).toVector
+    // doc title renders taller than section titles: the pipeline derives the
+    // title level from the box height (get_title_level analogue,
+    // pipeline_middle_json_mkcontent.py:355-361)
+    val titleBox =
+      if (pageIdx == 0) (MarginX, 50.0, PageW - MarginX, 82.0)
+      else (MarginX, 56.0, PageW - MarginX, 78.0)
+    val titlePlaced = titleOpt.map(t => (t, titleBox)).toVector
     val units = toUnits(rest)
 
     def single: Vector[(InSpan, (Double, Double, Double, Double))] =
@@ -206,7 +212,7 @@ object StubModel extends DocModel {
     pages.toVector.zipWithIndex.map { case (pageSpans, p) =>
       val twoCol = kr.chance(0.3)
       val mains = pageSpans.filter(s => !Kinds.discarded(s.kind))
-      val placed = placePage(mains, twoCol)
+      val placed = placePage(mains, twoCol, p)
 
       val dets = ArrayBuffer.empty[Det]
       // main dets, authoring order (scores drawn in this fixed order).

@@ -87,7 +87,7 @@ object Assemble {
   def renderMarkdown(blocks: Seq[OrderedBlock]): String =
     blocks.map { b =>
       b.kind match {
-        case Kinds.Title => "# " + b.text
+        case Kinds.Title => "#" * math.max(1, b.level) + " " + b.text
         case Kinds.Figure => s"![](${b.media_ref})"
         case Kinds.Formula => b.text
         case Kinds.Caption | Kinds.Footnote => "*" + b.text + "*"

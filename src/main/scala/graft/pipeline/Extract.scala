@@ -41,8 +41,13 @@ object Extract {
   }
 
   /** Salted repartition on size buckets: span count proxies page count
-    * (the skew axis — 5% of docs have 13-64 pages). Large-doc buckets get a
-    * wider salt fan-out so no partition accumulates several monsters. */
+    * (the skew axis — 5% of docs have 13-64 pages). The salt space must be
+    * FINE-GRAINED (~64 salts per partition per bucket): with only a few
+    * (bucket, salt) combos per partition, combo-level hash clumping
+    * re-creates the very imbalance salting is meant to remove (measured:
+    * 2.1x max/mean pages at 6 combos/partition vs 1.1x at 192/partition —
+    * graft.tools.SkewProbe). Monster-doc buckets get a 4x-wider space so
+    * several monsters can never share a (bucket, salt) cell. */
   def saltRepartition(docs: Dataset[DocRow], partitions: Int): Dataset[DocRow] = {
     import docs.sparkSession.implicits._
     docs
@@ -52,8 +57,8 @@ object Extract {
           .otherwise(lit(2)))
       .withColumn("salt",
         pmod(xxhash64(col("doc_id")),
-          when(col("size_bucket") === 2, lit(partitions * 4))
-            .otherwise(lit(partitions))))
+          when(col("size_bucket") === 2, lit(partitions * 256))
+            .otherwise(lit(partitions * 64))))
       .repartition(partitions, col("size_bucket"), col("salt"))
       .select(col("doc_id"), col("spans"))
       .as[DocRow]
@@ -70,6 +75,27 @@ object Extract {
       val m = model
       it.map(d => extractDoc(d, m))
     }
+  }
+
+  /** Page-parallel variant for monster documents: explode to one row per
+    * page after the kernel, process pages independently, regroup per doc
+    * for the ordered folds. Costs a second shuffle (pages) — only worth it
+    * when single documents exceed task granularity (hundreds of pages);
+    * `run` keeps docs whole and is the default. */
+  def runPaged(docs: Dataset[DocRow], partitions: Int = 32,
+      model: DocModel = StubModel): Dataset[DocResult] = {
+    import docs.sparkSession.implicits._
+    saltRepartition(docs, partitions)
+      .mapPartitions { it =>
+        val m = model
+        it.flatMap(d => m.analyze(d))
+      }
+      .map(pm => (pm.doc_id, pm.page_idx, PageOps.process(pm)))
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val pages = it.toVector.sortBy(_._2).map(_._3)
+        Assemble.assemble(id, pages)
+      }
   }
 
   /** Generation-fused variant: salt-repartition the doc_id STREAM (the size

@@ -174,7 +174,10 @@ object PageOps {
           else if (lines.length >= 3 && listLike * 5 >= lines.length * 4) Kinds.ListK
           else Kinds.Text
         } else d.cat
-      OrderedBlock(kind, d.text, d.media_ref, pm.page_idx, idx)
+      val level =
+        if (kind == Kinds.Title) { if (d.h >= 30) 1 else 2 }
+        else 0
+      OrderedBlock(kind, d.text, d.media_ref, pm.page_idx, idx, level)
     }
   }
 }

@@ -219,6 +219,33 @@ object Oracles {
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
 
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts)::BIGINT AS ms, event_id FROM events),
+        |l AS (SELECT user_id, ms, event_id,
+        |  lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+        |f AS (SELECT user_id, ms,
+        |  CASE WHEN prev_ms IS NULL OR ms - prev_ms > 30 * 60000 THEN 1 ELSE 0 END AS new_sess,
+        |  event_id FROM l),
+        |s AS (SELECT user_id, ms,
+        |  (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |     ROWS UNBOUNDED PRECEDING))::INT AS session_idx FROM f)
+        |SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+        |  min(ms)::BIGINT AS start_ms, max(ms)::BIGINT AS end_ms
+        |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "asof_join" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS k, epoch_ms(o_orderdate)::BIGINT AS ms, 0 AS src,
+        |    o_orderkey AS okey, NULL::BIGINT AS event_id FROM orders
+        |  UNION ALL
+        |  SELECT user_id AS k, epoch_ms(ts)::BIGINT AS ms, 1 AS src,
+        |    NULL::BIGINT AS okey, event_id FROM events),
+        |w AS (SELECT k, ms, src, okey, event_id,
+        |  last_value(okey IGNORE NULLS) OVER (PARTITION BY k ORDER BY ms, src, okey
+        |    ROWS UNBOUNDED PRECEDING) AS asof_okey FROM u)
+        |SELECT event_id, coalesce(asof_okey, -1)::BIGINT AS asof_okey
+        |FROM w WHERE src = 1 ORDER BY event_id""".stripMargin,
+
     "events_hourly" ->
       """SELECT event_type, epoch_ms(date_trunc('hour', ts))::BIGINT AS hour_ms,
         |  count(*)::BIGINT AS cnt

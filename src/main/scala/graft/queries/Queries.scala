@@ -370,6 +370,45 @@ object Queries {
       .orderBy("c_mktsegment", "rn")
   }
 
+  /** Sessionization: per-user event sessions split at 30-minute gaps —
+    * the lag/cumulative-flag formulation that scales as one shuffle. */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts").cast("timestamp")).as("ms"),
+        col("event_id"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("prev_ms", lag(col("ms"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 30L * 60000L, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("session_idx", sum(col("new_sess")).over(wCum).cast("int"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"), min(col("ms")).as("start_ms"),
+        max(col("ms")).as("end_ms"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** As-of join: each event picks the latest order of the same key at or
+    * before its timestamp — the union + last_value(ignore nulls) window
+    * formulation (single sort-shuffle; no custom operator needed). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(spark, dir, "orders")
+      .select(col("o_custkey").as("k"), unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        lit(0).as("src"), col("o_orderkey").as("okey"), lit(null).cast("long").as("event_id"))
+    val events = tbl(spark, dir, "events")
+      .select(col("user_id").as("k"), unix_millis(col("ts").cast("timestamp")).as("ms"),
+        lit(1).as("src"), lit(null).cast("long").as("okey"), col("event_id"))
+    val w = Window.partitionBy(col("k")).orderBy(col("ms"), col("src"), col("okey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionByName(events)
+      .withColumn("asof_okey", last(col("okey"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("event_id"), coalesce(col("asof_okey"), lit(-1L)).as("asof_okey"))
+      .orderBy("event_id")
+  }
+
   /** Hourly event-type counts (epoch millis keeps timestamp formatting out
     * of the compare). */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
@@ -408,5 +447,7 @@ object Queries {
     "q1_agg" -> q1Agg _,
     "q2_join_topk" -> q2JoinTopK _,
     "events_hourly" -> eventsHourly _,
+    "events_sessionize" -> eventsSessionize _,
+    "asof_join" -> asofJoin _,
   )
 }

@@ -76,7 +76,8 @@ case class OrderedBlock(
     text: String,
     media_ref: String,
     page_idx: Int,
-    index: Int)
+    index: Int,
+    level: Int = 0)
 
 /** Checkpoint-table row for resumable partition-grain lineage
   * (FIXTURES.md §4). */

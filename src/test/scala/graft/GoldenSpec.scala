@@ -14,12 +14,14 @@ class GoldenSpec extends AnyFunSuite {
 
   private def ids(n: Int): Seq[String] = (0 until n).map(i => f"doc-$i%012d")
 
-  test("pipeline output equals golden span sequence on 500 documents") {
+  test("pipeline output equals golden span sequence AND markdown on 500 documents") {
     var checked = 0
     ids(500).foreach { id =>
-      val got = Extract.extractDoc(DocGen.docRow(id)).spans
-      val want = DocGen.golden(id).spans
-      assert(got == want, s"span-sequence mismatch for $id:\n got=${got.take(8)}\nwant=${want.take(8)}")
+      val got = Extract.extractDoc(DocGen.docRow(id))
+      val want = DocGen.golden(id)
+      assert(got.spans == want.spans,
+        s"span-sequence mismatch for $id:\n got=${got.spans.take(8)}\nwant=${want.spans.take(8)}")
+      assert(got.markdown == want.markdown, s"markdown mismatch for $id")
       checked += 1
     }
     assert(checked == 500)
