@@ -62,6 +62,16 @@ object StubModel extends DocModel {
 
   private def cplOf(colWidth: Double): Int = math.max(20, (colWidth / 6.0).toInt)
 
+  /** Vertical-text flag (CJK-style columns, span_block_fix.py:160-236):
+    * a deterministic content-keyed decision shared by placement and
+    * emission — short paragraphs only. */
+  def isVertical(docId: String, s: InSpan): Boolean =
+    s.kind == Kinds.Text && s.text.length < 60 &&
+      Math.floorMod(graft.util.Rng.fnv64(docId + "|v|" + s.offset), 10L) == 0L
+
+  private val VertColPitch = 14.0
+  private val VertHeight = 150.0
+
   private def blockHeight(s: InSpan, colWidth: Double): Double = s.kind match {
     case Kinds.Figure => 120.0
     case Kinds.Table => 90.0
@@ -80,7 +90,7 @@ object StubModel extends DocModel {
   /** Stack units into one column starting at (x0, yStart); returns placed
     * (span, bbox) plus the running bottom y. */
   private def placeColumn(units: Vector[Unit], x0: Double, width: Double,
-      yStart: Double): (Vector[(InSpan, (Double, Double, Double, Double))], Double) = {
+      yStart: Double, vert: InSpan => Boolean): (Vector[(InSpan, (Double, Double, Double, Double))], Double) = {
     val out = Vector.newBuilder[(InSpan, (Double, Double, Double, Double))]
     var y = yStart
     units.foreach { u =>
@@ -91,12 +101,15 @@ object StubModel extends DocModel {
           out += ((s, (0.0, 0.0, 0.0, 0.0)))
         } else {
           if (!first) y += AttachGap
-          val h = blockHeight(s, width)
-          val w = s.kind match {
-            case Kinds.Formula => width - 70.0 // leave room for the number
-            case Kinds.Caption | Kinds.Footnote => width - 40.0
-            case _ => width
-          }
+          val vertical = vert(s)
+          val h = if (vertical) VertHeight else blockHeight(s, width)
+          val w =
+            if (vertical) lineSplit(s.text, 12).length * VertColPitch - 2.0
+            else s.kind match {
+              case Kinds.Formula => width - 70.0 // leave room for the number
+              case Kinds.Caption | Kinds.Footnote => width - 40.0
+              case _ => width
+            }
           out += ((s, (x0, y, x0 + w, y + h)))
           y += h
           first = false
@@ -133,7 +146,8 @@ object StubModel extends DocModel {
   /** Place one page; guarantees the classic XY-cut recovers authoring order
     * (two-column placements are validated by simulation and fall back to a
     * single column when no staggering offset is order-safe). */
-  private def placePage(mains: Vector[InSpan], twoCol: Boolean, pageIdx: Int)
+  private def placePage(mains: Vector[InSpan], twoCol: Boolean, pageIdx: Int,
+      vert: InSpan => Boolean)
       : Vector[(InSpan, (Double, Double, Double, Double))] = {
     val (titleOpt, rest) = mains.headOption match {
       case Some(t) if t.kind == Kinds.Title => (Some(t), mains.tail)
@@ -150,14 +164,14 @@ object StubModel extends DocModel {
     val units = toUnits(rest)
 
     def single: Vector[(InSpan, (Double, Double, Double, Double))] =
-      titlePlaced ++ placeColumn(units, MarginX, PageW - 2 * MarginX, yStart)._1
+      titlePlaced ++ placeColumn(units, MarginX, PageW - 2 * MarginX, yStart, vert)._1
 
     if (!twoCol || units.length < 2) single
     else {
       val colW = (PageW - 2 * MarginX - ColGap) / 2
       // split units at roughly half the stacked height
       val heights = units.map(u => u.blocks.map(b =>
-        blockHeight(b, colW) + AttachGap).sum + UnitGap)
+        (if (vert(b)) VertHeight else blockHeight(b, colW)) + AttachGap).sum + UnitGap)
       val total = heights.sum
       var acc = 0.0
       var splitAt = units.length - 1
@@ -170,10 +184,10 @@ object StubModel extends DocModel {
       }
       val (u1, u2) = units.splitAt(splitAt)
       if (u1.isEmpty || u2.isEmpty) return single
-      val (c1, bottom1) = placeColumn(u1, MarginX, colW, yStart)
+      val (c1, bottom1) = placeColumn(u1, MarginX, colW, yStart, vert)
       val offsets = Vector(0.0, 5.0, 11.0, 18.0, 26.0, 35.0, 45.0)
       val ok = offsets.iterator.map { off =>
-        val (c2, bottom2) = placeColumn(u2, MarginX + colW + ColGap, colW, yStart + off)
+        val (c2, bottom2) = placeColumn(u2, MarginX + colW + ColGap, colW, yStart + off, vert)
         if (bottom1 > ContentBottom || bottom2 > ContentBottom) None
         else {
           val placed = titlePlaced ++ c1 ++ c2
@@ -212,7 +226,8 @@ object StubModel extends DocModel {
     pages.toVector.zipWithIndex.map { case (pageSpans, p) =>
       val twoCol = kr.chance(0.3)
       val mains = pageSpans.filter(s => !Kinds.discarded(s.kind))
-      val placed = placePage(mains, twoCol, p)
+      val vert = (sp: InSpan) => isVertical(doc.doc_id, sp)
+      val placed = placePage(mains, twoCol, p, vert)
 
       val dets = ArrayBuffer.empty[Det]
       // main dets, authoring order (scores drawn in this fixed order).
@@ -225,6 +240,17 @@ object StubModel extends DocModel {
           if (scanned) 0.32 + 0.5 * kr.nextDouble()
           else 0.55 + 0.44 * kr.nextDouble()
         s.kind match {
+          case Kinds.Text if vert(s) =>
+            // vertical text: columns right-to-left, each spanning the full
+            // block height (span_block_fix.py vertical variants)
+            val chunks = lineSplit(s.text, 12)
+            var i = 0
+            while (i < chunks.length) {
+              val xHi = x1 - VertColPitch * i
+              dets += Det(Kinds.Text, xHi - 12.0, y0, xHi, y0 + VertHeight,
+                score, chunks(i), "")
+              i += 1
+            }
           case Kinds.Text =>
             val lines = lineSplit(s.text, cplOf(x1 - x0))
             var i = 0

@@ -75,6 +75,24 @@ object PageOps {
       if (cur != null) out += cur
       out.result()
     }
+    // 4.5b vertical line merge: columns sharing the exact vertical extent,
+    //      horizontally adjacent, join RIGHT-to-LEFT (CJK vertical text,
+    //      span_block_fix.py:160-236 vertical variants)
+    val mergedVert = {
+      val sorted = mergedText.sortBy(d => (d.y0, d.y1, -d.x0))
+      val out = Vector.newBuilder[Det]
+      var cur: Det = null
+      sorted.foreach { d =>
+        if (cur == null) cur = d
+        else if (d.y0 == cur.y0 && d.y1 == cur.y1 &&
+            d.x1 <= cur.x0 && cur.x0 - d.x1 <= LineGapMax) {
+          cur = cur.copy(text = cur.text + " " + d.text,
+            x0 = d.x0, score = math.max(cur.score, d.score))
+        } else { out += cur; cur = d }
+      }
+      if (cur != null) out += cur
+      out.result()
+    }
     // 4.6 body-overlap union: figure/table boxes overlapping >=0.8 of the
     //     smaller box merge into their union, keeping the higher-score
     //     carrier's text/media (pipeline_magic_model.py:164-204)
@@ -109,7 +127,7 @@ object PageOps {
     //     body is a model misfire (chart labels, cell text) — the body
     //     carries its own content (span_pre_proc.py remove_outside_spans /
     //     remove_overlaps_min_spans:90-125)
-    val scopedText = mergedText.filter { t =>
+    val scopedText = mergedVert.filter { t =>
       val tArea = t.area
       tArea <= 0 || !unionedBodies.exists { b =>
         Kinds.bodies(b.cat) && {

@@ -46,6 +46,12 @@ class GoldenSpec extends AnyFunSuite {
         .exists(_.dets.exists(_.text == "▯▯▯"))
     }
     assert(scannedSeen, "no scanned-route docs in 120")
+    // vertical-text blocks occur and are reassembled (narrow tall text dets)
+    val verticalSeen = ids(200).exists { id =>
+      val row = DocGen.docRow(id)
+      row.spans.exists(s => graft.kernel.StubModel.isVertical(id, s))
+    }
+    assert(verticalSeen, "no vertical-text docs in 200")
     // page-count skew present
     val pageCounts = all.map(_.spans.count(_.kind == Kinds.Header))
     assert(pageCounts.max >= 13, "large-doc tail missing")
