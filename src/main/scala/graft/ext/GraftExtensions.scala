@@ -2,8 +2,24 @@ package graft.ext
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IsNotNull, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
 import graft.functions.{CosineSim, DotConst, FullToHalf, Deligature}
+
+/** Optimizer rule: `cosine_sim(x, x)` is 1.0 for any non-null, non-zero
+  * vector — fold the self-similarity away instead of running the O(d) loop
+  * per row (a self-join near-dup query hits this on its diagonal).
+  * Caveat: an all-zero vector would evaluate to NaN unfolded; we define
+  * self-similarity as 1.0 for the registered function. */
+object FoldSelfCosine extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case CosineSim(a, b) if a.deterministic && a.semanticEquals(b) =>
+      org.apache.spark.sql.catalyst.expressions.If(
+        IsNotNull(a), Literal(1.0, DoubleType), Literal(null, DoubleType))
+  }
+}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Enable with
@@ -24,5 +40,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("deligature"),
       info("deligature", "deligature(s) - typographic ligatures to ASCII"),
       (args: Seq[Expression]) => Deligature(args.head)))
+    e.injectOptimizerRule(_ => FoldSelfCosine)
   }
 }

@@ -27,10 +27,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(orth) < 1e-12)
   }
 
+  test("FoldSelfCosine optimizer rule folds the self-similarity loop away") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("cosine_sim(embedding, embedding) AS c")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("cosinesim") && !optimized.contains("CosineSim"),
+      s"rule did not fire:\n$optimized")
+    assert(df.filter("c = 1.0").count() == df.count())
+  }
+
   test("expressions survive whole-stage codegen over a real column") {
     import spark.implicits._
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val n = df.selectExpr("cosine_sim(embedding, embedding) AS c")
+    // slice(...) produces equal VALUES via a different expression tree, so
+    // FoldSelfCosine cannot fire and the real codegen loop runs
+    val n = df.selectExpr("cosine_sim(embedding, slice(embedding, 1, size(embedding))) AS c")
       .filter("abs(c - 1.0) < 1e-9").count()
     assert(n == df.count())
   }
