@@ -25,20 +25,19 @@ object Bench {
 
   /** Extraction throughput at a given core count (docs/sec, best of `reps`
     * — the sandbox VM is noisy-neighbored, so single runs swing +-20%). */
-  private def extractRun(cores: Int, nDocs: Long, reps: Int): Double = {
+  /** One timed extraction run at `cores` (fresh session). */
+  private def extractRun(cores: Int, nDocs: Long, warm: Boolean): Double = {
     val spark = session(cores)
     val ids = Extract.idRange(spark, nDocs)
-    // warm plan + JIT on a small slice
-    Extract.runFromIds(ids.limit(512), partitions = cores).foreach(_ => ())
-    val best = (0 until reps).map { _ =>
-      val t0 = System.nanoTime()
-      Extract.runFromIds(ids, partitions = cores).foreach(_ => ())
-      nDocs / ((System.nanoTime() - t0) / 1e9)
-    }.max
+    if (warm)
+      Extract.runFromIds(ids.limit((nDocs / 4).toInt), partitions = cores).foreach(_ => ())
+    val t0 = System.nanoTime()
+    Extract.runFromIds(ids, partitions = cores).foreach(_ => ())
+    val tp = nDocs / ((System.nanoTime() - t0) / 1e9)
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    best
+    tp
   }
 
   def main(args: Array[String]): Unit = {
@@ -60,10 +59,18 @@ object Bench {
     //    2->8 cores is the honest single-box proxy for N->4N executors (each
     //    executor host has its own memory bus); 8->32 additionally reports
     //    the intra-host memory-bandwidth saturation point of this VM.
+    // interleaved rounds so JIT warmth and VM noise hit every tier equally;
+    // best-of-3 per tier (the noisy-neighbor VM swings +-30% run to run)
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "120000").toLong
-    val tp2 = extractRun(2, scaleDocs, reps = 2)
-    val tp8 = extractRun(8, scaleDocs, reps = 3)
-    val tp32 = extractRun(32, scaleDocs, reps = 3)
+    val tiers = Seq(2, 8, 32)
+    val best = scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0)
+    (1 to 3).foreach { round =>
+      tiers.foreach { c =>
+        val tp = extractRun(c, scaleDocs, warm = round == 1)
+        if (tp > best(c)) best(c) = tp
+      }
+    }
+    val tp2 = best(2); val tp8 = best(8); val tp32 = best(32)
     def eff(hi: Double, lo: Double): Double = math.rint(hi / lo / 4.0 * 1000) / 1000.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

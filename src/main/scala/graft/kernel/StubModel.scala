@@ -47,16 +47,25 @@ object StubModel extends DocModel {
     * pdftext/OCR pass produces; the pipeline's line merge must reassemble
     * the paragraph exactly (space join restores the original). */
   def lineSplit(text: String, cpl: Int): Vector[String] = {
-    if (text.length <= cpl) return Vector(text)
+    val n = text.length
+    if (n <= cpl) return Vector(text)
+    // allocation-lean greedy fill: cut at the last space within cpl chars
+    // (equivalent to word-by-word fill; a single over-long word gets its own
+    // line, cut at the next space)
     val out = Vector.newBuilder[String]
-    val words = text.split(" ", -1)
-    val sb = new StringBuilder(cpl + 16)
-    words.foreach { w =>
-      if (sb.isEmpty) sb.append(w)
-      else if (sb.length + 1 + w.length <= cpl) sb.append(' ').append(w)
-      else { out += sb.toString; sb.clear(); sb.append(w) }
+    var s = 0
+    while (s < n) {
+      if (n - s <= cpl) { out += text.substring(s); s = n }
+      else {
+        var cut = text.lastIndexOf(' ', s + cpl)
+        if (cut <= s) { // word longer than cpl: take it whole
+          cut = text.indexOf(' ', s + cpl)
+          if (cut < 0) cut = n
+        }
+        out += text.substring(s, cut)
+        s = cut + 1
+      }
     }
-    if (sb.nonEmpty) out += sb.toString
     out.result()
   }
 

@@ -51,9 +51,22 @@ object XYCut {
     if (n == 1) { pos.emit(ids(0)); return }
     val lo = if (vertical) y0 else x0
     val hi = if (vertical) y1 else x1
-    // sort ids in place by (lo, cross-lo) — stable enough for determinism
+    // sort ids by (lo, cross-lo): insertion sort on primitives — pages hold
+    // ~20 boxes, and boxed tuple keys were a top-5 allocation site fleetwide
     val cross = if (vertical) x0 else y0
-    val sorted = ids.sortBy(i => (lo(i), cross(i)))
+    val sorted = ids.clone()
+    var si = 1
+    while (si < n) {
+      val id = sorted(si)
+      val kl = lo(id); val kc = cross(id)
+      var sj = si - 1
+      while (sj >= 0 && {
+        val o = sorted(sj)
+        lo(o) > kl || (lo(o) == kl && cross(o) > kc)
+      }) { sorted(sj + 1) = sorted(sj); sj -= 1 }
+      sorted(sj + 1) = id
+      si += 1
+    }
     // find gap boundaries
     var bandStart = 0
     var runningHi = hi(sorted(0))
@@ -83,7 +96,19 @@ object XYCut {
       recurse(sorted, x0, y0, x1, y1, vertical = false, pos)
     } else {
       // no split on either axis: atomic group, top-to-bottom/left-to-right
-      val atomic = ids.sortBy(i => (y0(i), x0(i)))
+      val atomic = ids.clone()
+      var ai = 1
+      while (ai < atomic.length) {
+        val id = atomic(ai)
+        val ky = y0(id); val kx = x0(id)
+        var aj = ai - 1
+        while (aj >= 0 && {
+          val o = atomic(aj)
+          y0(o) > ky || (y0(o) == ky && x0(o) > kx)
+        }) { atomic(aj + 1) = atomic(aj); aj -= 1 }
+        atomic(aj + 1) = id
+        ai += 1
+      }
       var j = 0
       while (j < atomic.length) { pos.emit(atomic(j)); j += 1 }
     }

@@ -19,6 +19,9 @@ object PageOps {
   private val LineGapMax = 6.0        // max inter-line gap inside a block
 
   private val attachCats = Set(Kinds.Caption, Kinds.Footnote)
+  // precompiled: .matches() recompiles its pattern on every call, which was
+  // a top-10 allocation site at fleet throughput
+  private val NumberedLine = java.util.regex.Pattern.compile("^\\d+[.)].*")
 
   /** OCR rec-confidence floor (ocr_utils.py:374-375): garbled recognition
     * results land below it; real text lines stay above on both routes. */
@@ -59,7 +62,9 @@ object PageOps {
     //     pipeline_middle_json_mkcontent.py:11-21)
     val (textLines, nonText) = kept.partition(_.cat == Kinds.Text)
     val mergedText = {
-      val sorted = textLines.sortBy(d => (d.x0, d.x1, d.y0))
+      val sorted = textLines.sortWith((a, b) =>
+        a.x0 < b.x0 || (a.x0 == b.x0 && (a.x1 < b.x1 ||
+          (a.x1 == b.x1 && a.y0 < b.y0))))
       val out = Vector.newBuilder[Det]
       var cur: Det = null
       sorted.foreach { d =>
@@ -79,7 +84,9 @@ object PageOps {
     //      horizontally adjacent, join RIGHT-to-LEFT (CJK vertical text,
     //      span_block_fix.py:160-236 vertical variants)
     val mergedVert = {
-      val sorted = mergedText.sortBy(d => (d.y0, d.y1, -d.x0))
+      val sorted = mergedText.sortWith((a, b) =>
+        a.y0 < b.y0 || (a.y0 == b.y0 && (a.y1 < b.y1 ||
+          (a.y1 == b.y1 && a.x0 > b.x0))))
       val out = Vector.newBuilder[Det]
       var cur: Det = null
       sorted.foreach { d =>
@@ -185,7 +192,7 @@ object PageOps {
         if (d.cat == Kinds.Text) {
           val lines = d.text.split("\n", -1)
           val listLike = lines.count(l =>
-            l.startsWith("- ") || l.startsWith("• ") || l.matches("^\\d+[.)].*"))
+            l.startsWith("- ") || l.startsWith("• ") || NumberedLine.matcher(l).matches())
           val indexLike = lines.count(l =>
             l.contains(". . .") && l.nonEmpty && l.last.isDigit)
           if (lines.length >= 3 && indexLike * 5 >= lines.length * 4) Kinds.Index
