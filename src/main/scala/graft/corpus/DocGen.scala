@@ -38,7 +38,9 @@ object DocGen {
   private def sentence(r: SplitMix64, sb: StringBuilder): Unit = {
     val n = 6 + r.nextInt(7)
     val first = word(r)
-    sb.append(first.head.toUpper).append(first, 1, first.length)
+    // (scala StringBuilder has no (CharSequence, from, to) append — a 3-arg
+    // call silently boxes a tuple into append(Any))
+    sb.append(first.head.toUpper).append(first.substring(1))
     var i = 1
     while (i < n) { sb.append(' ').append(word(r)); i += 1 }
     sb.append('.')
@@ -169,7 +171,12 @@ object DocGen {
         } else if (roll < 0.92) {
           blocks += ABlock(Kinds.Formula, formulaLatex(r))
           if (r.chance(0.5)) blocks += ABlock(Kinds.FormulaNumber, s"(${1 + r.nextInt(20)})")
-        } else if (roll < 0.96) blocks += ABlock(Kinds.ListK, listText(r))
+        } else if (roll < 0.955) blocks += ABlock(Kinds.ListK, listText(r))
+        else if (roll < 0.97)
+          // orphan caption: no body anywhere near it — the tie-up's distance
+          // rejection must leave it in place instead of dragging it to a
+          // random body elsewhere on the page
+          blocks += ABlock(Kinds.Caption, s"Unanchored caption ${word(r)}")
         else blocks += ABlock(Kinds.Index, indexText(r))
         g += 1
       }

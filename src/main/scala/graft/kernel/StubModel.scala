@@ -172,6 +172,19 @@ object StubModel extends DocModel {
     val titlePlaced = titleOpt.map(t => (t, titleBox)).toVector
     val units = toUnits(rest)
 
+    // attachment status exactly as the pipeline's tie-up will see it: a
+    // caption/footnote only attaches when its unit holds an earlier
+    // figure/table (formula_number: an earlier formula). Orphans participate
+    // in the XY-cut, so the order-safety simulation must include them.
+    val attachedOffsets: Set[Int] = units.flatMap { u =>
+      u.blocks.zipWithIndex.collect {
+        case (b, i) if (b.kind == Kinds.Caption || b.kind == Kinds.Footnote) &&
+            u.blocks.take(i).exists(x => Kinds.bodies(x.kind)) => b.offset
+        case (b, i) if b.kind == Kinds.FormulaNumber &&
+            u.blocks.take(i).exists(_.kind == Kinds.Formula) => b.offset
+      }
+    }.toSet
+
     def single: Vector[(InSpan, (Double, Double, Double, Double))] =
       titlePlaced ++ placeColumn(units, MarginX, PageW - 2 * MarginX, yStart, vert)._1
 
@@ -200,9 +213,10 @@ object StubModel extends DocModel {
         if (bottom1 > ContentBottom || bottom2 > ContentBottom) None
         else {
           val placed = titlePlaced ++ c1 ++ c2
-          // simulate: does XY-cut over the non-attachment boxes reproduce
+          // simulate: does XY-cut over the pipeline's anchor boxes (non-
+          // attached blocks INCLUDING orphan attachments) reproduce
           // authoring order?
-          val cutIn = placed.filter(p => !attachKinds(p._1.kind))
+          val cutIn = placed.filter(p => !attachedOffsets(p._1.offset))
           val orderGot = XYCut.order(cutIn.map(_._2))
           val authoring = cutIn.map(_._1.offset).sorted
           val got = orderGot.map(i => cutIn(i)._1.offset)

@@ -154,11 +154,17 @@ object PageOps {
     val bodies = blocks.filter(d => Kinds.bodies(d.cat))
     val formulas = blocks.filter(_.cat == Kinds.Formula)
 
+    // distance rejection: an attachment farther than this from every body is
+    // an orphan and keeps its own place in the reading order (the reference
+    // rejects a pair at >= 3x the nearest distance, magic_model_utils.py:30-169;
+    // our renderer guarantees real attachments sit within 26px of their body)
+    val MaxAttachDist = 30.0
     def greedyAssign(objs: Vector[Det], subjects: Vector[Det]): Map[Det, Det] = {
       if (objs.isEmpty || subjects.isEmpty) return Map.empty
       val pairs = for (o <- objs; s <- subjects)
         yield (Geo.edgeDist(o.x0, o.y0, o.x1, o.y1, s.x0, s.y0, s.x1, s.y1), o, s)
-      val sorted = pairs.sortBy { case (dist, o, s) => (dist, o.y0, o.x0, s.y0, s.x0) }
+      val sorted = pairs.filter(_._1 <= MaxAttachDist)
+        .sortBy { case (dist, o, s) => (dist, o.y0, o.x0, s.y0, s.x0) }
       val assigned = mutable.Map.empty[Det, Det]
       sorted.foreach { case (_, o, s) =>
         if (!assigned.contains(o)) assigned(o) = s
