@@ -36,6 +36,44 @@ object StreamJobs {
       }
   }
 
+  /** Stateful sessionization via flatMapGroupsWithState: per-user sessions
+    * split at 30-minute gaps. Closed sessions are emitted; the open tail
+    * session is carried in GroupState across micro-batches (arrivals are
+    * assumed time-ordered per user across batches — a replayable, ordered
+    * source). The batch formulation of the same semantics is the
+    * `events_sessionize` query. */
+  case class Ev(user_id: Long, ms: Long, event_id: Long)
+  case class OpenSession(start_ms: Long, end_ms: Long, n_events: Long)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  val SessionGapMs: Long = 30L * 60000L
+
+  def sessionizeStateful(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[Ev], state: GroupState[OpenSession]) => {
+          val evs = it.toVector.sortBy(e => (e.ms, e.event_id))
+          val closed = Vector.newBuilder[SessionOut]
+          var open: Option[OpenSession] = state.getOption
+          evs.foreach { e =>
+            open match {
+              case Some(s) if e.ms - s.end_ms <= SessionGapMs =>
+                open = Some(OpenSession(s.start_ms, e.ms, s.n_events + 1))
+              case Some(s) =>
+                closed += SessionOut(user, s.start_ms, s.end_ms, s.n_events)
+                open = Some(OpenSession(e.ms, e.ms, 1))
+              case None =>
+                open = Some(OpenSession(e.ms, e.ms, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+        })
+  }
+
   /** Watermarked sliding-window event counts (late data tolerated 10 min;
     * append mode emits only finalized windows). */
   def eventsWindowed(events: DataFrame): DataFrame =

@@ -37,6 +37,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful sessionization stitches sessions across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), unix_millis(col("ts").cast("timestamp")).as("ms"),
+        col("event_id"))
+      .as[StreamJobs.Ev]
+    // two time-ordered file drops so sessions span the micro-batch boundary
+    val landing = Files.createTempDirectory("graft_sess").toString
+    val cut = ev.select(org.apache.spark.sql.functions.expr("percentile(ms, 0.5)"))
+      .as[Double].head().toLong
+    ev.filter($"ms" <= cut).repartition(1).write.mode("append").parquet(landing)
+    ev.filter($"ms" > cut).repartition(1).write.mode("append").parquet(landing)
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing).as[StreamJobs.Ev]
+    val q = StreamJobs.sessionizeStateful(stream)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("sess_out")
+      .as[StreamJobs.SessionOut].collect()
+      .map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events)).toSet
+    // batch truth: all sessions except each user's LAST (still open in state)
+    val batch = graft.queries.Queries.eventsSessionize(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getLong(4), r.getLong(2)))
+    val lastIdx = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expected = batch.filter(t => t._2 != lastIdx(t._1))
+      .map(t => (t._1, t._3, t._4, t._5)).toSet
+    assert(got == expected,
+      s"stateful sessions disagree: extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    assert(got.nonEmpty, "no closed sessions emitted")
+  }
+
   test("watermarked windowed event counts equal the batch aggregation") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val landing = Files.createTempDirectory("graft_events").toString
