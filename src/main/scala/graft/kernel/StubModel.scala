@@ -152,6 +152,26 @@ object StubModel extends DocModel {
     units.result()
   }
 
+  /** The pipeline's attachability criterion, replayed over placed boxes:
+    * caption/footnote within MaxAttachDist of some figure/table,
+    * formula_number within it of some formula. */
+  private def simulatedAttached(
+      p: (InSpan, (Double, Double, Double, Double)),
+      placed: Vector[(InSpan, (Double, Double, Double, Double))]): Boolean = {
+    val (s, (x0, y0, x1, y1)) = p
+    val subjects = s.kind match {
+      case Kinds.Caption | Kinds.Footnote =>
+        placed.filter(q => Kinds.bodies(q._1.kind))
+      case Kinds.FormulaNumber =>
+        placed.filter(_._1.kind == Kinds.Formula)
+      case _ => return false
+    }
+    subjects.exists { case (_, (bx0, by0, bx1, by1)) =>
+      graft.geom.Geo.edgeDist(x0, y0, x1, y1, bx0, by0, bx1, by1) <=
+        graft.pipeline.PageOps.MaxAttachDist
+    }
+  }
+
   /** Place one page; guarantees the classic XY-cut recovers authoring order
     * (two-column placements are validated by simulation and fall back to a
     * single column when no staggering offset is order-safe). */
@@ -172,18 +192,6 @@ object StubModel extends DocModel {
     val titlePlaced = titleOpt.map(t => (t, titleBox)).toVector
     val units = toUnits(rest)
 
-    // attachment status exactly as the pipeline's tie-up will see it: a
-    // caption/footnote only attaches when its unit holds an earlier
-    // figure/table (formula_number: an earlier formula). Orphans participate
-    // in the XY-cut, so the order-safety simulation must include them.
-    val attachedOffsets: Set[Int] = units.flatMap { u =>
-      u.blocks.zipWithIndex.collect {
-        case (b, i) if (b.kind == Kinds.Caption || b.kind == Kinds.Footnote) &&
-            u.blocks.take(i).exists(x => Kinds.bodies(x.kind)) => b.offset
-        case (b, i) if b.kind == Kinds.FormulaNumber &&
-            u.blocks.take(i).exists(_.kind == Kinds.Formula) => b.offset
-      }
-    }.toSet
 
     def single: Vector[(InSpan, (Double, Double, Double, Double))] =
       titlePlaced ++ placeColumn(units, MarginX, PageW - 2 * MarginX, yStart, vert)._1
@@ -213,10 +221,11 @@ object StubModel extends DocModel {
         if (bottom1 > ContentBottom || bottom2 > ContentBottom) None
         else {
           val placed = titlePlaced ++ c1 ++ c2
-          // simulate: does XY-cut over the pipeline's anchor boxes (non-
-          // attached blocks INCLUDING orphan attachments) reproduce
-          // authoring order?
-          val cutIn = placed.filter(p => !attachedOffsets(p._1.offset))
+          // simulate: does XY-cut over the pipeline's anchor boxes reproduce
+          // authoring order? Attachability must mirror the tie-up EXACTLY:
+          // distance-based — an attachment beyond MaxAttachDist of every
+          // subject is an orphan and participates in the cut.
+          val cutIn = placed.filter(p => !simulatedAttached(p, placed))
           val orderGot = XYCut.order(cutIn.map(_._2))
           val authoring = cutIn.map(_._1.offset).sorted
           val got = orderGot.map(i => cutIn(i)._1.offset)

@@ -27,6 +27,14 @@ object PageOps {
     * results land below it; real text lines stay above on both routes. */
   private val RecMinConf = 0.3
 
+  /** Attachment distance rejection bound: an attachment farther than this
+    * from every subject is an orphan and keeps its own place in the reading
+    * order (the reference rejects pairs at >= 3x the nearest distance,
+    * magic_model_utils.py:30-169; the renderer guarantees real attachments
+    * sit within 26px of their body). Shared with the kernel's order-safety
+    * simulation, which must model attachability identically. */
+  val MaxAttachDist = 30.0
+
   def process(pm: PageModel): Vector[OrderedBlock] = {
     // 1. low-confidence filter + OCR rec-confidence filter on text
     val conf = pm.dets.filter(d =>
@@ -154,11 +162,6 @@ object PageOps {
     val bodies = blocks.filter(d => Kinds.bodies(d.cat))
     val formulas = blocks.filter(_.cat == Kinds.Formula)
 
-    // distance rejection: an attachment farther than this from every body is
-    // an orphan and keeps its own place in the reading order (the reference
-    // rejects a pair at >= 3x the nearest distance, magic_model_utils.py:30-169;
-    // our renderer guarantees real attachments sit within 26px of their body)
-    val MaxAttachDist = 30.0
     def greedyAssign(objs: Vector[Det], subjects: Vector[Det]): Map[Det, Det] = {
       if (objs.isEmpty || subjects.isEmpty) return Map.empty
       val pairs = for (o <- objs; s <- subjects)
