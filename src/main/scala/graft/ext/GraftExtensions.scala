@@ -8,11 +8,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 import graft.functions.{CosineSim, DotConst, FullToHalf, Deligature}
 
-/** Optimizer rule: `cosine_sim(x, x)` is 1.0 for any non-null, non-zero
-  * vector — fold the self-similarity away instead of running the O(d) loop
-  * per row (a self-join near-dup query hits this on its diagonal).
-  * Caveat: an all-zero vector would evaluate to NaN unfolded; we define
-  * self-similarity as 1.0 for the registered function. */
+/** Optimizer rule: `cosine_sim(x, x)` is 1.0 for any non-null vector —
+  * fold the self-similarity away instead of running the O(d) loop per row
+  * (a self-join near-dup query hits this on its diagonal). Semantics-
+  * preserving: CosineSim itself defines two zero-norm vectors as 1.0, so
+  * the folded and unfolded paths agree on every input, whether the
+  * expression arrives via SQL or the Column API. */
 object FoldSelfCosine extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case CosineSim(a, b) if a.deterministic && a.semanticEquals(b) =>

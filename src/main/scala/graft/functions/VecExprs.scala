@@ -24,11 +24,17 @@ case class CosineSim(left: Expression, right: Expression)
     case t => throw new IllegalArgumentException(s"CosineSim expects array<float|double>, got $t")
   }
 
+  // Length-mismatched arrays return null (ragged embeddings fail loudly —
+  // a truncated partial dot product would silently diverge from the DuckDB
+  // oracle's list_zip NULL). Two zero-norm vectors are defined as
+  // similarity 1.0 so the FoldSelfCosine rewrite of cosine_sim(x, x) is
+  // semantics-preserving for every non-null input.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -37,7 +43,8 @@ case class CosineSim(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 && ny == 0.0) 1.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -48,14 +55,19 @@ case class CosineSim(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $x.$lGet($i);
-         |  double $yi = (double) $y.$rGet($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $x.$lGet($i);
+         |    double $yi = (double) $y.$rGet($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  ${ev.value} = ($nx == 0.0 && $ny == 0.0) ? 1.0
+         |    : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
   }
@@ -79,9 +91,12 @@ case class DotConst(child: Expression, plane: Array[Double])
     case _ => false
   }
 
+  // Null on length mismatch, matching CosineSim: a partial dot product
+  // against a hyperplane silently mis-buckets ragged embeddings.
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), plane.length)
+    if (x.numElements() != plane.length) return null
+    val n = plane.length
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -96,14 +111,17 @@ case class DotConst(child: Expression, plane: Array[Double])
     val planeRef = ctx.addReferenceObj("plane", plane, "double[]")
     val get = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, x => {
-      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $planeRef.length);
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x.$get($i)) * $planeRef[$i];
+         |if ($x.numElements() != $planeRef.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $planeRef.length; $i++) {
+         |    $acc += ((double) $x.$get($i)) * $planeRef[$i];
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -43,11 +43,14 @@ object PageOps {
     // 2. high-IoU dedup: drop a det when a strictly better overlapping det
     //    exists (ties impossible by construction; tiebreak on geometry+text
     //    keeps this deterministic regardless of emission order)
+    def lexLess(a: Det, b: Det): Boolean =
+      if (a.x0 != b.x0) a.x0 < b.x0
+      else if (a.y0 != b.y0) a.y0 < b.y0
+      else a.text < b.text
     val deduped = conf.filter { d =>
       !conf.exists { o =>
         (o ne d) && Geo.iou(d.x0, d.y0, d.x1, d.y1, o.x0, o.y0, o.x1, o.y1) > IouDedup &&
-          (o.score > d.score ||
-            (o.score == d.score && (o.x0, o.y0, o.text).toString < (d.x0, d.y0, d.text).toString))
+          (o.score > d.score || (o.score == d.score && lexLess(o, d)))
       }
     }
 
@@ -157,41 +160,50 @@ object PageOps {
     // 5. tie-up: captions/footnotes attach to the nearest figure/table body,
     //    formula numbers to the nearest formula (greedy by edge distance —
     //    magic_model_utils.py:30-169 tie_up_category_by_distance_v3)
-    val attachments = blocks.filter(d => attachCats(d.cat))
-    val numbers = blocks.filter(_.cat == Kinds.FormulaNumber)
-    val bodies = blocks.filter(d => Kinds.bodies(d.cat))
-    val formulas = blocks.filter(_.cat == Kinds.Formula)
+    // All assignment bookkeeping is by index into `blocks` — keying by Det
+    // value would silently collapse byte-identical detections (same
+    // cat/box/score/text) into one map entry and drop an attachment.
+    val attachIdx = blocks.indices.toVector.filter(i => attachCats(blocks(i).cat))
+    val numberIdx = blocks.indices.toVector.filter(i => blocks(i).cat == Kinds.FormulaNumber)
+    val bodyIdx = blocks.indices.toVector.filter(i => Kinds.bodies(blocks(i).cat))
+    val formulaIdx = blocks.indices.toVector.filter(i => blocks(i).cat == Kinds.Formula)
 
-    def greedyAssign(objs: Vector[Det], subjects: Vector[Det]): Map[Det, Det] = {
+    def greedyAssign(objs: Vector[Int], subjects: Vector[Int]): Map[Int, Int] = {
       if (objs.isEmpty || subjects.isEmpty) return Map.empty
-      val pairs = for (o <- objs; s <- subjects)
-        yield (Geo.edgeDist(o.x0, o.y0, o.x1, o.y1, s.x0, s.y0, s.x1, s.y1), o, s)
+      val pairs = for (oi <- objs; si <- subjects) yield {
+        val o = blocks(oi); val s = blocks(si)
+        (Geo.edgeDist(o.x0, o.y0, o.x1, o.y1, s.x0, s.y0, s.x1, s.y1), oi, si)
+      }
       val sorted = pairs.filter(_._1 <= MaxAttachDist)
-        .sortBy { case (dist, o, s) => (dist, o.y0, o.x0, s.y0, s.x0) }
-      val assigned = mutable.Map.empty[Det, Det]
-      sorted.foreach { case (_, o, s) =>
-        if (!assigned.contains(o)) assigned(o) = s
+        .sortBy { case (dist, oi, si) =>
+          val o = blocks(oi); val s = blocks(si)
+          (dist, o.y0, o.x0, s.y0, s.x0, oi, si)
+        }
+      val assigned = mutable.Map.empty[Int, Int]
+      sorted.foreach { case (_, oi, si) =>
+        if (!assigned.contains(oi)) assigned(oi) = si
       }
       assigned.toMap
     }
 
-    val attachTo = greedyAssign(attachments, bodies) ++ greedyAssign(numbers, formulas)
-    val orphans = (attachments ++ numbers).filterNot(attachTo.contains)
+    val attachTo = greedyAssign(attachIdx, bodyIdx) ++ greedyAssign(numberIdx, formulaIdx)
 
     // 6. reading order over the anchor blocks (XY-cut; orphan attachments
     //    degrade to ordinary blocks)
-    val anchors = blocks.filterNot(d => attachTo.contains(d)) // includes orphans
-    val order = XYCut.order(anchors.map(d => (d.x0, d.y0, d.x1, d.y1)))
+    val anchorsIdx = blocks.indices.toVector.filterNot(attachTo.contains) // includes orphans
+    val order = XYCut.order(anchorsIdx.map { i =>
+      val d = blocks(i); (d.x0, d.y0, d.x1, d.y1)
+    })
 
     // 7. expand anchors with their attachments (top-to-bottom, then
     //    left-to-right within the group — group median placement degenerates
     //    to this for contiguous authoring indices, block_sort.py:276-292)
-    val byAnchor = attachTo.toVector.groupBy(_._2).map { case (s, kv) =>
-      s -> kv.map(_._1).sortBy(a => (a.y0, a.x0))
+    val byAnchor = attachTo.toVector.groupBy(_._2).map { case (si, kv) =>
+      si -> kv.map(_._1).sortBy(oi => (blocks(oi).y0, blocks(oi).x0, oi))
     }
-    val expanded = order.flatMap { i =>
-      val a = anchors(i)
-      a +: byAnchor.getOrElse(a, Vector.empty)
+    val expanded = order.flatMap { k =>
+      val ai = anchorsIdx(k)
+      (ai +: byAnchor.getOrElse(ai, Vector.empty)).map(blocks)
     }
 
     // 8. list re-classification on text blocks (para_split.py:73-270 rules,

@@ -24,9 +24,22 @@ object Oracles {
       |  FROM words)""".stripMargin
 
   val all: Map[String, String] = Map(
+    // Full value-level oracle for the extraction pipeline: the committed
+    // golden parquet holds the renderer-side expected span sequences
+    // (graft.tools.OracleDump, independent of the pipeline code) for doc
+    // ids 0..4999; join restricts to whichever ids the sf dir contains.
+    "extract_pipeline" ->
+      """WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents)
+        |SELECT g.doc_id, g.ord, g.kind, g.media_ref, g.text
+        |FROM read_parquet('/root/repo/src/test/resources/golden/extract_golden.parquet') g
+        |JOIN ids ON g.doc_id = ids.did
+        |ORDER BY g.doc_id, g.ord""".stripMargin,
+
     "det_low_conf_filter" ->
       s"""$detsCte
-         |SELECT doc_id, pos, word, score FROM dets WHERE score > 0.05
+         |SELECT doc_id, pos, word,
+         |  ((length(word) * 7 + pos * 13) % 100)::INT AS score_pct
+         |FROM dets WHERE score > 0.05
          |ORDER BY doc_id, pos""".stripMargin,
 
     "det_iou_dedup" ->

@@ -44,11 +44,15 @@ object Queries {
   // ---------------------------------------------------------------------
 
   /** Low-confidence filter: drop dets with score <= 0.05
-    * (reference: pipeline_magic_model.py:72-82). */
+    * (reference: pipeline_magic_model.py:72-82). Score is emitted as the
+    * integer percent it was derived from (never touches float arithmetic)
+    * so the driver's value hash is bit-stable — same trick as q1_agg's
+    * integer cents. */
   def detLowConfFilter(spark: SparkSession, dir: String): DataFrame =
     dets(spark, dir)
       .filter(col("score") > 0.05)
-      .select(col("doc_id"), col("pos"), col("word"), col("score"))
+      .withColumn("score_pct", expr("CAST((wlen * 7 + pos * 13) % 100 AS INT)"))
+      .select(col("doc_id"), col("pos"), col("word"), col("score_pct"))
       .orderBy("doc_id", "pos")
 
   /** High-IoU dedup: within a page, drop a det when another det overlaps it

@@ -55,5 +55,23 @@ object ScaleOracles {
     "ann_lsh_buckets" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
          |SELECT vec_id, ($bucketSql)::INT AS bucket FROM e ORDER BY vec_id""".stripMargin,
+
+    // within-bucket windowed top-k, mirroring ScaleQueries.annLshTopK: the
+    // bucket expr is the DotConst mirror above, the cosine the same
+    // left-to-right fold as ann_cosine_topk
+    "ann_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ($bucketSql)::INT AS bucket FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+         |n AS (SELECT vec_id AS n_id, v AS nv, bucket FROM b WHERE vec_id >= 10),
+         |s AS (SELECT q_id, n_id,
+         |  list_reduce(list_transform(list_zip(qv, nv), z -> z[1] * z[2]), (p, q2) -> p + q2)
+         |  / (sqrt(list_reduce(list_transform(qv, x -> x * x), (p, q2) -> p + q2))
+         |     * sqrt(list_reduce(list_transform(nv, x -> x * x), (p, q2) -> p + q2))) AS sim
+         |  FROM q JOIN n USING (bucket)),
+         |r AS (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM s)
+         |SELECT q_id, n_id, rank::INT AS rank FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
   )
 }
