@@ -198,6 +198,27 @@ object DocGen {
       }
       tp += 1
     }
+    // Standalone-caption resolution (after the table pass, which can add a
+    // body to a page head): the reference's tie-up attaches every leftover
+    // caption to the nearest body when the page has one
+    // (magic_model_utils.py:130-156, unconditional) — a standalone caption
+    // is only well-defined on a body-free page, so on body pages it is
+    // authored as plain text instead. Draws nothing from the rng.
+    var cp = 0
+    while (cp < np) {
+      val pg = withTables(cp)
+      val hasBody = pg.blocks.exists(b => b.kind == Kinds.Figure || b.kind == Kinds.Table)
+      if (hasBody) {
+        val fixed = pg.blocks.zipWithIndex.map { case (b, i) =>
+          val standalone = b.kind == Kinds.Caption &&
+            (i == 0 || !(pg.blocks(i - 1).kind == Kinds.Figure ||
+              pg.blocks(i - 1).kind == Kinds.Table))
+          if (standalone) b.copy(kind = Kinds.Text) else b
+        }
+        withTables(cp) = APage(fixed)
+      }
+      cp += 1
+    }
     // Continuation post-pass: a paragraph flowing across a page boundary.
     // Part 1 ends mid-sentence (no stop), part 2 starts lowercase — exactly
     // the reference's merge predicate; the hyphen variant splits inside a

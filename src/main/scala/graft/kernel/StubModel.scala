@@ -152,31 +152,62 @@ object StubModel extends DocModel {
     units.result()
   }
 
-  /** The pipeline's attachability criterion, replayed over placed boxes:
-    * caption/footnote within MaxAttachDist of some figure/table,
-    * formula_number within it of some formula. */
-  private def simulatedAttached(
-      p: (InSpan, (Double, Double, Double, Double)),
-      placed: Vector[(InSpan, (Double, Double, Double, Double))]): Boolean = {
-    val (s, (x0, y0, x1, y1)) = p
-    val subjects = s.kind match {
-      case Kinds.Caption | Kinds.Footnote =>
-        placed.filter(q => Kinds.bodies(q._1.kind))
-      case Kinds.FormulaNumber =>
-        placed.filter(_._1.kind == Kinds.Formula)
-      case _ => return false
+  /** Model-order emission flag: 30% of docs emulate a PP-DocLayoutV2/V3-
+    * style layout model that supplies `original_order` per detection
+    * (rapid_layout.py:99-106); the pipeline's model-order shortcut
+    * (block_sort.py:154-170) must use it. Keyed off the doc id alone so no
+    * kernel-stream draws are consumed. */
+  def emitsOrder(docId: String): Boolean =
+    Math.floorMod(Rng.fnv64(docId + "|mo"), 10L) < 3
+
+  /** Far-attachment flag: ~10% of body-unit captions are DEFERRED to the
+    * end of their column, far from their body — the tie-up's unconditional
+    * leftover attachment (magic_model_utils.py:130-156) must pull them
+    * back; an absolute distance bound would orphan them and emit them at
+    * the wrong reading position. Content-keyed, draws nothing. */
+  def isFarCaption(docId: String, s: InSpan): Boolean =
+    s.kind == Kinds.Caption &&
+      Math.floorMod(Rng.fnv64(docId + "|far|" + s.offset), 10L) == 0L
+
+  /** Layout validation: replay the pipeline's OWN tie-up + ordering core
+    * (PageOps.orderBlocks — the single shared implementation) over the
+    * placed boxes and require the emitted sequence to equal authoring
+    * order. This is what keeps the golden oracle well-defined while the
+    * stub emits hard layouts (aligned-gap columns, deferred captions). */
+  private def orderSafe(placed: Vector[(InSpan, (Double, Double, Double, Double))],
+      emitsOrd: Boolean): Boolean = {
+    val blocks = placed.map { case (s, (x0, y0, x1, y1)) =>
+      val cat = s.kind match {
+        case Kinds.ListK | Kinds.Index => Kinds.Text // model can't see listness
+        case k => k
+      }
+      Det(cat, x0, y0, x1, y1, 1.0, "", "", if (emitsOrd) s.offset else -1)
     }
-    subjects.exists { case (_, (bx0, by0, bx1, by1)) =>
-      graft.geom.Geo.edgeDist(x0, y0, x1, y1, bx0, by0, bx1, by1) <=
-        graft.pipeline.PageOps.MaxAttachDist
-    }
+    val got = graft.pipeline.PageOps.orderBlocks(blocks).map(i => placed(i)._1.offset)
+    got == placed.map(_._1.offset).sorted
   }
 
-  /** Place one page; guarantees the classic XY-cut recovers authoring order
-    * (two-column placements are validated by simulation and fall back to a
-    * single column when no staggering offset is order-safe). */
+  /** Pull far-flagged captions out of body units and re-append them as
+    * standalone trailing units (placed at the column end). */
+  private def deferFar(units: Vector[Unit], far: InSpan => Boolean): Vector[Unit] = {
+    val deferred = Vector.newBuilder[InSpan]
+    val kept = units.map { u =>
+      if (u.blocks.nonEmpty && Kinds.bodies(u.blocks.head.kind)) {
+        val (f, k) = u.blocks.partition(s => s.kind == Kinds.Caption && far(s))
+        deferred ++= f
+        Unit(k)
+      } else u
+    }
+    kept ++ deferred.result().map(s => Unit(Vector(s)))
+  }
+
+  /** Place one page; every candidate layout is validated by replaying the
+    * pipeline's shared ordering core, falling back through: two-column with
+    * deferred far captions -> two-column -> single with deferred -> single.
+    * Docs whose model emits original_order accept the hardest layout
+    * immediately (the shortcut recovers any geometry). */
   private def placePage(mains: Vector[InSpan], twoCol: Boolean, pageIdx: Int,
-      vert: InSpan => Boolean)
+      vert: InSpan => Boolean, far: InSpan => Boolean, emitsOrd: Boolean)
       : Vector[(InSpan, (Double, Double, Double, Double))] = {
     val (titleOpt, rest) = mains.headOption match {
       case Some(t) if t.kind == Kinds.Title => (Some(t), mains.tail)
@@ -190,14 +221,13 @@ object StubModel extends DocModel {
       if (pageIdx == 0) (MarginX, 50.0, PageW - MarginX, 82.0)
       else (MarginX, 56.0, PageW - MarginX, 78.0)
     val titlePlaced = titleOpt.map(t => (t, titleBox)).toVector
-    val units = toUnits(rest)
+    val baseUnits = toUnits(rest)
 
-
-    def single: Vector[(InSpan, (Double, Double, Double, Double))] =
+    def single(units: Vector[Unit]): Vector[(InSpan, (Double, Double, Double, Double))] =
       titlePlaced ++ placeColumn(units, MarginX, PageW - 2 * MarginX, yStart, vert)._1
 
-    if (!twoCol || units.length < 2) single
-    else {
+    def twoColCandidates(units: Vector[Unit]): Iterator[Vector[(InSpan, (Double, Double, Double, Double))]] = {
+      if (units.length < 2) return Iterator.empty
       val colW = (PageW - 2 * MarginX - ColGap) / 2
       // split units at roughly half the stacked height
       val heights = units.map(u => u.blocks.map(b =>
@@ -213,27 +243,26 @@ object StubModel extends DocModel {
         i += 1
       }
       val (u1, u2) = units.splitAt(splitAt)
-      if (u1.isEmpty || u2.isEmpty) return single
+      if (u1.isEmpty || u2.isEmpty) return Iterator.empty
       val (c1, bottom1) = placeColumn(u1, MarginX, colW, yStart, vert)
+      if (bottom1 > ContentBottom) return Iterator.empty
       val offsets = Vector(0.0, 5.0, 11.0, 18.0, 26.0, 35.0, 45.0)
-      val ok = offsets.iterator.map { off =>
+      offsets.iterator.flatMap { off =>
         val (c2, bottom2) = placeColumn(u2, MarginX + colW + ColGap, colW, yStart + off, vert)
-        if (bottom1 > ContentBottom || bottom2 > ContentBottom) None
-        else {
-          val placed = titlePlaced ++ c1 ++ c2
-          // simulate: does XY-cut over the pipeline's anchor boxes reproduce
-          // authoring order? Attachability must mirror the tie-up EXACTLY:
-          // distance-based — an attachment beyond MaxAttachDist of every
-          // subject is an orphan and participates in the cut.
-          val cutIn = placed.filter(p => !simulatedAttached(p, placed))
-          val orderGot = XYCut.order(cutIn.map(_._2))
-          val authoring = cutIn.map(_._1.offset).sorted
-          val got = orderGot.map(i => cutIn(i)._1.offset)
-          if (got == authoring) Some(placed) else None
-        }
-      }.collectFirst { case Some(p) => p }
-      ok.getOrElse(single)
+        if (bottom2 > ContentBottom) None
+        else Some(titlePlaced ++ c1 ++ c2)
+      }
     }
+
+    val farUnits = deferFar(baseUnits, far)
+    val hasFar = farUnits != baseUnits
+    val candidates: Iterator[Vector[(InSpan, (Double, Double, Double, Double))]] =
+      (if (twoCol) {
+        (if (hasFar) twoColCandidates(farUnits) else Iterator.empty) ++
+          twoColCandidates(baseUnits)
+      } else Iterator.empty) ++
+        (if (hasFar) Iterator(single(farUnits)) else Iterator.empty)
+    candidates.find(p => orderSafe(p, emitsOrd)).getOrElse(single(baseUnits))
   }
 
   override def analyze(doc: DocRow): Seq[PageModel] = {
@@ -255,19 +284,26 @@ object StubModel extends DocModel {
     }
     if (cur.nonEmpty) pages += cur.toVector
 
+    val emitsOrd = emitsOrder(doc.doc_id)
+    val far = (sp: InSpan) => isFarCaption(doc.doc_id, sp)
+
     pages.toVector.zipWithIndex.map { case (pageSpans, p) =>
       val twoCol = kr.chance(0.3)
       val mains = pageSpans.filter(s => !Kinds.discarded(s.kind))
       val vert = (sp: InSpan) => isVertical(doc.doc_id, sp)
-      val placed = placePage(mains, twoCol, p, vert)
+      val placed = placePage(mains, twoCol, p, vert, far, emitsOrd)
 
       val dets = ArrayBuffer.empty[Det]
       // main dets, authoring order (scores drawn in this fixed order).
       // Paragraph text is emitted as PER-LINE detections (justified to the
       // block width) — the text layer a pdftext/OCR pass yields; the
       // pipeline's line merge reassembles blocks (span_block_fix.py line
-      // building + fill_spans_in_blocks).
+      // building + fill_spans_in_blocks). When the doc's layout model
+      // supplies reading order, every line of a block carries the block's
+      // original_order (extract_block_original_order takes the min,
+      // block_sort.py:132-142 — with equal per-line values this is it).
       placed.foreach { case (s, (x0, y0, x1, y1)) =>
+        val ord = if (emitsOrd) s.offset else -1
         val score =
           if (scanned) 0.32 + 0.5 * kr.nextDouble()
           else 0.55 + 0.44 * kr.nextDouble()
@@ -280,7 +316,7 @@ object StubModel extends DocModel {
             while (i < chunks.length) {
               val xHi = x1 - VertColPitch * i
               dets += Det(Kinds.Text, xHi - 12.0, y0, xHi, y0 + VertHeight,
-                score, chunks(i), "")
+                score, chunks(i), "", ord)
               i += 1
             }
           case Kinds.Text =>
@@ -288,13 +324,13 @@ object StubModel extends DocModel {
             var i = 0
             while (i < lines.length) {
               dets += Det(Kinds.Text, x0, y0 + 14.0 * i, x1, y0 + 14.0 * i + 12.0,
-                score, lines(i), "")
+                score, lines(i), "", ord)
               i += 1
             }
           case Kinds.ListK | Kinds.Index => // the model can't see list/TOC-ness
-            dets += Det(Kinds.Text, x0, y0, x1, y1, score, s.text, s.media_ref)
+            dets += Det(Kinds.Text, x0, y0, x1, y1, score, s.text, s.media_ref, ord)
           case k =>
-            dets += Det(k, x0, y0, x1, y1, score, s.text, s.media_ref)
+            dets += Det(k, x0, y0, x1, y1, score, s.text, s.media_ref, ord)
         }
       }
       // boilerplate dets: header/footer detected as abandon; the page number

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.schema._
 import graft.geom.Geo
-import graft.order.XYCut
+import graft.order.{XYCut, XYCutV3}
 import scala.collection.mutable
 
 /** Page-level processing: the geometric cleanup + tie-up + reading-order
@@ -27,13 +27,149 @@ object PageOps {
     * results land below it; real text lines stay above on both routes. */
   private val RecMinConf = 0.3
 
-  /** Attachment distance rejection bound: an attachment farther than this
-    * from every subject is an orphan and keeps its own place in the reading
-    * order (the reference rejects pairs at >= 3x the nearest distance,
-    * magic_model_utils.py:30-169; the renderer guarantees real attachments
-    * sit within 26px of their body). Shared with the kernel's order-safety
-    * simulation, which must model attachability identically. */
-  val MaxAttachDist = 30.0
+  /** Full port of the reference's tie-up matching,
+    * tie_up_category_by_distance_v3 (magic_model_utils.py:30-169), over
+    * indices into `blocks`:
+    *
+    *  phase 1 — greedy top-left sweep: among unseen boxes pick the one
+    *    nearest the sweep origin (min (x0-left)^2+(y0-top)^2), pair it with
+    *    its nearest opposite-kind box; REJECT the pair when
+    *    `pair_dis >= 3 * nearest_dis` (nearest_dis = the object's distance
+    *    to its closest subject, seen or not — magic_model_utils.py:104-113),
+    *    retiring the subject but leaving the object for phase 2;
+    *  phase 2 — every leftover object attaches to its nearest subject
+    *    UNCONDITIONALLY (no distance bound, magic_model_utils.py:130-156):
+    *    an object is standalone only when the page has no subject at all.
+    *
+    * Returns subject block idx -> object block idxs in attachment order
+    * (phase-1 object first, phase-2 appends in sweep order) — the order the
+    * reference renders the attachment list in. */
+  def tieUp(blocks: Vector[Det], subjIdxIn: Vector[Int],
+      objIdxIn: Vector[Int]): Map[Int, Vector[Int]] = {
+    if (subjIdxIn.isEmpty || objIdxIn.isEmpty) return Map.empty
+    @inline def d2origin(i: Int): Double = {
+      val b = blocks(i); b.x0 * b.x0 + b.y0 * b.y0
+    }
+    val subs = subjIdxIn.sortBy(d2origin)
+    val objs = objIdxIn.sortBy(d2origin)
+    @inline def dist(a: Int, b: Int): Double = {
+      val p = blocks(a); val q = blocks(b)
+      Geo.edgeDist(p.x0, p.y0, p.x1, p.y1, q.x0, q.y0, q.x1, q.y1)
+    }
+    val n = subs.length
+    // entry encoding: 0..n-1 subjects, n..n+m-1 objects (mirrors the
+    // reference's OBJ_IDX_OFFSET scheme; python list order = subs then objs)
+    val entries = Vector.tabulate(n + objs.length)(identity)
+    @inline def blockOf(e: Int): Int = if (e < n) subs(e) else objs(e - n)
+    @inline def isObj(e: Int): Boolean = e >= n
+    val seen = mutable.Set.empty[Int]
+    val matchedSubs = mutable.Set.empty[Int]
+    val ret = mutable.LinkedHashMap.empty[Int, Vector[Int]]
+    var break1 = false
+    while (!break1 && matchedSubs.size < n) {
+      val cands = entries.filterNot(seen)
+      if (cands.isEmpty) break1 = true
+      else {
+        var leftX = Double.MaxValue; var topY = Double.MaxValue
+        cands.foreach { e =>
+          val b = blocks(blockOf(e))
+          if (b.x0 < leftX) leftX = b.x0
+          if (b.y0 < topY) topY = b.y0
+        }
+        // both sorts are stable, mirroring python's
+        val bySweep = cands.sortBy { e =>
+          val b = blocks(blockOf(e))
+          (b.x0 - leftX) * (b.x0 - leftX) + (b.y0 - topY) * (b.y0 - topY)
+        }
+        val fst = bySweep.head
+        val byDist = bySweep.sortBy(e => dist(blockOf(fst), blockOf(e)))
+        byDist.drop(1).find(e => isObj(e) != isObj(fst)) match {
+          case None => break1 = true
+          case Some(nxt) =>
+            val (si, oi) = if (!isObj(fst)) (fst, nxt - n) else (nxt, fst - n)
+            val pairDis = dist(subs(si), objs(oi))
+            var nearest = Double.MaxValue
+            subs.foreach { s =>
+              val d = dist(s, objs(oi)); if (d < nearest) nearest = d
+            }
+            if (pairDis >= 3 * nearest) {
+              seen += si
+            } else {
+              seen += si; seen += (oi + n)
+              matchedSubs += si
+              ret(si) = ret.getOrElse(si, Vector.empty) :+ oi
+            }
+        }
+      }
+    }
+    // phase 2: leftover objects -> nearest subject, unconditionally
+    var oi = 0
+    while (oi < objs.length) {
+      if (!seen(oi + n)) {
+        seen += (oi + n)
+        var nearest = Double.MaxValue; var nk = -1
+        var k = 0
+        while (k < n) {
+          val d = dist(subs(k), objs(oi))
+          if (d < nearest) { nearest = d; nk = k }
+          k += 1
+        }
+        if (nk >= 0) {
+          ret(nk) = ret.getOrElse(nk, Vector.empty) :+ oi
+          matchedSubs += nk
+        }
+      }
+      oi += 1
+    }
+    ret.map { case (si, ois) => subs(si) -> ois.map(objs) }.toMap
+  }
+
+  /** Steps 5-7 as one shared core (also driven by the kernel stub's layout
+    * validation, so pipeline and renderer simulation can never diverge):
+    * tie-up, then reading order over anchors, then attachment expansion.
+    * Ordering dispatch mirrors block_sort.py:154-236: the model-order
+    * shortcut when any anchor carries original_order >= 0, else XY-cut++
+    * v3, falling back to the classic cut on failure. Returns block indices
+    * in emission order. */
+  def orderBlocks(blocks: Vector[Det]): Vector[Int] = {
+    val capIdx = blocks.indices.toVector.filter(i => blocks(i).cat == Kinds.Caption)
+    val fnIdx = blocks.indices.toVector.filter(i => blocks(i).cat == Kinds.Footnote)
+    val numIdx = blocks.indices.toVector.filter(i => blocks(i).cat == Kinds.FormulaNumber)
+    val bodyIdx = blocks.indices.toVector.filter(i => Kinds.bodies(blocks(i).cat))
+    val formulaIdx = blocks.indices.toVector.filter(i => blocks(i).cat == Kinds.Formula)
+
+    // captions and footnotes tie to bodies in separate runs (the reference
+    // runs one tie-up per category pair, pipeline_magic_model.py:227-300);
+    // per subject the rendered order is captions, then footnotes
+    val capAssign = tieUp(blocks, bodyIdx, capIdx)
+    val fnAssign = tieUp(blocks, bodyIdx, fnIdx)
+    val numAssign = tieUp(blocks, formulaIdx, numIdx)
+    val attached = (capAssign.values.flatten ++ fnAssign.values.flatten ++
+      numAssign.values.flatten).toSet
+
+    val anchorsIdx = blocks.indices.toVector.filterNot(attached)
+    val order: Vector[Int] =
+      if (anchorsIdx.exists(i => blocks(i).order >= 0)) {
+        // model-order shortcut (block_sort.py:154-170): anchors sorted by
+        // the model's own order; orderless anchors go last by geometry
+        anchorsIdx.indices.toVector.sortBy { k =>
+          val b = blocks(anchorsIdx(k))
+          if (b.order >= 0) (0, b.order.toDouble, 0.0) else (1, b.y0, b.x0)
+        }
+      } else {
+        val boxes = anchorsIdx.map { i =>
+          val b = blocks(i); (b.x0, b.y0, b.x1, b.y1)
+        }
+        try XYCutV3.order(boxes)
+        catch { case _: Exception => XYCut.order(boxes) } // block_sort.py:230-236
+      }
+    order.flatMap { k =>
+      val ai = anchorsIdx(k)
+      ai +: (capAssign.getOrElse(ai, Vector.empty) ++
+        fnAssign.getOrElse(ai, Vector.empty) ++
+        numAssign.getOrElse(ai, Vector.empty))
+    }
+  }
 
   def process(pm: PageModel): Vector[OrderedBlock] = {
     // 1. low-confidence filter + OCR rec-confidence filter on text
@@ -157,54 +293,10 @@ object PageOps {
     }
     val blocks = scopedText ++ unionedBodies
 
-    // 5. tie-up: captions/footnotes attach to the nearest figure/table body,
-    //    formula numbers to the nearest formula (greedy by edge distance —
-    //    magic_model_utils.py:30-169 tie_up_category_by_distance_v3)
-    // All assignment bookkeeping is by index into `blocks` — keying by Det
-    // value would silently collapse byte-identical detections (same
-    // cat/box/score/text) into one map entry and drop an attachment.
-    val attachIdx = blocks.indices.toVector.filter(i => attachCats(blocks(i).cat))
-    val numberIdx = blocks.indices.toVector.filter(i => blocks(i).cat == Kinds.FormulaNumber)
-    val bodyIdx = blocks.indices.toVector.filter(i => Kinds.bodies(blocks(i).cat))
-    val formulaIdx = blocks.indices.toVector.filter(i => blocks(i).cat == Kinds.Formula)
-
-    def greedyAssign(objs: Vector[Int], subjects: Vector[Int]): Map[Int, Int] = {
-      if (objs.isEmpty || subjects.isEmpty) return Map.empty
-      val pairs = for (oi <- objs; si <- subjects) yield {
-        val o = blocks(oi); val s = blocks(si)
-        (Geo.edgeDist(o.x0, o.y0, o.x1, o.y1, s.x0, s.y0, s.x1, s.y1), oi, si)
-      }
-      val sorted = pairs.filter(_._1 <= MaxAttachDist)
-        .sortBy { case (dist, oi, si) =>
-          val o = blocks(oi); val s = blocks(si)
-          (dist, o.y0, o.x0, s.y0, s.x0, oi, si)
-        }
-      val assigned = mutable.Map.empty[Int, Int]
-      sorted.foreach { case (_, oi, si) =>
-        if (!assigned.contains(oi)) assigned(oi) = si
-      }
-      assigned.toMap
-    }
-
-    val attachTo = greedyAssign(attachIdx, bodyIdx) ++ greedyAssign(numberIdx, formulaIdx)
-
-    // 6. reading order over the anchor blocks (XY-cut; orphan attachments
-    //    degrade to ordinary blocks)
-    val anchorsIdx = blocks.indices.toVector.filterNot(attachTo.contains) // includes orphans
-    val order = XYCut.order(anchorsIdx.map { i =>
-      val d = blocks(i); (d.x0, d.y0, d.x1, d.y1)
-    })
-
-    // 7. expand anchors with their attachments (top-to-bottom, then
-    //    left-to-right within the group — group median placement degenerates
-    //    to this for contiguous authoring indices, block_sort.py:276-292)
-    val byAnchor = attachTo.toVector.groupBy(_._2).map { case (si, kv) =>
-      si -> kv.map(_._1).sortBy(oi => (blocks(oi).y0, blocks(oi).x0, oi))
-    }
-    val expanded = order.flatMap { k =>
-      val ai = anchorsIdx(k)
-      (ai +: byAnchor.getOrElse(ai, Vector.empty)).map(blocks)
-    }
+    // 5-7. tie-up + reading order + attachment expansion (shared core —
+    //      see orderBlocks; index-keyed so byte-identical detections can't
+    //      collapse into one map entry)
+    val expanded = orderBlocks(blocks).map(blocks)
 
     // 8. list re-classification on text blocks (para_split.py:73-270 rules,
     //    simplified: >=3 lines, >=80% bullet/numbered starts)

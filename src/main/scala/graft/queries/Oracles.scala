@@ -68,6 +68,18 @@ object Oracles {
          |    row_number() OVER (PARTITION BY doc_id ORDER BY page, y0, x0, pos) AS ord
          |  FROM dets) ORDER BY doc_id, ord""".stripMargin,
 
+    // column-major rank of the synthetic aligned-gap two-column layout:
+    // the SQL mirror of what XYCutV3's column pre-cut must produce
+    "reading_order_v3" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |e AS (SELECT doc_id, UNNEST(generate_series(1, len(w))) AS i FROM d),
+        |p AS (SELECT doc_id, (i - 1)::INT AS pos FROM e),
+        |r AS (SELECT doc_id, pos,
+        |  row_number() OVER (PARTITION BY doc_id, pos // 24
+        |    ORDER BY (pos % 24) % 2, (pos % 24) // 2) AS rnk
+        |  FROM p)
+        |SELECT doc_id, pos, rnk::INT AS rnk FROM r ORDER BY doc_id, pos""".stripMargin,
+
     "media_ref" ->
       s"""$detsCte
          |SELECT doc_id, pos, cat,

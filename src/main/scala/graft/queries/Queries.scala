@@ -103,6 +103,33 @@ object Queries {
       .orderBy("doc_id", "ord")
   }
 
+  /** XY-cut++ v3 reading order over a synthetic two-column layout with
+    * ALIGNED cross-column y-gaps — the layout class the classic cut
+    * provably mis-orders (interleaves rows) and the v3 column pre-cut
+    * reads column-major (xycut_plus_v3.py:459-579, xycut_enhanced). Runs
+    * the engine's real XYCutV3 per (doc, page) via a typed group fold; the
+    * oracle replays the expected column-major rank in SQL. */
+  def readingOrderV3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = tbl(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("int").as("pos"))
+      .as[(Long, Int)]
+    d.groupByKey { case (id, pos) => (id, pos / 24) }
+      .flatMapGroups { (key: (Long, Int), it: Iterator[(Long, Int)]) =>
+        val id = key._1
+        val ps = it.map(_._2).toVector.sorted
+        val boxes = ps.map { p =>
+          val idx = p % 24; val c = idx % 2; val r = idx / 2
+          (40.0 + c * 300.0, 60.0 + r * 55.0, 240.0 + c * 300.0, 100.0 + r * 55.0)
+        }
+        val ord = graft.order.XYCutV3.order(boxes)
+        ord.zipWithIndex.map { case (bi, rnk) => (id, ps(bi), rnk + 1) }
+      }
+      .toDF("doc_id", "pos", "rnk")
+      .orderBy("doc_id", "pos")
+  }
+
   /** Deterministic media_ref derivation for figure/table dets — the
     * reference names cropped images sha256(content-addressed)
     * (rapid_doc/utils/pdf_image_tools.py:203-218). Pure column expression:
@@ -432,6 +459,7 @@ object Queries {
     "det_iou_dedup" -> detIouDedup _,
     "page_median_height" -> pageMedianHeight _,
     "reading_order" -> readingOrder _,
+    "reading_order_v3" -> readingOrderV3 _,
     "media_ref" -> mediaRef _,
     "classify_router" -> classifyRouter _,
     "caption_nearest" -> captionNearest _,

@@ -48,13 +48,17 @@ object Kinds {
 }
 
 /** One layout detection emitted by the kernel (the analogue of the
-  * reference model-JSON layout_dets rows, rapid_layout.py:99-106). */
+  * reference model-JSON layout_dets rows, rapid_layout.py:99-106).
+  * `order` carries the model's own reading order when the layout model
+  * supplies one (`original_order`, PP-DocLayoutV2/V3 behavior — the
+  * model-order shortcut, block_sort.py:154-170); -1 = not provided. */
 case class Det(
     cat: String,
     x0: Double, y0: Double, x1: Double, y1: Double,
     score: Double,
     text: String,
-    media_ref: String) {
+    media_ref: String,
+    order: Int = -1) {
   def w: Double = x1 - x0
   def h: Double = y1 - y0
   def cx: Double = (x0 + x1) / 2

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.prop.TableDrivenPropertyChecks
+import graft.order.{XYCut, XYCutV3}
+import scala.util.Random
+
+/** XY-cut++ v3 (xycut_plus_v3.py:459-579 / xycut_enhanced) behavioral
+  * checks: the column pre-cut must recover column-major order on layouts
+  * where the classic cut provably fails, and must agree with the classic
+  * cut wherever the classic cut is well-defined. */
+class XYCutV3Spec extends AnyFunSuite with TableDrivenPropertyChecks {
+
+  private type Box = (Double, Double, Double, Double)
+
+  test("aligned cross-column y-gap: classic interleaves, v3 reads column-major") {
+    // two columns, two rows each, with a whitespace band running across
+    // BOTH columns between the rows (the case XYCutSpec round 1 documented
+    // as 'the renderer avoids')
+    val boxes: IndexedSeq[Box] = Vector(
+      (36, 100, 286, 200),  // 0: col1 row1
+      (36, 260, 286, 360),  // 1: col1 row2
+      (326, 100, 576, 200), // 2: col2 row1
+      (326, 260, 576, 360)) // 3: col2 row2
+    assert(XYCutV3.order(boxes) == Vector(0, 1, 2, 3), "v3 column-major")
+    assert(XYCut.order(boxes) == Vector(0, 2, 1, 3), "classic splits on y first")
+  }
+
+  test("full-width title then aligned-gap columns: title first, then columns") {
+    val boxes: IndexedSeq[Box] = Vector(
+      (36, 50, 576, 82),    // 0: title spans both columns
+      (36, 100, 286, 200),  // 1: col1 row1
+      (36, 260, 286, 360),  // 2: col1 row2
+      (326, 100, 576, 200), // 3: col2 row1
+      (326, 260, 576, 360)) // 4: col2 row2
+    assert(XYCutV3.order(boxes) == Vector(0, 1, 2, 3, 4))
+  }
+
+  test("three columns order left to right") {
+    val boxes: IndexedSeq[Box] = Vector(
+      (400, 100, 500, 300), // 0: col3
+      (36, 100, 136, 300),  // 1: col1
+      (218, 100, 318, 300)) // 2: col2
+    assert(XYCutV3.order(boxes) == Vector(1, 2, 0))
+  }
+
+  test("v3 equals classic on single-column stacks and side-by-side rows") {
+    val stacks = Table(
+      "boxes",
+      Vector[Box]((36, 60, 576, 120), (36, 150, 576, 210), (36, 240, 576, 300)),
+      Vector[Box]((36, 60, 286, 120), (326, 60, 576, 120)), // one row, two cells
+      Vector[Box]((36, 50, 576, 82), (36, 100, 576, 200), (36, 230, 576, 330)))
+    forAll(stacks) { boxes =>
+      assert(XYCutV3.order(boxes) == XYCut.order(boxes))
+    }
+  }
+
+  test("permutation invariance: emitted sequence is independent of input order") {
+    val rng = new Random(42)
+    val base: IndexedSeq[Box] = Vector(
+      (36, 50, 576, 82),
+      (36, 100, 286, 200), (36, 260, 286, 360), (36, 420, 286, 520),
+      (326, 100, 576, 200), (326, 260, 576, 360))
+    val want = XYCutV3.order(base).map(base)
+    (1 to 50).foreach { _ =>
+      val perm = rng.shuffle(base.indices.toVector)
+      val shuffled = perm.map(base)
+      val got = XYCutV3.order(shuffled).map(shuffled)
+      assert(got == want)
+    }
+  }
+}
