@@ -91,6 +91,32 @@ object DocGen {
       s"<table>$header${rows.drop(cut).mkString}</table>")
   }
 
+  /** Split table with differing column counts: part 1 rows are colspan-2
+    * full-width cells (2 effective cols), part 2 grows to 3 columns — the
+    * pipeline's merge must widen part 1's colspans to the 3-column target
+    * (table_merge.py adjust_table_rows_colspan:680). Part 2 repeats no
+    * header (header texts differ), exercising the k=0 boundary-row match. */
+  private def colspanSplit(r: SplitMix64, k: Int): (String, String) = {
+    val p1 = s"<table><tr><td>Model $k</td><td>${cap(word(r))}</td></tr>" +
+      Vector.fill(2)(
+        s"""<tr><td colspan="2">${cap(word(r))} ${word(r)} ${100 + r.nextInt(900)}</td></tr>""").mkString +
+      "</table>"
+    val p2 = s"<table><tr><td>${cap(word(r))}</td><td>${r.nextInt(100)}</td></tr>" +
+      s"<tr><td>${cap(word(r))}</td><td>${r.nextInt(100)}</td><td>${r.nextInt(100)}</td></tr></table>"
+    (p1, p2)
+  }
+
+  /** Split table with a two-row rowspan header repeated on both parts —
+    * the merge's header skip must expand over the rowspan coverage
+    * (table_merge.py _expand_header_count_by_rowspan:560). */
+  private def rowspanSplit(r: SplitMix64, k: Int): (String, String) = {
+    val header = s"""<tr><td rowspan="2">Model $k</td><td>${cap(word(r))}</td></tr>""" +
+      s"<tr><td>${cap(word(r))}</td></tr>"
+    def rows(m: Int) = Vector.fill(m)(
+      s"<tr><td>${cap(word(r))}</td><td>${100 + r.nextInt(900)}</td></tr>").mkString
+    (s"<table>$header${rows(2)}</table>", s"<table>$header${rows(1 + r.nextInt(2))}</table>")
+  }
+
   private def formulaLatex(r: SplitMix64): String = {
     val i = 1 + r.nextInt(9)
     s"$$$$ \\lambda_{$i} = \\frac{a_{$i}}{\\bar{x}} $$$$".replace("$$$$", "$$")
@@ -124,7 +150,7 @@ object DocGen {
     * hyphen rule pipeline_middle_json_mkcontent.py:11-21). */
   case class ABlock(kind: String, text: String, mediaRef: String = "",
       contWith: Boolean = false, hyphen: Boolean = false,
-      contTable: Boolean = false, level: Int = 0)
+      level: Int = 0)
 
   case class APage(blocks: Vector[ABlock])
 
@@ -165,8 +191,12 @@ object DocGen {
           if (r.chance(0.8)) blocks += ABlock(Kinds.Caption, s"Figure $figK: Figure Caption")
         } else if (roll < 0.82) {
           tabK += 1
-          blocks += ABlock(Kinds.Table, tableHtml(r, tabK))
+          // table captions are authored ABOVE the body (the reference's
+          // documents have them there; mkcontent renders caption before
+          // body) — this is also what lets a fresh table's own caption
+          // block a cross-page merge (can_merge_tables:598)
           if (r.chance(0.8)) blocks += ABlock(Kinds.Caption, s"Table $tabK: Table Caption")
+          blocks += ABlock(Kinds.Table, tableHtml(r, tabK))
           if (r.chance(0.4)) blocks += ABlock(Kinds.Footnote, s"Note: ${word(r)} ${word(r)}.")
         } else if (roll < 0.92) {
           blocks += ABlock(Kinds.Formula, formulaLatex(r))
@@ -184,17 +214,37 @@ object DocGen {
     }
     // Cross-page TABLE continuation pass (runs before the paragraph pass so
     // a boundary gets at most one continuation construct): a table whose
-    // rows flow onto the next page, both parts repeating the header row
-    // (reference: utils/table_merge.py:857-1006).
+    // rows flow onto the next page. Seven variants exercise the full merge
+    // protocol (utils/table_merge.py:483-1006): plain header repeat,
+    // continuation caption, colspan adjustment, rowspan header skip,
+    // footnote relocation, post-table caption restore, and a NEGATIVE case
+    // (previous-part footnote blocks the merge entirely).
     val withTables = pages.toArray
     var tp = 0
     while (tp < np - 1) {
       if (r.chance(0.15)) {
         tabK += 1
-        val (part1, part2) = splitTable(r, tabK)
-        withTables(tp) = APage(withTables(tp).blocks :+
-          ABlock(Kinds.Table, part1, contTable = true))
-        withTables(tp + 1) = APage(ABlock(Kinds.Table, part2) +: withTables(tp + 1).blocks)
+        val variant = r.nextInt(7)
+        val (part1, part2) = variant match {
+          case 2 => colspanSplit(r, tabK)
+          case 3 => rowspanSplit(r, tabK)
+          case _ => splitTable(r, tabK)
+        }
+        val append = Vector.newBuilder[ABlock]
+        append += ABlock(Kinds.Caption, s"Table $tabK: Table Caption")
+        append += ABlock(Kinds.Table, part1)
+        if (variant == 6) // negative: prev footnote -> can_merge says no
+          append += ABlock(Kinds.Footnote, s"Note: ${word(r)} ${word(r)}.")
+        val prepend = Vector.newBuilder[ABlock]
+        if (variant == 1 || variant == 3)
+          prepend += ABlock(Kinds.Caption, s"Table $tabK (continued)")
+        prepend += ABlock(Kinds.Table, part2)
+        if (variant == 4) // relocates onto the merged table
+          prepend += ABlock(Kinds.Footnote, s"Note: ${word(r)} ${word(r)}.")
+        if (variant == 5) // stray caption under the continuation -> text
+          prepend += ABlock(Kinds.Caption, s"Remarks ${word(r)}.")
+        withTables(tp) = APage(withTables(tp).blocks ++ append.result())
+        withTables(tp + 1) = APage(prepend.result() ++ withTables(tp + 1).blocks)
       }
       tp += 1
     }
@@ -210,9 +260,11 @@ object DocGen {
       val hasBody = pg.blocks.exists(b => b.kind == Kinds.Figure || b.kind == Kinds.Table)
       if (hasBody) {
         val fixed = pg.blocks.zipWithIndex.map { case (b, i) =>
-          val standalone = b.kind == Kinds.Caption &&
-            (i == 0 || !(pg.blocks(i - 1).kind == Kinds.Figure ||
-              pg.blocks(i - 1).kind == Kinds.Table))
+          val afterBody = i > 0 && (pg.blocks(i - 1).kind == Kinds.Figure ||
+            pg.blocks(i - 1).kind == Kinds.Table)
+          val beforeTable = i + 1 < pg.blocks.length &&
+            pg.blocks(i + 1).kind == Kinds.Table
+          val standalone = b.kind == Kinds.Caption && !afterBody && !beforeTable
           if (standalone) b.copy(kind = Kinds.Text) else b
         }
         withTables(cp) = APage(fixed)
@@ -318,20 +370,16 @@ object DocGen {
       }
     }
     flat = tagged.result()
-    // cross-page table merge (golden side: driven by the authoring flag;
-    // the pipeline must re-derive the decision from header equality)
-    val tmerged = Vector.newBuilder[(Int, ABlock)]
-    var ti = 0
-    while (ti < flat.length) {
-      val (p, b) = flat(ti)
-      if (b.contTable && ti + 1 < flat.length && flat(ti + 1)._2.kind == Kinds.Table) {
-        val b2 = flat(ti + 1)._2
-        tmerged += ((p, b.copy(
-          text = graft.pipeline.TableMerge.merge(b.text, b2.text), contTable = false)))
-        ti += 2
-      } else { tmerged += ((p, b)); ti += 1 }
-    }
-    flat = tmerged.result()
+    // cross-page table merge: the SAME stream pass the pipeline runs
+    // (TableMerge.mergeStream) over the authoring sequence — merge
+    // decisions, header skip, caption drop/restore and footnote relocation
+    // are one shared implementation, so golden and pipeline cannot diverge
+    // on them; what the pipeline must still independently recover is the
+    // stream itself (order, attachment structure, boilerplate strip)
+    flat = graft.pipeline.TableMerge.mergeStream(flat)(
+      t => t._2.kind, t => t._2.text, t => t._1,
+      (t, s) => (t._1, t._2.copy(text = s)),
+      t => (t._1, t._2.copy(kind = Kinds.Text)))
     // cross-page paragraph merge
     val merged = Vector.newBuilder[(Int, ABlock)]
     var j = 0

@@ -137,16 +137,30 @@ object StubModel extends DocModel {
     (fixed, y)
   }
 
-  /** Group a page's main spans into units (block + trailing attachments). */
+  /** Group a page's main spans into units. Attachments trail their block;
+    * a caption immediately FOLLOWED by a body leads that body's unit
+    * (table captions are authored above the table, as the reference's
+    * documents have them — mkcontent renders caption before body). */
   private def toUnits(spans: Vector[InSpan]): Vector[Unit] = {
     val units = Vector.newBuilder[Unit]
     var cur = Vector.empty[InSpan]
-    spans.foreach { s =>
-      if (attachKinds(s.kind) && cur.nonEmpty) cur = cur :+ s
-      else {
+    var i = 0
+    while (i < spans.length) {
+      val s = spans(i)
+      val leadsBody = s.kind == Kinds.Caption && i + 1 < spans.length &&
+        Kinds.bodies(spans(i + 1).kind)
+      if (leadsBody) {
+        if (cur.nonEmpty) units += Unit(cur)
+        cur = Vector(s)
+      } else if (cur.nonEmpty &&
+          (attachKinds(s.kind) || cur.forall(b => attachKinds(b.kind)))) {
+        // trailing attachment, or the body following its leading caption
+        cur = cur :+ s
+      } else {
         if (cur.nonEmpty) units += Unit(cur)
         cur = Vector(s)
       }
+      i += 1
     }
     if (cur.nonEmpty) units += Unit(cur)
     units.result()
@@ -187,16 +201,22 @@ object StubModel extends DocModel {
     got == placed.map(_._1.offset).sorted
   }
 
-  /** Pull far-flagged captions out of body units and re-append them as
-    * standalone trailing units (placed at the column end). */
+  /** Pull far-flagged BELOW-captions (authored after their body — figure
+    * captions) out of body units and re-append them as standalone trailing
+    * units placed at the column end. Above-captions stay put: deferring
+    * them would flip their rendered side. */
   private def deferFar(units: Vector[Unit], far: InSpan => Boolean): Vector[Unit] = {
     val deferred = Vector.newBuilder[InSpan]
     val kept = units.map { u =>
-      if (u.blocks.nonEmpty && Kinds.bodies(u.blocks.head.kind)) {
-        val (f, k) = u.blocks.partition(s => s.kind == Kinds.Caption && far(s))
-        deferred ++= f
-        Unit(k)
-      } else u
+      val bodyAt = u.blocks.indexWhere(b => Kinds.bodies(b.kind))
+      if (bodyAt < 0) u
+      else {
+        val (f, k) = u.blocks.zipWithIndex.partition { case (s, i) =>
+          i > bodyAt && s.kind == Kinds.Caption && far(s)
+        }
+        deferred ++= f.map(_._1)
+        Unit(k.map(_._1))
+      }
     }
     kept ++ deferred.result().map(s => Unit(Vector(s)))
   }

@@ -27,25 +27,15 @@ object Assemble {
       .flatten.toVector
 
     // cross-page table merge (flag-gated; reference env
-    // MINERU_TABLE_MERGE_ENABLE, utils/table_merge.py:950-1006): adjacent
-    // tables across a page boundary sharing an identical header row merge
-    // into one, dropping the repeated header
+    // MINERU_TABLE_MERGE_ENABLE, utils/table_merge.py:950-1006): the full
+    // stream pass — continuation-caption gating, header skip with rowspan
+    // expansion, colspan adjustment, footnote relocation, stray-caption
+    // restore (shared with the golden generator)
     if (mergeTables) {
-      val out = Vector.newBuilder[OrderedBlock]
-      var i = 0
-      while (i < flat.length) {
-        var b = flat(i)
-        var k = i
-        while (b.kind == Kinds.Table && k + 1 < flat.length &&
-            flat(k + 1).kind == Kinds.Table && flat(k + 1).page_idx == b.page_idx + (k - i) + 1 &&
-            TableMerge.canMerge(b.text, flat(k + 1).text)) {
-          b = b.copy(text = TableMerge.merge(b.text, flat(k + 1).text))
-          k += 1
-        }
-        out += b
-        i = k + 1
-      }
-      flat = out.result()
+      flat = TableMerge.mergeStream(flat)(
+        _.kind, _.text, _.page_idx,
+        (b, t) => b.copy(text = t),
+        b => b.copy(kind = Kinds.Text))
     }
 
     // formula-number attach: an adjacent (formula, formula_number) pair on

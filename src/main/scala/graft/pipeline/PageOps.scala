@@ -165,9 +165,18 @@ object PageOps {
       }
     order.flatMap { k =>
       val ai = anchorsIdx(k)
-      ai +: (capAssign.getOrElse(ai, Vector.empty) ++
+      val atts = capAssign.getOrElse(ai, Vector.empty) ++
         fnAssign.getOrElse(ai, Vector.empty) ++
-        numAssign.getOrElse(ai, Vector.empty))
+        numAssign.getOrElse(ai, Vector.empty)
+      if (atts.isEmpty) Vector(ai)
+      else {
+        // attachments geometrically above their subject render BEFORE it
+        // (table captions sit above the body; the reference emits caption
+        // lists before the body, pipeline_middle_json_mkcontent.py:52-82),
+        // attachments below render after; tie-up list order within each side
+        val (above, below) = atts.partition(oi => blocks(oi).cy < blocks(ai).cy)
+        above ++ (ai +: below)
+      }
     }
   }
 

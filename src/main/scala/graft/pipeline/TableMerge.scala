@@ -1,29 +1,294 @@
 package graft.pipeline
 
-/** Cross-page table merge HTML surgery (reference:
-  * rapid_doc/utils/table_merge.py perform_table_merge:857-948,
-  * can_merge_tables:598, detect_table_headers:483 — simplified to the
-  * header-repeat protocol: a continuation table repeats the header row of
-  * the part it continues). Feature-gated in Assemble. */
+import scala.collection.mutable
+
+/** Cross-page table merge — behavioral port of the reference's protocol
+  * (/root/reference/rapid_doc/utils/table_merge.py): header detection
+  * (detect_table_headers:483), rowspan-aware header skip
+  * (_expand_header_count_by_rowspan:560), merge eligibility
+  * (can_merge_tables:598 — continuation-caption and footnote rules plus
+  * the structural boundary-row check check_rows_match:646), colspan
+  * adjustment of the narrower side (adjust_table_rows_colspan:680), row
+  * append, footnote relocation and post-table caption restore
+  * (perform_table_merge:857-948, merge_table:950-1006,
+  * _restore_post_table_captions_as_text:236).
+  *
+  * Divergences, documented: (a) the 10%-width bbox check is skipped — the
+  * flat span stream carries no geometry; (b) `cell_merge` boundary-cell
+  * fusion (_apply_cell_merge:780) is model-hint-gated in the reference
+  * (`owner_block["cell_merge"]`) and the stub kernel has no hook for it;
+  * (c) visual header fallback (_detect_table_headers_visual) collapses
+  * into the structural pass since our corpus has no colspan-variant
+  * repeated headers. */
 object TableMerge {
 
-  /** Split simple `<table><tr>..</tr>...</table>` html into row strings. */
-  def rows(html: String): Vector[String] = {
-    val body = html.stripPrefix("<table>").stripSuffix("</table>")
-    if (body.isEmpty) Vector.empty
-    else body.split("</tr>").toVector.filter(_.nonEmpty).map(_ + "</tr>")
+  val MaxHeaderRows = 5 // table_merge.py:28
+
+  // table_merge.py:13-26
+  private val ContinuationEndMarkers =
+    Vector("(续)", "(续表)", "(续上表)", "(continued)", "(cont.)", "(cont’d)")
+  private val ContinuationInlineMarkers = Vector("(continued)")
+
+  /** Continuation-caption test (_is_continuation_caption:197). */
+  def isContinuationCaption(text: String): Boolean = {
+    val t = graft.textnorm.TextNorm.fullToHalf(text.trim).toLowerCase
+    ContinuationEndMarkers.exists(m => t.endsWith(m)) ||
+      ContinuationInlineMarkers.exists(m => t.contains(m))
   }
 
-  def headerOf(html: String): Option[String] = rows(html).headOption
+  // -- HTML row model -------------------------------------------------------
 
-  /** Both tables non-empty and sharing an identical header row? */
-  def canMerge(html1: String, html2: String): Boolean =
-    (headerOf(html1), headerOf(html2)) match {
-      case (Some(h1), Some(h2)) => h1 == h2
-      case _ => false
+  case class Cell(text: String, colspan: Int, rowspan: Int)
+  type Row = Vector[Cell]
+
+  private val RowPat = java.util.regex.Pattern.compile(
+    "<tr[^>]*>(.*?)</tr>", java.util.regex.Pattern.DOTALL)
+  private val CellPat = java.util.regex.Pattern.compile(
+    "<t[dh]([^>]*)>(.*?)</t[dh]>", java.util.regex.Pattern.DOTALL)
+  private val SpanPat = java.util.regex.Pattern.compile(
+    "(colspan|rowspan)=\"(\\d+)\"")
+
+  def parse(html: String): Vector[Row] = {
+    val rows = Vector.newBuilder[Row]
+    val rm = RowPat.matcher(html)
+    while (rm.find()) {
+      val cells = Vector.newBuilder[Cell]
+      val cm = CellPat.matcher(rm.group(1))
+      while (cm.find()) {
+        var colspan = 1; var rowspan = 1
+        val sm = SpanPat.matcher(cm.group(1))
+        while (sm.find()) {
+          if (sm.group(1) == "colspan") colspan = sm.group(2).toInt
+          else rowspan = sm.group(2).toInt
+        }
+        cells += Cell(cm.group(2), colspan, rowspan)
+      }
+      rows += cells.result()
     }
+    rows.result()
+  }
 
-  /** part1 rows ++ part2 rows minus its repeated header. */
-  def merge(html1: String, html2: String): String =
-    "<table>" + (rows(html1) ++ rows(html2).drop(1)).mkString + "</table>"
+  def render(rows: Vector[Row]): String = {
+    val sb = new StringBuilder("<table>")
+    rows.foreach { r =>
+      sb.append("<tr>")
+      r.foreach { c =>
+        sb.append("<td")
+        if (c.colspan > 1) sb.append(" colspan=\"").append(c.colspan).append('"')
+        if (c.rowspan > 1) sb.append(" rowspan=\"").append(c.rowspan).append('"')
+        sb.append('>').append(c.text).append("</td>")
+      }
+      sb.append("</tr>")
+    }
+    sb.append("</table>").toString
+  }
+
+  /** Per-row effective column count with rowspan carry (the reference's
+    * _scan_rows occupancy scan). */
+  def effectiveCols(rows: Vector[Row]): Vector[Int] = {
+    var pending = Vector.empty[(Int, Int)] // (rows remaining, colspan)
+    rows.map { r =>
+      val carried = pending.map(_._2).sum
+      val own = r.map(_.colspan).sum
+      pending = pending.collect { case (n, c) if n > 1 => (n - 1, c) } ++
+        r.collect { case c if c.rowspan > 1 => (c.rowspan - 1, c.colspan) }
+      carried + own
+    }
+  }
+
+  def totalCols(rows: Vector[Row]): Int = {
+    val eff = effectiveCols(rows)
+    if (eff.isEmpty) 0 else eff.max
+  }
+
+  private def normText(s: String): String =
+    graft.textnorm.TextNorm.fullToHalf(s.trim).toLowerCase
+
+  /** Count of leading rows structurally identical in both tables
+    * (detect_table_headers:483 — cell count, colspans, rowspans,
+    * normalized texts; stops at the first mismatch). */
+  def detectHeaders(rows1: Vector[Row], rows2: Vector[Row]): Int = {
+    val lim = math.min(math.min(rows1.length, rows2.length), MaxHeaderRows)
+    var k = 0
+    var go = true
+    while (k < lim && go) {
+      val a = rows1(k); val b = rows2(k)
+      go = a.length == b.length &&
+        a.map(_.colspan) == b.map(_.colspan) &&
+        a.map(_.rowspan) == b.map(_.rowspan) &&
+        a.map(c => normText(c.text)) == b.map(c => normText(c.text))
+      if (go) k += 1
+    }
+    k
+  }
+
+  /** Expand the header skip to cover rows occupied by header rowspans
+    * (_expand_header_count_by_rowspan:560). */
+  def expandHeaderByRowspan(rows: Vector[Row], headerCount: Int): Int = {
+    if (headerCount <= 0 || rows.isEmpty) return headerCount
+    var expanded = math.min(headerCount, rows.length)
+    var i = 0
+    while (i < expanded) {
+      rows(i).foreach { c =>
+        if (c.rowspan > 1)
+          expanded = math.min(math.max(expanded, i + c.rowspan), rows.length)
+      }
+      i += 1
+    }
+    expanded
+  }
+
+  /** Boundary-row compatibility when total columns differ
+    * (check_rows_match:646, minus the rendered-segments fallback). */
+  private def checkRowsMatch(rows1: Vector[Row], rows2: Vector[Row]): Boolean = {
+    if (rows1.isEmpty) return false
+    val k = expandHeaderByRowspan(rows2, detectHeaders(rows1, rows2))
+    if (k >= rows2.length) return false
+    val eff1 = effectiveCols(rows1)
+    val eff2 = effectiveCols(rows2)
+    eff1.last == eff2(k) || rows1.last.length == rows2(k).length
+  }
+
+  /** Merge eligibility (can_merge_tables:598). `curMergeCaps` are the
+    * current table's captions that can legitimately belong to it (above
+    * the body, or carrying a continuation marker); `prevFootnotes` is the
+    * previous table's footnote count. */
+  def canMerge(prevHtml: String, curHtml: String,
+      prevFootnotes: Int = 0, curMergeCaps: Seq[String] = Nil): Boolean = {
+    if (curMergeCaps.nonEmpty) {
+      if (!curMergeCaps.exists(isContinuationCaption)) return false
+      if (prevFootnotes > 1) return false
+    } else if (prevFootnotes > 0) return false
+    val rows1 = parse(prevHtml)
+    val rows2 = parse(curHtml)
+    if (rows1.isEmpty || rows2.isEmpty) return false
+    if (totalCols(rows1) == totalCols(rows2)) return true
+    checkRowsMatch(rows1, rows2)
+  }
+
+  /** Colspan adjustment toward `target` columns
+    * (adjust_table_rows_colspan:680): a row whose visual cell count
+    * matches the reference row copies its colspan structure; otherwise
+    * the last cell widens by the column deficit. */
+  private def adjustRows(rows: Vector[Row], eff: Vector[Int],
+      refRow: Row, target: Int): Vector[Row] = {
+    rows.zipWithIndex.map { case (r, i) =>
+      if (r.isEmpty || eff(i) >= target || r.map(_.colspan).sum >= target) r
+      else if (r.length == refRow.length) {
+        r.zip(refRow).map { case (c, ref) => c.copy(colspan = ref.colspan) }
+      } else {
+        val diff = target - eff(i)
+        r.init :+ r.last.copy(colspan = r.last.colspan + diff)
+      }
+    }
+  }
+
+  /** Merged HTML of two table parts (perform_table_merge:857-948): skip the
+    * continuation's repeated header (rowspan-expanded), adjust the narrower
+    * side's colspans, append the continuation's data rows. */
+  def merge(prevHtml: String, curHtml: String): String = {
+    var rows1 = parse(prevHtml)
+    val rows2 = parse(curHtml)
+    val k = expandHeaderByRowspan(rows2, detectHeaders(rows1, rows2))
+    var body2 = rows2.drop(k)
+    if (rows1.nonEmpty && body2.nonEmpty) {
+      val cols1 = totalCols(rows1)
+      val cols2 = totalCols(rows2)
+      if (cols1 > cols2)
+        body2 = adjustRows(body2, effectiveCols(body2), rows1.last, cols1)
+      else if (cols2 > cols1)
+        rows1 = adjustRows(rows1, effectiveCols(rows1), body2.head, cols2)
+    }
+    render(rows1 ++ body2)
+  }
+
+  /** Legacy structural probe (kept for specs): both tables share an
+    * identical first row. */
+  def headerOf(html: String): Option[Row] = parse(html).headOption
+
+  // -- stream-level pass ----------------------------------------------------
+
+  /** The cross-page merge pass over a flat reading-order block stream,
+    * shared verbatim by the golden generator and the pipeline assembly so
+    * the merge DECISION can never diverge between them (merge_table:
+    * 950-1006 reshaped from nested page blocks to the flat stream):
+    *
+    *  - a table chain-merges with a table on the NEXT page when only its
+    *    own trailing attachments, then the continuation's leading captions,
+    *    separate them in the stream (the flat-form of "last para_block of
+    *    page N-1 / first para_block of page N");
+    *  - leading captions of the continuation must carry a continuation
+    *    marker or the merge is blocked (a fresh table's own caption);
+    *  - the previous table's footnotes block per can_merge_tables;
+    *  - on merge: continuation captions are dropped (the merged-away
+    *    block's children are cleared in the reference), its footnotes
+    *    relocate after the merged table (cross_page tagged), and trailing
+    *    non-continuation captions restore as plain text blocks. */
+  def mergeStream[B](blocks: Vector[B])(
+      kind: B => String, text: B => String, page: B => Int,
+      withText: (B, String) => B, toText: B => B): Vector[B] = {
+    import graft.schema.Kinds
+    def isAttach(b: B): Boolean =
+      kind(b) == Kinds.Caption || kind(b) == Kinds.Footnote
+    val out = Vector.newBuilder[B]
+    var i = 0
+    val n = blocks.length
+    while (i < n) {
+      val b = blocks(i)
+      if (kind(b) != Kinds.Table) { out += b; i += 1 }
+      else {
+        var merged = b
+        var curPage = page(b)
+        var j = i + 1
+        val acc = mutable.ArrayBuffer.empty[B] // relocated/restored blocks
+        var chain = true
+        while (chain) {
+          chain = false
+          // trailing attachments of the current table on its page
+          var t = j
+          var prevFoot = 0
+          while (t < n && page(blocks(t)) == curPage && isAttach(blocks(t))) {
+            if (kind(blocks(t)) == Kinds.Footnote) prevFoot += 1
+            t += 1
+          }
+          // leading captions of a candidate continuation on the next page
+          var u = t
+          while (u < n && page(blocks(u)) == curPage + 1 &&
+            kind(blocks(u)) == Kinds.Caption) u += 1
+          if (u < n && kind(blocks(u)) == Kinds.Table &&
+              page(blocks(u)) == curPage + 1) {
+            val t2 = blocks(u)
+            val preCaps = blocks.slice(t, u)
+            // trailing attachments of the continuation
+            var v = u + 1
+            val postCaps = mutable.ArrayBuffer.empty[B]
+            val postFoots = mutable.ArrayBuffer.empty[B]
+            while (v < n && page(blocks(v)) == curPage + 1 && isAttach(blocks(v))) {
+              if (kind(blocks(v)) == Kinds.Caption) postCaps += blocks(v)
+              else postFoots += blocks(v)
+              v += 1
+            }
+            val mergeCaps = preCaps.map(text) ++
+              postCaps.map(text).filter(isContinuationCaption)
+            if (canMerge(text(merged), text(t2), prevFoot, mergeCaps.toSeq)) {
+              merged = withText(merged, merge(text(merged), text(t2)))
+              // prev trailing attachments keep their place after the table
+              acc ++= blocks.slice(j, t)
+              // continuation captions drop; stray trailing captions restore
+              // as text; continuation footnotes relocate
+              acc ++= postCaps.filterNot(c => isContinuationCaption(text(c))).map(toText)
+              acc ++= postFoots
+              curPage += 1
+              j = v
+              chain = true
+            }
+          }
+        }
+        out += merged
+        acc.foreach(out += _)
+        i = j
+      }
+    }
+    out.result()
+  }
 }
