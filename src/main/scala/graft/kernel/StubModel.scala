@@ -174,6 +174,15 @@ object StubModel extends DocModel {
   def emitsOrder(docId: String): Boolean =
     Math.floorMod(Rng.fnv64(docId + "|mo"), 10L) < 3
 
+  /** Char-layer flag: ~20% of horizontal text blocks on the txt route are
+    * emitted as EMPTY line detections plus per-character text-layer boxes
+    * (the reference's page_dict chars, pdf_text_tool.py:12-33) — the
+    * pipeline's char->span fill must reconstruct the text exactly.
+    * Content-keyed, draws nothing. */
+  def usesCharLayer(docId: String, s: InSpan): Boolean =
+    s.kind == Kinds.Text &&
+      Math.floorMod(Rng.fnv64(docId + "|ch|" + s.offset), 5L) == 0L
+
   /** Far-attachment flag: ~10% of body-unit captions are DEFERRED to the
     * end of their column, far from their body — the tie-up's unconditional
     * leftover attachment (magic_model_utils.py:130-156) must pull them
@@ -314,6 +323,8 @@ object StubModel extends DocModel {
       val placed = placePage(mains, twoCol, p, vert, far, emitsOrd)
 
       val dets = ArrayBuffer.empty[Det]
+      val chars = ArrayBuffer.empty[CharDet] // text layer: deterministic order, never scrambled
+      var charIdx = 0
       // main dets, authoring order (scores drawn in this fixed order).
       // Paragraph text is emitted as PER-LINE detections (justified to the
       // block width) — the text layer a pdftext/OCR pass yields; the
@@ -341,10 +352,32 @@ object StubModel extends DocModel {
             }
           case Kinds.Text =>
             val lines = lineSplit(s.text, cplOf(x1 - x0))
+            val charLayer = !scanned && usesCharLayer(doc.doc_id, s)
             var i = 0
             while (i < lines.length) {
-              dets += Det(Kinds.Text, x0, y0 + 14.0 * i, x1, y0 + 14.0 * i + 12.0,
-                score, lines(i), "", ord)
+              val ly0 = y0 + 14.0 * i; val ly1 = ly0 + 12.0
+              if (charLayer) {
+                // empty line det + text-layer chars; a trailing stop char
+                // overhangs the right edge so only the punctuation edge
+                // rule (calculate_char_in_span) can admit it
+                dets += Det(Kinds.Text, x0, ly0, x1, ly1, score, "", "", ord)
+                val line = lines(i)
+                val cw = (x1 - x0) / line.length
+                var j = 0
+                while (j < line.length) {
+                  val ch = line.charAt(j)
+                  val overhang = j == line.length - 1 &&
+                    (ch == '.' || ch == '-' || ch == ',' || ch == '!' || ch == '?')
+                  if (overhang)
+                    chars += CharDet(ch.toString, x1 - 4.0, ly0 + 2.0, x1 + 8.0, ly1 - 2.0, charIdx)
+                  else
+                    chars += CharDet(ch.toString, x0 + j * cw, ly0 + 2.0, x0 + (j + 1) * cw, ly1 - 2.0, charIdx)
+                  charIdx += 1
+                  j += 1
+                }
+              } else {
+                dets += Det(Kinds.Text, x0, ly0, x1, ly1, score, lines(i), "", ord)
+              }
               i += 1
             }
           case Kinds.ListK | Kinds.Index => // the model can't see list/TOC-ness
@@ -439,7 +472,7 @@ object StubModel extends DocModel {
         val t = arr(j); arr(j) = arr(k); arr(k) = t
         j -= 1
       }
-      PageModel(doc.doc_id, p, PageW, PageH, arr.toVector)
+      PageModel(doc.doc_id, p, PageW, PageH, arr.toVector, chars.toVector)
     }
   }
 }

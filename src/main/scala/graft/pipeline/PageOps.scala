@@ -27,6 +27,78 @@ object PageOps {
     * results land below it; real text lines stay above on both routes. */
   private val RecMinConf = 0.3
 
+  // span_pre_proc.py:402-403
+  private val LineStopFlags: Set[Char] = Set(
+    '.', '!', '?', '。', '！', '？', ')', '）', '"', '”', ':', '：', ';', '；',
+    ']', '】', '}', '>', '》', '、', ',', '，', '-', '—', '–')
+  private val LineStartFlags: Set[Char] = Set(
+    '(', '（', '"', '“', '【', '{', '《', '<', '「', '『', '[')
+  private val SpanHeightRadio = 0.33 // span_pre_proc.py:404
+
+  /** Char-center-in-span test with the punctuation edge tolerances
+    * (calculate_char_in_span, span_pre_proc.py:405-436): a line-end stop
+    * char may overhang the right edge, a line-start bracket the left. */
+  def charInSpan(c: CharDet, s: Det): Boolean = {
+    val ccx = (c.x0 + c.x1) / 2
+    val ccy = (c.y0 + c.y1) / 2
+    val scy = (s.y0 + s.y1) / 2
+    val sh = s.y1 - s.y0
+    val yOk = s.y0 < ccy && ccy < s.y1 && math.abs(ccy - scy) < sh * SpanHeightRadio
+    if (s.x0 < ccx && ccx < s.x1 && yOk) true
+    else if (c.ch.nonEmpty && LineStopFlags(c.ch.head))
+      (s.x1 - sh) < c.x0 && c.x0 < s.x1 && ccx > s.x0 && yOk
+    else if (c.ch.nonEmpty && LineStartFlags(c.ch.head))
+      s.x0 < c.x1 && c.x1 < (s.x0 + sh) && ccx < s.x1 && yOk
+    else false
+  }
+
+  /** char->span fill (fill_char_in_spans, span_pre_proc.py:365-398): grid-
+    * bucket the spans by y cells of the page's median text-span height,
+    * probe each char's center cell, assign to the FIRST (topmost) matching
+    * span, then rebuild each empty span's content from its chars sorted by
+    * char_idx (the reference's own "hash join"). Text spans left empty
+    * (nothing filled) are dropped — the analogue of the reference routing
+    * them to OCR. */
+  def fillChars(dets: Vector[Det], chars: Seq[CharDet]): Vector[Det] = {
+    if (chars.isEmpty) return dets
+    val heights = dets.filter(_.cat == Kinds.Text).map(_.h).sorted
+    if (heights.isEmpty) return dets
+    val median =
+      if (heights.length % 2 == 1) heights(heights.length / 2)
+      else (heights(heights.length / 2 - 1) + heights(heights.length / 2)) / 2.0
+    val gridSize = math.max(median, 1.0)
+    // candidate spans in y order (the reference pre-sorts, so "first match
+    // wins" means the topmost span)
+    val spanIdx = dets.indices.filter(i => dets(i).cat == Kinds.Text)
+      .sortBy(i => (dets(i).y0, dets(i).x0, i)).toVector
+    val grid = mutable.Map.empty[Int, mutable.ArrayBuffer[Int]]
+    spanIdx.foreach { i =>
+      val d = dets(i)
+      var cell = (d.y0 / gridSize).toInt
+      val endCell = (d.y1 / gridSize).toInt
+      while (cell <= endCell) {
+        grid.getOrElseUpdate(cell, mutable.ArrayBuffer.empty) += i
+        cell += 1
+      }
+    }
+    val collected = mutable.Map.empty[Int, mutable.ArrayBuffer[CharDet]]
+    chars.foreach { c =>
+      val cell = (((c.y0 + c.y1) / 2) / gridSize).toInt
+      grid.get(cell).foreach { cands =>
+        val hit = cands.find(i => charInSpan(c, dets(i)))
+        hit.foreach(i => collected.getOrElseUpdate(i, mutable.ArrayBuffer.empty) += c)
+      }
+    }
+    dets.indices.flatMap { i =>
+      val d = dets(i)
+      if (d.cat != Kinds.Text || d.text.nonEmpty) Some(d)
+      else collected.get(i) match {
+        case Some(cs) => Some(d.copy(text = cs.sortBy(_.idx).map(_.ch).mkString))
+        case None => None // unfillable empty span -> OCR fallback analogue
+      }
+    }.toVector
+  }
+
   /** Full port of the reference's tie-up matching,
     * tie_up_category_by_distance_v3 (magic_model_utils.py:30-169), over
     * indices into `blocks`:
@@ -200,7 +272,12 @@ object PageOps {
     }
 
     // 3. drop model-abandoned regions (headers/footers -> Abandon)
-    val live = deduped.filter(_.cat != Kinds.Abandon)
+    val abandonDropped = deduped.filter(_.cat != Kinds.Abandon)
+
+    // 3.5 char->span fill: txt-route line detections arrive with empty text
+    //     and are reconstructed from the page's pdf text layer
+    //     (span_pre_proc.py:365-436)
+    val live = fillChars(abandonDropped, pm.chars)
 
     // 4. page-number fence: a small isolated box in the bottom margin is
     //    boilerplate even when the model mislabeled it as text

@@ -66,13 +66,22 @@ case class Det(
   def area: Double = math.max(0, w) * math.max(0, h)
 }
 
-/** Per-page model output row (one row per (doc, page) after the kernel). */
+/** One text-layer character (the reference page_dict's
+  * `chars:[{bbox, char, char_idx}]`, pdf_text_tool.py:12-33) — emitted in
+  * deterministic text-layer order, never scrambled (the pdfium text layer
+  * is separate from the model detections). */
+case class CharDet(ch: String, x0: Double, y0: Double, x1: Double, y1: Double, idx: Int)
+
+/** Per-page model output row (one row per (doc, page) after the kernel).
+  * `chars` carries the pdf text layer on the txt route; detection boxes
+  * whose text is empty are filled from it (span_pre_proc.py:365-436). */
 case class PageModel(
     doc_id: String,
     page_idx: Int,
     width: Double,
     height: Double,
-    dets: Seq[Det])
+    dets: Seq[Det],
+    chars: Seq[CharDet] = Nil)
 
 /** An ordered block after page-level processing, pre doc-assembly. */
 case class OrderedBlock(
