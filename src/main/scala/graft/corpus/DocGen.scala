@@ -46,7 +46,7 @@ object DocGen {
     sb.append('.')
   }
 
-  private def paragraph(r: SplitMix64): String = {
+  private def paragraphOnce(r: SplitMix64): String = {
     val sb = new StringBuilder(160)
     val n = 1 + r.nextInt(3)
     var i = 0
@@ -58,11 +58,31 @@ object DocGen {
     sb.toString
   }
 
+  /** A paragraph whose wrapped lines can never trip the geometric list
+    * ladder (para_split.py:163-187 fires when >=80% of a block's lines end
+    * with a LIST_END_FLAG): if >=80% of lines at either rendered width end
+    * with '.', redraw. The rendered widths are the stub's two column
+    * geometries (single-column cpl 90, two-column cpl 41). */
+  private def paragraph(r: SplitMix64): String = {
+    var p = paragraphOnce(r)
+    def risky(s: String): Boolean = Vector(90, 41).exists { cpl =>
+      val ls = graft.kernel.StubModel.lineSplit(s, cpl)
+      ls.length >= 2 && ls.count(l => l.nonEmpty && l.last == '.') * 5 >= ls.length * 4
+    }
+    while (risky(p)) p = paragraphOnce(r)
+    p
+  }
+
   private def titleText(r: SplitMix64): String =
     Vector.fill(2 + r.nextInt(3))(cap(word(r))).mkString(" ")
 
-  private def listText(r: SplitMix64): String =
-    Vector.fill(3 + r.nextInt(4))("- " + word(r) + " " + word(r)).mkString("\n")
+  /** List block: items end with ';' (last '.') — the end-flag ratio is the
+    * geometric ladder's rule-3 list signal (para_split.py:163-187). */
+  private def listText(r: SplitMix64): String = {
+    val n = 3 + r.nextInt(4)
+    Vector.tabulate(n)(i =>
+      "- " + word(r) + " " + word(r) + (if (i == n - 1) "." else ";")).mkString("\n")
+  }
 
   /** TOC-style index block: "<Heading> . . . . <page>" lines
     * (para_split.py:73-270 index rules). */
@@ -297,18 +317,20 @@ object DocGen {
         }
         if (ws.length - lastStart >= 4) {
           val cut = lastStart + 1 + r.nextInt(ws.length - lastStart - 2)
-          if (hyphen && ws(cut).length >= 4) {
-            val w = ws(cut)
-            val mid = 2 + r.nextInt(w.length - 3)
-            val a = (ws.take(cut) :+ (w.substring(0, mid) + "-")).mkString(" ")
-            val b = (w.substring(mid) +: ws.drop(cut + 1)).mkString(" ")
-            adjusted(p) = APage(cur.blocks.init :+ ABlock(Kinds.Text, a, contWith = true, hyphen = true))
-            adjusted(p + 1) = APage(ABlock(Kinds.Text, b) +: nxt.blocks.tail)
-            headReplaced(p + 1) = true
-          } else {
-            val a = ws.take(cut).mkString(" ")
-            val b = ws.drop(cut).mkString(" ")
-            adjusted(p) = APage(cur.blocks.init :+ ABlock(Kinds.Text, a, contWith = true))
+          val (a, b) =
+            if (hyphen && ws(cut).length >= 4) {
+              val w = ws(cut)
+              val mid = 2 + r.nextInt(w.length - 3)
+              ((ws.take(cut) :+ (w.substring(0, mid) + "-")).mkString(" "),
+                (w.substring(mid) +: ws.drop(cut + 1)).mkString(" "))
+            } else (ws.take(cut).mkString(" "), ws.drop(cut).mkString(" "))
+          // one side must wrap to >1 line at every rendered width (cpl<=90)
+          // or the reference merge predicate's line-count condition
+          // (para_split.py:303-304) would reject the continuation
+          if (a.length > 90 || b.length > 90) {
+            val hy = hyphen && ws(cut).length >= 4
+            adjusted(p) = APage(cur.blocks.init :+
+              ABlock(Kinds.Text, a, contWith = true, hyphen = hy))
             adjusted(p + 1) = APage(ABlock(Kinds.Text, b) +: nxt.blocks.tail)
             headReplaced(p + 1) = true
           }

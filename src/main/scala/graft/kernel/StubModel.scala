@@ -380,8 +380,17 @@ object StubModel extends DocModel {
               }
               i += 1
             }
-          case Kinds.ListK | Kinds.Index => // the model can't see list/TOC-ness
-            dets += Det(Kinds.Text, x0, y0, x1, y1, score, s.text, s.media_ref, ord)
+          case Kinds.ListK | Kinds.Index =>
+            // the model can't see list/TOC-ness: items arrive as plain
+            // justified text lines; the pipeline's geometric ladder
+            // (para_split.py:73-270) must recover the block type
+            val items = s.text.split("\n", -1)
+            var i = 0
+            while (i < items.length) {
+              dets += Det(Kinds.Text, x0, y0 + 14.0 * i, x1, y0 + 14.0 * i + 12.0,
+                score, items(i), "", ord)
+              i += 1
+            }
           case k =>
             dets += Det(k, x0, y0, x1, y1, score, s.text, s.media_ref, ord)
         }

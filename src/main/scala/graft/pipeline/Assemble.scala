@@ -8,14 +8,26 @@ import graft.schema._
   * markdown rendering. Pure and deterministic. */
 object Assemble {
 
-  private val stops = Set('.', '!', '?', ':')
+  /** The reference's LINE_STOP_FLAG set (span_pre_proc.py:402) minus '-':
+    * cross-page hyphenated words DO merge here (deliberate divergence —
+    * the reference leaves "wor-"/"d" as two blocks; the hyphen join
+    * restores the word, extending the line-level hyphen rule semantics). */
+  private val stops = Set('.', '!', '?', '。', '！', '？', ')', '）', '"', '”',
+    ':', '：', ';', '；', ']', '】', '}', '>', '》', '、', ',', '，', '—', '–')
 
-  /** prev/next text-paragraph merge predicate
-    * (reference: para_split.py:273-314). */
+  /** prev/next text-paragraph merge predicate — port of
+    * __merge_2_text_blocks (para_split.py:273-314): the earlier block must
+    * not end with a stop flag, the continuation must not start with a
+    * digit or an uppercase letter, and one side must span more than one
+    * text line. Geometric conditions not carried through the flat block
+    * stream (last-line right flush — vacuously true for justified lines;
+    * the 2x width-ratio bound) are documented divergences. */
   private def shouldMerge(prev: OrderedBlock, next: OrderedBlock): Boolean =
     prev.kind == Kinds.Text && next.kind == Kinds.Text &&
       prev.text.nonEmpty && next.text.nonEmpty &&
-      !stops(prev.text.last) && next.text.head.isLower
+      !stops(prev.text.last) &&
+      !next.text.head.isDigit && !next.text.head.isUpper &&
+      (prev.nLines > 1 || next.nLines > 1)
 
   /** hyphen-at-line-end join (pipeline_middle_json_mkcontent.py:11-21). */
   private def join(a: String, b: String): String =

@@ -19,13 +19,98 @@ object PageOps {
   private val LineGapMax = 6.0        // max inter-line gap inside a block
 
   private val attachCats = Set(Kinds.Caption, Kinds.Footnote)
-  // precompiled: .matches() recompiles its pattern on every call, which was
-  // a top-10 allocation site at fleet throughput
-  private val NumberedLine = java.util.regex.Pattern.compile("^\\d+[.)].*")
 
   /** OCR rec-confidence floor (ocr_utils.py:374-375): garbled recognition
     * results land below it; real text lines stay above on both routes. */
   private val RecMinConf = 0.3
+
+  private val ListEndFlags = Set('.', '。', ';', '；') // para_split.py:7
+
+  /** Geometric list/index block classifier — port of the reference's rule
+    * ladder (__is_list_or_index_block, para_split.py:73-270): per-line
+    * left/right flush counts against the block box, end-flag and digit
+    * ratios, the centered-list rule, and the multi-paragraph exclusion.
+    * Rules in reference order: (1) one side fully flush + >=80% digit
+    * starts/ends -> index; (2) centered ragged lines with tall aspect ->
+    * list; (3) >=2 left-flush lines + (>=2 right-ragged | >=80% end flags |
+    * >=2 left-indented) and not multi-paragraph -> list; else text. */
+  def classifyBlock(lines: Vector[Det], bx0: Double, by0: Double,
+      bx1: Double, by1: Double, pageW: Double): String = {
+    if (lines.length < 2) return Kinds.Text
+    val n = lines.length
+    val lineHeight = lines.head.y1 - lines.head.y0
+    val blockWeight = bx1 - bx0
+    val blockHeight = by1 - by0
+    val weightRadio = if (pageW == 0) 0.0 else blockWeight / pageW
+    val first = lines.head
+    val last = lines.last
+    // first line indented + last line flush-left with a ragged right: a
+    // multi-paragraph block, excluded from list detection
+    val multiplePara =
+      first.x0 - bx0 > lineHeight / 2 &&
+        math.abs(last.x0 - bx0) < lineHeight / 2 &&
+        bx1 - last.x1 > lineHeight
+    // CJK-ish block? (reference delegates to fasttext; the closed-area
+    // threshold is the only consumer)
+    val allText = lines.map(_.text).mkString
+    val cjkChars = allText.count(c => c >= 0x4e00 && c <= 0x9fff)
+    val isCjk = allText.nonEmpty && cjkChars * 2 > allText.length
+    var leftClose = 0; var leftNotClose = 0
+    var rightClose = 0; var rightNotClose = 0
+    var centerClose = 0; var extNotClose = 0
+    lines.foreach { l =>
+      if (l.x0 - bx0 > 0.7 * lineHeight && bx1 - l.x1 > 0.7 * lineHeight)
+        extNotClose += 1
+      if (math.abs((l.x0 + l.x1) / 2 - (bx0 + bx1) / 2) < lineHeight / 2)
+        centerClose += 1
+      if (math.abs(bx0 - l.x0) < lineHeight / 2) leftClose += 1
+      else if (l.x0 - bx0 > lineHeight) leftNotClose += 1
+      if (math.abs(bx1 - l.x1) < lineHeight) rightClose += 1
+      else {
+        val closedArea =
+          (if (isCjk || weightRadio >= 0.5) 0.26 else 0.36) * blockWeight
+        if (bx1 - l.x1 > closedArea) rightNotClose += 1
+      }
+    }
+    var numStart = 0; var numEnd = 0; var flagEnd = 0
+    lines.foreach { l =>
+      val t = l.text.trim
+      if (t.nonEmpty) {
+        if (ListEndFlags(t.last)) flagEnd += 1
+        if (t.head.isDigit) numStart += 1
+        if (t.last.isDigit) numEnd += 1
+      }
+    }
+    val lineNumFlag = numStart * 5 >= n * 4 || numEnd * 5 >= n * 4
+    val lineEndFlag = flagEnd * 5 >= n * 4
+    if ((leftClose * 5 >= n * 4 || rightClose * 5 >= n * 4) && lineNumFlag)
+      Kinds.Index
+    else if (extNotClose >= 2 && centerClose == n &&
+        extNotClose * 2 >= n && blockHeight / blockWeight > 0.4)
+      Kinds.ListK
+    else if (leftClose >= 2 &&
+        (rightNotClose >= 2 || lineEndFlag || leftNotClose >= 2) &&
+        !multiplePara)
+      Kinds.ListK
+    else Kinds.Text
+  }
+
+  /** Assemble a line group into one block det: classify geometrically,
+    * then join content — list/index keep their line structure, text lines
+    * hyphen/space-join (pipeline_middle_json_mkcontent.py:11-21). */
+  private def buildBlock(lines: Vector[Det], pageW: Double): Det = {
+    if (lines.length == 1) return lines.head
+    val x0 = lines.map(_.x0).min; val y0 = lines.map(_.y0).min
+    val x1 = lines.map(_.x1).max; val y1 = lines.map(_.y1).max
+    val score = lines.map(_.score).max
+    val cls = classifyBlock(lines, x0, y0, x1, y1, pageW)
+    val text = cls match {
+      case Kinds.ListK | Kinds.Index => lines.map(_.text).mkString("\n")
+      case _ => lines.map(_.text).reduceLeft((a, b) =>
+        if (a.endsWith("-")) a.dropRight(1) + b else a + " " + b)
+    }
+    Det(cls, x0, y0, x1, y1, score, text, "", lines.head.order, lines.length)
+  }
 
   // span_pre_proc.py:402-403
   private val LineStopFlags: Set[Char] = Set(
@@ -289,28 +374,30 @@ object PageOps {
       !(smallBottom && isolated)
     }
 
-    // 4.5 line merge: consecutive text-line detections sharing the same
-    //     column extent merge into paragraph blocks (the reference's
-    //     span->line->block build, span_block_fix.py:9-47,126; hyphen rule
-    //     pipeline_middle_json_mkcontent.py:11-21)
+    // 4.5 line merge + block classification: consecutive text-line
+    //     detections sharing a left edge and stacked at line pitch group
+    //     into one block (the reference's span->line->block build,
+    //     span_block_fix.py:9-47,126); the group is classified by the
+    //     geometric list/index ladder and content-joined accordingly
     val (textLines, nonText) = kept.partition(_.cat == Kinds.Text)
     val mergedText = {
       val sorted = textLines.sortWith((a, b) =>
-        a.x0 < b.x0 || (a.x0 == b.x0 && (a.x1 < b.x1 ||
-          (a.x1 == b.x1 && a.y0 < b.y0))))
+        a.x0 < b.x0 || (a.x0 == b.x0 && (a.y0 < b.y0 ||
+          (a.y0 == b.y0 && a.x1 < b.x1))))
       val out = Vector.newBuilder[Det]
-      var cur: Det = null
+      var group = Vector.empty[Det]
+      def flush(): Unit =
+        if (group.nonEmpty) { out += buildBlock(group, pm.width); group = Vector.empty }
       sorted.foreach { d =>
-        if (cur == null) cur = d
-        else if (d.x0 == cur.x0 && d.x1 == cur.x1 &&
-            d.y0 >= cur.y1 && d.y0 - cur.y1 <= LineGapMax) {
-          val joined =
-            if (cur.text.endsWith("-")) cur.text.dropRight(1) + d.text
-            else cur.text + " " + d.text
-          cur = cur.copy(text = joined, y1 = d.y1, score = math.max(cur.score, d.score))
-        } else { out += cur; cur = d }
+        if (group.isEmpty) group = Vector(d)
+        else {
+          val cur = group.last
+          if (d.x0 == group.head.x0 && d.y0 >= cur.y1 && d.y0 - cur.y1 <= LineGapMax)
+            group = group :+ d
+          else { flush(); group = Vector(d) }
+        }
       }
-      if (cur != null) out += cur
+      flush()
       out.result()
     }
     // 4.5b vertical line merge: columns sharing the exact vertical extent,
@@ -384,24 +471,14 @@ object PageOps {
     //      collapse into one map entry)
     val expanded = orderBlocks(blocks).map(blocks)
 
-    // 8. list re-classification on text blocks (para_split.py:73-270 rules,
-    //    simplified: >=3 lines, >=80% bullet/numbered starts)
+    // 8. final blocks (list/index were classified geometrically during the
+    //    line merge); title level from box height (get_title_level
+    //    analogue, pipeline_middle_json_mkcontent.py:355-361)
     expanded.zipWithIndex.map { case (d, idx) =>
-      val kind =
-        if (d.cat == Kinds.Text) {
-          val lines = d.text.split("\n", -1)
-          val listLike = lines.count(l =>
-            l.startsWith("- ") || l.startsWith("• ") || NumberedLine.matcher(l).matches())
-          val indexLike = lines.count(l =>
-            l.contains(". . .") && l.nonEmpty && l.last.isDigit)
-          if (lines.length >= 3 && indexLike * 5 >= lines.length * 4) Kinds.Index
-          else if (lines.length >= 3 && listLike * 5 >= lines.length * 4) Kinds.ListK
-          else Kinds.Text
-        } else d.cat
       val level =
-        if (kind == Kinds.Title) { if (d.h >= 30) 1 else 2 }
+        if (d.cat == Kinds.Title) { if (d.h >= 30) 1 else 2 }
         else 0
-      OrderedBlock(kind, d.text, d.media_ref, pm.page_idx, idx, level)
+      OrderedBlock(d.cat, d.text, d.media_ref, pm.page_idx, idx, level, d.nLines)
     }
   }
 }

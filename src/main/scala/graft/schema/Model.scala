@@ -58,7 +58,8 @@ case class Det(
     score: Double,
     text: String,
     media_ref: String,
-    order: Int = -1) {
+    order: Int = -1,
+    nLines: Int = 1) {
   def w: Double = x1 - x0
   def h: Double = y1 - y0
   def cx: Double = (x0 + x1) / 2
@@ -83,14 +84,18 @@ case class PageModel(
     dets: Seq[Det],
     chars: Seq[CharDet] = Nil)
 
-/** An ordered block after page-level processing, pre doc-assembly. */
+/** An ordered block after page-level processing, pre doc-assembly.
+  * `nLines` carries the block's text-line count into the doc-level
+  * paragraph-merge predicate (para_split.py:273-314 requires one side of
+  * a merge to exceed a single line). */
 case class OrderedBlock(
     kind: String,
     text: String,
     media_ref: String,
     page_idx: Int,
     index: Int,
-    level: Int = 0)
+    level: Int = 0,
+    nLines: Int = 1)
 
 /** Checkpoint-table row for resumable partition-grain lineage
   * (FIXTURES.md §4). */
