@@ -153,35 +153,55 @@ object PageOps {
       else (heights(heights.length / 2 - 1) + heights(heights.length / 2)) / 2.0
     val gridSize = math.max(median, 1.0)
     // candidate spans in y order (the reference pre-sorts, so "first match
-    // wins" means the topmost span)
+    // wins" means the topmost span); array-indexed grid — this runs for
+    // every txt-route page, so map boxing here is fleet-wide churn
     val spanIdx = dets.indices.filter(i => dets(i).cat == Kinds.Text)
-      .sortBy(i => (dets(i).y0, dets(i).x0, i)).toVector
-    val grid = mutable.Map.empty[Int, mutable.ArrayBuffer[Int]]
+      .sortBy(i => (dets(i).y0, dets(i).x0, i)).toArray
+    var maxCell = 0
+    spanIdx.foreach { i => val c = (dets(i).y1 / gridSize).toInt; if (c > maxCell) maxCell = c }
+    val grid = new Array[mutable.ArrayBuffer[Int]](maxCell + 2)
     spanIdx.foreach { i =>
       val d = dets(i)
       var cell = (d.y0 / gridSize).toInt
       val endCell = (d.y1 / gridSize).toInt
       while (cell <= endCell) {
-        grid.getOrElseUpdate(cell, mutable.ArrayBuffer.empty) += i
+        if (grid(cell) == null) grid(cell) = new mutable.ArrayBuffer[Int](4)
+        grid(cell) += i
         cell += 1
       }
     }
-    val collected = mutable.Map.empty[Int, mutable.ArrayBuffer[CharDet]]
+    val collected = new Array[mutable.ArrayBuffer[CharDet]](dets.length)
     chars.foreach { c =>
       val cell = (((c.y0 + c.y1) / 2) / gridSize).toInt
-      grid.get(cell).foreach { cands =>
-        val hit = cands.find(i => charInSpan(c, dets(i)))
-        hit.foreach(i => collected.getOrElseUpdate(i, mutable.ArrayBuffer.empty) += c)
+      if (cell >= 0 && cell < grid.length && grid(cell) != null) {
+        val cands = grid(cell)
+        var k = 0
+        var done = false
+        while (k < cands.length && !done) {
+          val i = cands(k)
+          if (charInSpan(c, dets(i))) {
+            if (collected(i) == null) collected(i) = new mutable.ArrayBuffer[CharDet](16)
+            collected(i) += c
+            done = true
+          }
+          k += 1
+        }
       }
     }
-    dets.indices.flatMap { i =>
+    val out = Vector.newBuilder[Det]
+    var i = 0
+    while (i < dets.length) {
       val d = dets(i)
-      if (d.cat != Kinds.Text || d.text.nonEmpty) Some(d)
-      else collected.get(i) match {
-        case Some(cs) => Some(d.copy(text = cs.sortBy(_.idx).map(_.ch).mkString))
-        case None => None // unfillable empty span -> OCR fallback analogue
-      }
-    }.toVector
+      if (d.cat != Kinds.Text || d.text.nonEmpty) out += d
+      else if (collected(i) != null) {
+        val cs = collected(i).sortInPlaceBy(_.idx)
+        val sb = new java.lang.StringBuilder(cs.length)
+        cs.foreach(ch => sb.append(ch.ch))
+        out += d.copy(text = sb.toString)
+      } // else: unfillable empty span -> OCR fallback analogue (dropped)
+      i += 1
+    }
+    out.result()
   }
 
   /** Full port of the reference's tie-up matching,
@@ -207,63 +227,106 @@ object PageOps {
     @inline def d2origin(i: Int): Double = {
       val b = blocks(i); b.x0 * b.x0 + b.y0 * b.y0
     }
-    val subs = subjIdxIn.sortBy(d2origin)
-    val objs = objIdxIn.sortBy(d2origin)
+    // primitive-array form of the reference loop (this runs twice per page
+    // — pipeline + the stub's layout validation — so allocation churn here
+    // is fleet-wide memory bandwidth); the per-iteration sorts are replaced
+    // by linear argmins with the SAME stable tie order: python's stable
+    // sort-by-distance of the sweep-sorted list makes the winner the
+    // minimum of (dist, sweepKey, original entry order), and entries are
+    // subjects-then-objects, each pre-sorted by distance to the origin.
+    val subs = subjIdxIn.sortBy(d2origin).toArray
+    val objs = objIdxIn.sortBy(d2origin).toArray
     @inline def dist(a: Int, b: Int): Double = {
       val p = blocks(a); val q = blocks(b)
       Geo.edgeDist(p.x0, p.y0, p.x1, p.y1, q.x0, q.y0, q.x1, q.y1)
     }
     val n = subs.length
-    // entry encoding: 0..n-1 subjects, n..n+m-1 objects (mirrors the
-    // reference's OBJ_IDX_OFFSET scheme; python list order = subs then objs)
-    val entries = Vector.tabulate(n + objs.length)(identity)
+    val m = objs.length
+    val total = n + m
     @inline def blockOf(e: Int): Int = if (e < n) subs(e) else objs(e - n)
-    @inline def isObj(e: Int): Boolean = e >= n
-    val seen = mutable.Set.empty[Int]
-    val matchedSubs = mutable.Set.empty[Int]
-    val ret = mutable.LinkedHashMap.empty[Int, Vector[Int]]
+    val seen = new Array[Boolean](total)
+    var matchedSubs = 0
+    val isMatchedSub = new Array[Boolean](n)
+    val retKeys = new Array[Int](n) // subject order of first attachment
+    var retLen = 0
+    val retVals = Array.fill(n)(null: mutable.ArrayBuffer[Int])
+    @inline def attach(si: Int, oi: Int): Unit = {
+      if (retVals(si) == null) {
+        retVals(si) = mutable.ArrayBuffer.empty[Int]
+        retKeys(retLen) = si; retLen += 1
+      }
+      retVals(si) += oi
+    }
     var break1 = false
-    while (!break1 && matchedSubs.size < n) {
-      val cands = entries.filterNot(seen)
-      if (cands.isEmpty) break1 = true
-      else {
-        var leftX = Double.MaxValue; var topY = Double.MaxValue
-        cands.foreach { e =>
+    while (!break1 && matchedSubs < n) {
+      // sweep origin over unseen entries
+      var leftX = Double.MaxValue; var topY = Double.MaxValue
+      var anyCand = false
+      var e = 0
+      while (e < total) {
+        if (!seen(e)) {
+          anyCand = true
           val b = blocks(blockOf(e))
           if (b.x0 < leftX) leftX = b.x0
           if (b.y0 < topY) topY = b.y0
         }
-        // both sorts are stable, mirroring python's
-        val bySweep = cands.sortBy { e =>
-          val b = blocks(blockOf(e))
-          (b.x0 - leftX) * (b.x0 - leftX) + (b.y0 - topY) * (b.y0 - topY)
+        e += 1
+      }
+      if (!anyCand) break1 = true
+      else {
+        // fst = argmin sweep key (ties: first in entry order)
+        var fst = -1; var fstKey = Double.MaxValue
+        e = 0
+        while (e < total) {
+          if (!seen(e)) {
+            val b = blocks(blockOf(e))
+            val k = (b.x0 - leftX) * (b.x0 - leftX) + (b.y0 - topY) * (b.y0 - topY)
+            if (k < fstKey) { fstKey = k; fst = e }
+          }
+          e += 1
         }
-        val fst = bySweep.head
-        val byDist = bySweep.sortBy(e => dist(blockOf(fst), blockOf(e)))
-        byDist.drop(1).find(e => isObj(e) != isObj(fst)) match {
-          case None => break1 = true
-          case Some(nxt) =>
-            val (si, oi) = if (!isObj(fst)) (fst, nxt - n) else (nxt, fst - n)
-            val pairDis = dist(subs(si), objs(oi))
-            var nearest = Double.MaxValue
-            subs.foreach { s =>
-              val d = dist(s, objs(oi)); if (d < nearest) nearest = d
+        // nxt = opposite-kind argmin of (dist to fst, sweep key, entry order)
+        val fstObj = fst >= n
+        val fb = blockOf(fst)
+        var nxt = -1; var nxtDist = Double.MaxValue; var nxtKey = Double.MaxValue
+        e = 0
+        while (e < total) {
+          if (!seen(e) && (e >= n) != fstObj) {
+            val d = dist(fb, blockOf(e))
+            val b = blocks(blockOf(e))
+            val k = (b.x0 - leftX) * (b.x0 - leftX) + (b.y0 - topY) * (b.y0 - topY)
+            if (d < nxtDist || (d == nxtDist && k < nxtKey)) {
+              nxtDist = d; nxtKey = k; nxt = e
             }
-            if (pairDis >= 3 * nearest) {
-              seen += si
-            } else {
-              seen += si; seen += (oi + n)
-              matchedSubs += si
-              ret(si) = ret.getOrElse(si, Vector.empty) :+ oi
-            }
+          }
+          e += 1
+        }
+        if (nxt == -1) break1 = true
+        else {
+          val si = if (!fstObj) fst else nxt
+          val oi = (if (!fstObj) nxt else fst) - n
+          val pairDis = dist(subs(si), objs(oi))
+          var nearest = Double.MaxValue
+          var k = 0
+          while (k < n) {
+            val d = dist(subs(k), objs(oi)); if (d < nearest) nearest = d
+            k += 1
+          }
+          if (pairDis >= 3 * nearest) {
+            seen(si) = true
+          } else {
+            seen(si) = true; seen(oi + n) = true
+            if (!isMatchedSub(si)) { isMatchedSub(si) = true; matchedSubs += 1 }
+            attach(si, oi)
+          }
         }
       }
     }
     // phase 2: leftover objects -> nearest subject, unconditionally
     var oi = 0
-    while (oi < objs.length) {
+    while (oi < m) {
       if (!seen(oi + n)) {
-        seen += (oi + n)
+        seen(oi + n) = true
         var nearest = Double.MaxValue; var nk = -1
         var k = 0
         while (k < n) {
@@ -271,14 +334,18 @@ object PageOps {
           if (d < nearest) { nearest = d; nk = k }
           k += 1
         }
-        if (nk >= 0) {
-          ret(nk) = ret.getOrElse(nk, Vector.empty) :+ oi
-          matchedSubs += nk
-        }
+        if (nk >= 0) attach(nk, oi)
       }
       oi += 1
     }
-    ret.map { case (si, ois) => subs(si) -> ois.map(objs) }.toMap
+    val out = Map.newBuilder[Int, Vector[Int]]
+    var r = 0
+    while (r < retLen) {
+      val si = retKeys(r)
+      out += subs(si) -> retVals(si).map(objs).toVector
+      r += 1
+    }
+    out.result()
   }
 
   /** Steps 5-7 as one shared core (also driven by the kernel stub's layout
@@ -289,11 +356,25 @@ object PageOps {
     * v3, falling back to the classic cut on failure. Returns block indices
     * in emission order. */
   def orderBlocks(blocks: Vector[Det]): Vector[Int] = {
-    val capIdx = blocks.indices.toVector.filter(i => blocks(i).cat == Kinds.Caption)
-    val fnIdx = blocks.indices.toVector.filter(i => blocks(i).cat == Kinds.Footnote)
-    val numIdx = blocks.indices.toVector.filter(i => blocks(i).cat == Kinds.FormulaNumber)
-    val bodyIdx = blocks.indices.toVector.filter(i => Kinds.bodies(blocks(i).cat))
-    val formulaIdx = blocks.indices.toVector.filter(i => blocks(i).cat == Kinds.Formula)
+    // one pass over the blocks to build the category index lists
+    val capB = Vector.newBuilder[Int]; val fnB = Vector.newBuilder[Int]
+    val numB = Vector.newBuilder[Int]; val bodyB = Vector.newBuilder[Int]
+    val formulaB = Vector.newBuilder[Int]
+    var bi = 0
+    while (bi < blocks.length) {
+      blocks(bi).cat match {
+        case Kinds.Caption => capB += bi
+        case Kinds.Footnote => fnB += bi
+        case Kinds.FormulaNumber => numB += bi
+        case Kinds.Figure | Kinds.Table => bodyB += bi
+        case Kinds.Formula => formulaB += bi
+        case _ =>
+      }
+      bi += 1
+    }
+    val capIdx = capB.result(); val fnIdx = fnB.result()
+    val numIdx = numB.result(); val bodyIdx = bodyB.result()
+    val formulaIdx = formulaB.result()
 
     // captions and footnotes tie to bodies in separate runs (the reference
     // runs one tie-up per category pair, pipeline_magic_model.py:227-300);

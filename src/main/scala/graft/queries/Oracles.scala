@@ -202,11 +202,14 @@ object Oracles {
         |g AS (SELECT doc_id,
         |  list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS grams
         |  FROM d WHERE len(w) >= 3),
-        |sz AS (SELECT doc_id, len(grams) AS gsz FROM g),
         |ex AS (SELECT doc_id, ('0x' || substr(md5(gr), 1, 8))::BIGINT AS gr
         |  FROM (SELECT doc_id, UNNEST(grams) AS gr FROM g)),
+        |kept AS (SELECT doc_id, gr FROM (
+        |  SELECT doc_id, gr, count(*) OVER (PARTITION BY gr) AS df FROM ex)
+        |  WHERE df <= 32),
+        |sz AS (SELECT doc_id, count(*) AS gsz FROM kept GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS doc_id, b.doc_id AS b_id, count(*) AS inter
-        |  FROM ex a JOIN ex b ON a.gr = b.gr AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |  FROM kept a JOIN kept b ON a.gr = b.gr AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |j AS (SELECT p.doc_id, p.b_id, p.inter,
         |  p.inter / (sa.gsz + sb.gsz - p.inter)::DOUBLE AS jac
         |  FROM pairs p JOIN sz sa ON sa.doc_id = p.doc_id JOIN sz sb ON sb.doc_id = p.b_id)

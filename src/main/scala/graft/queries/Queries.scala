@@ -325,21 +325,36 @@ object Queries {
       .select(col("doc_id"), col("fp_md5"), col("fp_int"))
       .orderBy("doc_id")
 
-  /** Near-dup detection by exact word-3-gram Jaccard: shingle -> explode ->
-    * self-join on shingle -> |A∩B| / (|A|+|B|-|A∩B|). The exact oracle for
-    * the MinHash/LSH scale path. */
+  /** Maximum document frequency a shingle may have and still participate
+    * in the exact-Jaccard self-join: the join fan-out is sum(df^2) over
+    * shingles, so one hot trigram ("of the model") is a quadratic hot-key
+    * bomb at corpus scale. Capping df (standard near-dup practice) bounds
+    * the fan-out at docs*cap while leaving discriminative shingles —
+    * near-dup pairs share RARE shingles — untouched. */
+  val ShingleDfCap = 32
+
+  /** Near-dup detection by exact word-3-gram Jaccard over df-capped
+    * shingles: shingle -> explode -> drop shingles with df > ShingleDfCap
+    * -> self-join -> |A∩B| / (|A|+|B|-|A∩B|), with per-doc sizes counted
+    * over the KEPT shingles so the measure stays a true Jaccard of the
+    * capped sets. The exact verification path for the MinHash/LSH
+    * candidates. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .withColumn("grams", expr(
         "array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"))
-    val sizes = docs.select(col("doc_id"), size(col("grams")).as("gsz"))
     // join on a 32-bit shingle hash: the shuffle moves 8-byte keys instead
     // of 20-char strings (same result — both sides hash identically)
     val ex = docs.select(col("doc_id"), explode(col("grams")).as("gs"))
       .select(col("doc_id"), expr("CAST(conv(substring(md5(gs), 1, 8), 16, 10) AS BIGINT)").as("g"))
-    val pairs = ex.join(ex.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
+    val kept = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("df") <= ShingleDfCap)
+      .select(col("doc_id"), col("g"))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("gsz"))
+    val pairs = kept.join(kept.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
       .filter(col("doc_id") < col("b_id"))
       .groupBy(col("doc_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))

@@ -71,14 +71,36 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
-  /** Embedding cosine near-duplicate pairs (exact, native codegen'd
-    * CosineSim expression — one fused loop per pair instead of three
-    * interpreted HOF folds). */
+  /** Per-band hyperplane bucket: 2 planes per band, 4 bands over the 8
+    * planes — banded LSH in the MinHash-band sense (candidates = pairs
+    * agreeing on ANY band's bucket). Banding is what keeps recall at a
+    * permissive cosine threshold: one 8-plane bucket has (1-θ/π)^8 ≈ 3%
+    * recall at θ=65°, 4 bands of 2 planes ≈ 88%; at a stricter real-world
+    * near-dup threshold you widen the bands instead. */
+  private def bandBucket(emb: org.apache.spark.sql.Column, band: Int): org.apache.spark.sql.Column =
+    (0 until 2).map { k =>
+      when(VecFns.dotConst(emb, planes(band * 2 + k)) >= 0, lit(1 << k)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Embedding cosine near-duplicate pairs, banded-LSH-routed: candidate
+    * pairs share at least one band bucket (4 equi-joins + distinct — the
+    * 100-TB shape), then the exact codegen'd cosine filters candidates. A
+    * bare a.join(b, a_id < b_id) is a BroadcastNestedLoop cartesian:
+    * 10^6 vectors = 5*10^11 pairs; banding bounds the fan-out at
+    * sum(bucket_size^2) per band. */
   def cosNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = tbl(spark, dir, "embeddings")
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
-    a.join(b, col("a_id") < col("b_id"))
+    val ids = e.select(col("vec_id") +:
+      (0 until 4).map(b => bandBucket(col("embedding"), b).cast("int").as(s"bb$b")): _*)
+    val cand = (0 until 4).map { b =>
+      ids.select(col("vec_id").as("a_id"), col(s"bb$b").as("k"))
+        .join(ids.select(col("vec_id").as("b_id"), col(s"bb$b").as("k")), Seq("k"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+    }.reduce(_ unionByName _).distinct()
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("va")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("vb")), Seq("b_id"))
       .withColumn("sim", VecFns.cosineSim(col("va"), col("vb")))
       // corpus-relative threshold: the synthetic embeddings are near-
       // orthogonal (max pairwise cosine ~0.51), so "near-dup" here is the
@@ -86,6 +108,43 @@ object ScaleQueries {
       .filter(col("sim") >= 0.42)
       .select(col("a_id"), col("b_id"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Candidate pairs -> dedup GROUPS: connected components over the
+    * MinHash-LSH candidate graph by alternating min-label propagation
+    * (each round every node takes the min label in its closed
+    * neighbourhood; converges in graph-diameter rounds, and near-dup
+    * components are tiny cliques in practice). Pairs alone are not a dedup
+    * decision — the keeper is the component representative (min doc_id).
+    * Every document gets a row; singletons map to themselves. */
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(spark, dir)
+      .select(col("doc_id"), col("b_id")).persist()
+    val edges = pairs.select(col("doc_id").as("v"), col("b_id").as("u"))
+      .unionByName(pairs.select(col("b_id").as("v"), col("doc_id").as("u")))
+      .persist()
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"))
+    var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("lbl")).persist()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < 25) {
+      val nbrMin = edges
+        .join(labels.select(col("v").as("u"), col("lbl").as("ulbl")), Seq("u"))
+        .groupBy(col("v")).agg(min(col("ulbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist()
+      changed = next.join(labels.select(col("v"), col("lbl").as("old")), Seq("v"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    val out = labels.select(col("v").as("doc_id"), col("lbl").as("group_id"))
+      .orderBy("doc_id")
+    pairs.unpersist(); edges.unpersist()
+    out
   }
 
   /** Deterministic random-hyperplane LSH planes (8 planes x 64 dims). */
@@ -131,6 +190,7 @@ object ScaleQueries {
     "minhash_lsh_pairs" -> minhashLshPairs _,
     "simhash64" -> simhash64 _,
     "cos_neardup_pairs" -> cosNeardupPairs _,
+    "dedup_groups" -> dedupGroups _,
     "ann_lsh_buckets" -> annLshBuckets _,
     "ann_lsh_topk" -> annLshTopK _,
   )
