@@ -55,6 +55,11 @@ object DocGen {
       sentence(r, sb)
       i += 1
     }
+    // ~20% of paragraphs carry an inline equation before the final stop;
+    // the layout model also detects it as a formula box over the line, and
+    // the pipeline's inline re-class must fold that det into the text
+    if (r.chance(0.2))
+      sb.insert(sb.length - 1, s" $$\\gamma_{${1 + r.nextInt(9)}}$$".replace("$$", "$"))
     sb.toString
   }
 
@@ -197,8 +202,14 @@ object DocGen {
     var tabK = 0
     val pages = Vector.tabulate(np) { p =>
       val blocks = Vector.newBuilder[ABlock]
-      if (p == 0 || r.chance(0.25))
-        blocks += ABlock(Kinds.Title, titleText(r), level = if (p == 0) 1 else 2)
+      if (p == 0 || r.chance(0.25)) {
+        val t = titleText(r)
+        // section levels 2..4 derive from the title text via the SAME
+        // function the kernel uses to pick the rendered box height — the
+        // pipeline recovers the level from geometry alone
+        val lvl = if (p == 0) 1 else graft.kernel.StubModel.titleLevelOf(t)
+        blocks += ABlock(Kinds.Title, t, level = lvl)
+      }
       val nGroups = 2 + r.nextInt(4)
       var g = 0
       while (g < nGroups) {
@@ -209,6 +220,10 @@ object DocGen {
           blocks += ABlock(Kinds.Figure, "",
             mediaRef = "img://" + sha256Hex(docId + ":fig:" + figK))
           if (r.chance(0.8)) blocks += ABlock(Kinds.Caption, s"Figure $figK: Figure Caption")
+          // figure footnotes: the model emits plain 'footnote' dets; the
+          // pipeline's nearest-body re-class must recover image_footnote
+          if (r.chance(0.3)) blocks += ABlock(Kinds.ImageFootnote,
+            s"Fig note: ${word(r)} ${word(r)}.")
         } else if (roll < 0.82) {
           tabK += 1
           // table captions are authored ABOVE the body (the reference's

@@ -38,7 +38,25 @@ object StubModel extends DocModel {
   private val ContentTop = 60.0
   private val ContentBottom = 744.0
 
-  private val attachKinds = Set(Kinds.Caption, Kinds.Footnote, Kinds.FormulaNumber)
+  private val attachKinds =
+    Set(Kinds.Caption, Kinds.Footnote, Kinds.ImageFootnote, Kinds.FormulaNumber)
+
+  /** Section-title level 2..4, derived from the title text alone — shared
+    * by the corpus authoring and the rendered title box height, so the
+    * pipeline can recover the level from geometry (get_title_level clamps
+    * 1..4, pipeline_middle_json_mkcontent.py:355-361). Level 1 is the
+    * first-page document title. */
+  def titleLevelOf(text: String): Int =
+    2 + Math.floorMod(Rng.fnv64("tl|" + text), 3L).toInt
+
+  /** Rendered title box height per level (the model reads font size; the
+    * pipeline's ladder is >=30 -> 1, >=20 -> 2, >=16 -> 3, else 4). */
+  def titleHeight(level: Int): Double = level match {
+    case 1 => 32.0
+    case 2 => 22.0
+    case 3 => 18.0
+    case _ => 14.0
+  }
 
   /** A logical unit: a leading block plus its trailing attachments. */
   private case class Unit(blocks: Vector[InSpan])
@@ -85,8 +103,9 @@ object StubModel extends DocModel {
     case Kinds.Figure => 120.0
     case Kinds.Table => 90.0
     case Kinds.Formula => 36.0
+    case Kinds.Title => titleHeight(titleLevelOf(s.text))
     case Kinds.Caption => 18.0
-    case Kinds.Footnote => 16.0
+    case Kinds.Footnote | Kinds.ImageFootnote => 16.0
     case Kinds.FormulaNumber => 0.0 // rendered beside the formula
     // box bottom == union of its line boxes (14px pitch, 12px glyphs), so
     // the placement simulation sees exactly the pipeline's post-merge box
@@ -202,6 +221,7 @@ object StubModel extends DocModel {
     val blocks = placed.map { case (s, (x0, y0, x1, y1)) =>
       val cat = s.kind match {
         case Kinds.ListK | Kinds.Index => Kinds.Text // model can't see listness
+        case Kinds.ImageFootnote => Kinds.Footnote // model emits plain footnote
         case k => k
       }
       Det(cat, x0, y0, x1, y1, 1.0, "", "", if (emitsOrd) s.offset else -1)
@@ -243,12 +263,15 @@ object StubModel extends DocModel {
       case _ => (None, mains)
     }
     val yStart = if (titleOpt.isDefined) ContentTopTitle else ContentTop
-    // doc title renders taller than section titles: the pipeline derives the
-    // title level from the box height (get_title_level analogue,
-    // pipeline_middle_json_mkcontent.py:355-361)
+    // title box height encodes the level (doc title 32, sections 22/18/14):
+    // the pipeline derives the level from the height alone (get_title_level
+    // analogue, pipeline_middle_json_mkcontent.py:355-361)
     val titleBox =
       if (pageIdx == 0) (MarginX, 50.0, PageW - MarginX, 82.0)
-      else (MarginX, 56.0, PageW - MarginX, 78.0)
+      else {
+        val h = titleOpt.map(t => titleHeight(titleLevelOf(t.text))).getOrElse(22.0)
+        (MarginX, 56.0, PageW - MarginX, 56.0 + h)
+      }
     val titlePlaced = titleOpt.map(t => (t, titleBox)).toVector
     val baseUnits = toUnits(rest)
 
@@ -356,6 +379,17 @@ object StubModel extends DocModel {
             var i = 0
             while (i < lines.length) {
               val ly0 = y0 + 14.0 * i; val ly1 = ly0 + 12.0
+              // a line carrying an inline equation also gets a FORMULA
+              // detection over the same box (the layout model sees the
+              // math); the pipeline's inline-formula re-class
+              // (check_inline_formula, rapid_layout.py:110-128) must fold
+              // it into the text span instead of emitting a block
+              val dollar = lines(i).indexOf('$')
+              if (dollar >= 0) {
+                val end = lines(i).lastIndexOf('$')
+                dets += Det(Kinds.Formula, x0, ly0, x1, ly1, score,
+                  lines(i).substring(dollar, end + 1), "", -1)
+              }
               if (charLayer) {
                 // empty line det + text-layer chars; a trailing stop char
                 // overhangs the right edge so only the punctuation edge

@@ -92,7 +92,7 @@ object Assemble {
         case Kinds.Title => "#" * math.max(1, b.level) + " " + b.text
         case Kinds.Figure => s"![](${b.media_ref})"
         case Kinds.Formula => b.text
-        case Kinds.Caption | Kinds.Footnote => "*" + b.text + "*"
+        case Kinds.Caption | Kinds.Footnote | Kinds.ImageFootnote => "*" + b.text + "*"
         case _ => b.text
       }
     }.mkString("\n\n")

@@ -355,7 +355,13 @@ object PageOps {
     * shortcut when any anchor carries original_order >= 0, else XY-cut++
     * v3, falling back to the classic cut on failure. Returns block indices
     * in emission order. */
-  def orderBlocks(blocks: Vector[Det]): Vector[Int] = {
+  def orderBlocks(blocks: Vector[Det]): Vector[Int] = emitBlocks(blocks).map(_._1)
+
+  /** orderBlocks plus the per-block emitted KIND: a footnote whose tie-up
+    * subject is a FIGURE re-classes to image_footnote (__fix_footnote,
+    * pipeline_magic_model.py:112-162 — the nearest body's kind decides);
+    * everything else keeps its category. */
+  def emitBlocks(blocks: Vector[Det]): Vector[(Int, String)] = {
     // one pass over the blocks to build the category index lists
     val capB = Vector.newBuilder[Int]; val fnB = Vector.newBuilder[Int]
     val numB = Vector.newBuilder[Int]; val bodyB = Vector.newBuilder[Int]
@@ -401,19 +407,25 @@ object PageOps {
         try XYCutV3.order(boxes)
         catch { case _: Exception => XYCut.order(boxes) } // block_sort.py:230-236
       }
+    // footnotes attached to a figure re-class to image_footnote
+    val reclass: Map[Int, String] = fnAssign.flatMap { case (si, ois) =>
+      if (blocks(si).cat == Kinds.Figure) ois.map(_ -> Kinds.ImageFootnote)
+      else Nil
+    }
+    @inline def kindOf(i: Int): String = reclass.getOrElse(i, blocks(i).cat)
     order.flatMap { k =>
       val ai = anchorsIdx(k)
       val atts = capAssign.getOrElse(ai, Vector.empty) ++
         fnAssign.getOrElse(ai, Vector.empty) ++
         numAssign.getOrElse(ai, Vector.empty)
-      if (atts.isEmpty) Vector(ai)
+      if (atts.isEmpty) Vector((ai, kindOf(ai)))
       else {
         // attachments geometrically above their subject render BEFORE it
         // (table captions sit above the body; the reference emits caption
         // lists before the body, pipeline_middle_json_mkcontent.py:52-82),
         // attachments below render after; tie-up list order within each side
         val (above, below) = atts.partition(oi => blocks(oi).cy < blocks(ai).cy)
-        above ++ (ai +: below)
+        ((above :+ ai) ++ below).map(i => (i, kindOf(i)))
       }
     }
   }
@@ -423,6 +435,17 @@ object PageOps {
     val conf = pm.dets.filter(d =>
       d.score > LowConf && !(d.cat == Kinds.Text && d.score < RecMinConf)).toVector
 
+    // 1.5 inline-formula re-class (check_inline_formula,
+    //     rapid_layout.py:110-128): a formula detection overlapping a TEXT
+    //     detection at IoU >= 0.9 is an inline equation — its content
+    //     lives in the text span, so the layout det folds away instead of
+    //     becoming a block. Runs before the IoU dedup, which is category-
+    //     blind and would otherwise pick one of the two by score.
+    val conf2 = conf.filter { d =>
+      !(d.cat == Kinds.Formula && conf.exists(o => o.cat == Kinds.Text &&
+        Geo.iou(d.x0, d.y0, d.x1, d.y1, o.x0, o.y0, o.x1, o.y1) >= 0.9))
+    }
+
     // 2. high-IoU dedup: drop a det when a strictly better overlapping det
     //    exists (ties impossible by construction; tiebreak on geometry+text
     //    keeps this deterministic regardless of emission order)
@@ -430,8 +453,8 @@ object PageOps {
       if (a.x0 != b.x0) a.x0 < b.x0
       else if (a.y0 != b.y0) a.y0 < b.y0
       else a.text < b.text
-    val deduped = conf.filter { d =>
-      !conf.exists { o =>
+    val deduped = conf2.filter { d =>
+      !conf2.exists { o =>
         (o ne d) && Geo.iou(d.x0, d.y0, d.x1, d.y1, o.x0, o.y0, o.x1, o.y1) > IouDedup &&
           (o.score > d.score || (o.score == d.score && lexLess(o, d)))
       }
@@ -547,19 +570,21 @@ object PageOps {
     }
     val blocks = scopedText ++ unionedBodies
 
-    // 5-7. tie-up + reading order + attachment expansion (shared core —
-    //      see orderBlocks; index-keyed so byte-identical detections can't
-    //      collapse into one map entry)
-    val expanded = orderBlocks(blocks).map(blocks)
+    // 5-7. tie-up + reading order + attachment expansion + figure-footnote
+    //      re-class (shared core — see emitBlocks; index-keyed so
+    //      byte-identical detections can't collapse into one map entry)
+    val emitted = emitBlocks(blocks)
 
     // 8. final blocks (list/index were classified geometrically during the
-    //    line merge); title level from box height (get_title_level
-    //    analogue, pipeline_middle_json_mkcontent.py:355-361)
-    expanded.zipWithIndex.map { case (d, idx) =>
+    //    line merge); title level from box height, clamped 1..4
+    //    (get_title_level, pipeline_middle_json_mkcontent.py:355-361)
+    emitted.zipWithIndex.map { case ((bi, kind), idx) =>
+      val d = blocks(bi)
       val level =
-        if (d.cat == Kinds.Title) { if (d.h >= 30) 1 else 2 }
-        else 0
-      OrderedBlock(d.cat, d.text, d.media_ref, pm.page_idx, idx, level, d.nLines)
+        if (kind == Kinds.Title) {
+          if (d.h >= 30) 1 else if (d.h >= 20) 2 else if (d.h >= 16) 3 else 4
+        } else 0
+      OrderedBlock(kind, d.text, d.media_ref, pm.page_idx, idx, level, d.nLines)
     }
   }
 }

@@ -36,6 +36,9 @@ object Kinds {
   val FormulaNumber = "formula_number"
   val Caption = "caption"
   val Footnote = "footnote"
+  /** footnote re-classed to its figure (CategoryId.ImageFootnote=101,
+    * enum_class.py:104; __fix_footnote pipeline_magic_model.py:112-162). */
+  val ImageFootnote = "image_footnote"
   val Header = "header"
   val Footer = "footer"
   val PageNumber = "page_number"
