@@ -214,7 +214,13 @@ object DocGen {
       var g = 0
       while (g < nGroups) {
         val roll = r.nextDouble()
-        if (roll < 0.55) blocks += ABlock(Kinds.Text, paragraph(r))
+        if (roll < 0.53) blocks += ABlock(Kinds.Text, paragraph(r))
+        else if (roll < 0.55)
+          // form checkbox with its label (checkbox_det_cls.py stage,
+          // ContentType.checkbox) — a pass-through span kind the model
+          // detects as its own category
+          blocks += ABlock(Kinds.Checkbox,
+            (if (r.chance(0.5)) "☑" else "☐") + " " + word(r) + " " + word(r))
         else if (roll < 0.70) {
           figK += 1
           blocks += ABlock(Kinds.Figure, "",

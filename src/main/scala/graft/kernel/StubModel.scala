@@ -515,7 +515,33 @@ object StubModel extends DocModel {
         val t = arr(j); arr(j) = arr(k); arr(k) = t
         j -= 1
       }
-      PageModel(doc.doc_id, p, PageW, PageH, arr.toVector, chars.toVector)
+      // ~15% of pages arrive as rotated scans (90/180/270 cw): every box —
+      // dets AND text layer — is emitted in the rotated image frame with
+      // swapped page dims; the pipeline's orientation restore must map
+      // them back (orientation model rapid_orientation_model.py;
+      // restore_poly boxbase.py:328). Content-keyed, draws nothing.
+      val rotKey = Math.floorMod(Rng.fnv64(doc.doc_id + "|rot|" + p), 20L)
+      val rotation = if (rotKey == 0L) 90 else if (rotKey == 1L) 180
+        else if (rotKey == 2L) 270 else 0
+      if (rotation == 0)
+        PageModel(doc.doc_id, p, PageW, PageH, arr.toVector, chars.toVector)
+      else {
+        @inline def fwd(x0: Double, y0: Double, x1: Double, y1: Double) = rotation match {
+          case 90 => (PageH - y1, x0, PageH - y0, x1)
+          case 180 => (PageW - x1, PageH - y1, PageW - x0, PageH - y0)
+          case _ => (y0, PageW - x1, y1, PageW - x0) // 270
+        }
+        val rdets = arr.toVector.map { d =>
+          val (x0, y0, x1, y1) = fwd(d.x0, d.y0, d.x1, d.y1)
+          d.copy(x0 = x0, y0 = y0, x1 = x1, y1 = y1)
+        }
+        val rchars = chars.toVector.map { c =>
+          val (x0, y0, x1, y1) = fwd(c.x0, c.y0, c.x1, c.y1)
+          c.copy(x0 = x0, y0 = y0, x1 = x1, y1 = y1)
+        }
+        val (w, h) = if (rotation == 180) (PageW, PageH) else (PageH, PageW)
+        PageModel(doc.doc_id, p, w, h, rdets, rchars, rotation)
+      }
     }
   }
 }

@@ -430,10 +430,37 @@ object PageOps {
     }
   }
 
+  /** Orientation restore (restore_poly, boxbase.py:328; orientation model
+    * rapid_orientation_model.py applied batch_analyze.py:114-125): map
+    * boxes from the rotated scan frame back to upright page coordinates.
+    * Returns (upright width, upright height, dets, chars). */
+  def restoreOrientation(pm: PageModel): (Double, Double, Vector[Det], Vector[CharDet]) = {
+    val rot = ((pm.rotation % 360) + 360) % 360
+    if (rot == 0) return (pm.width, pm.height, pm.dets.toVector, pm.chars.toVector)
+    @inline def box(a0: Double, b0: Double, a1: Double, b1: Double) = rot match {
+      case 90 => (b0, pm.width - a1, b1, pm.width - a0)
+      case 180 => (pm.width - a1, pm.height - b1, pm.width - a0, pm.height - b0)
+      case _ => (pm.height - b1, a0, pm.height - b0, a1) // 270
+    }
+    val dets = pm.dets.toVector.map { d =>
+      val (x0, y0, x1, y1) = box(d.x0, d.y0, d.x1, d.y1)
+      d.copy(x0 = x0, y0 = y0, x1 = x1, y1 = y1)
+    }
+    val chars = pm.chars.toVector.map { c =>
+      val (x0, y0, x1, y1) = box(c.x0, c.y0, c.x1, c.y1)
+      c.copy(x0 = x0, y0 = y0, x1 = x1, y1 = y1)
+    }
+    if (rot == 180) (pm.width, pm.height, dets, chars)
+    else (pm.height, pm.width, dets, chars)
+  }
+
   def process(pm: PageModel): Vector[OrderedBlock] = {
+    // 0. orientation restore: boxes arrive in the rotated scan frame
+    val (pageW, pageH, updets, upchars) = restoreOrientation(pm)
+
     // 1. low-confidence filter + OCR rec-confidence filter on text
-    val conf = pm.dets.filter(d =>
-      d.score > LowConf && !(d.cat == Kinds.Text && d.score < RecMinConf)).toVector
+    val conf = updets.filter(d =>
+      d.score > LowConf && !(d.cat == Kinds.Text && d.score < RecMinConf))
 
     // 1.5 inline-formula re-class (check_inline_formula,
     //     rapid_layout.py:110-128): a formula detection overlapping a TEXT
@@ -466,13 +493,13 @@ object PageOps {
     // 3.5 char->span fill: txt-route line detections arrive with empty text
     //     and are reconstructed from the page's pdf text layer
     //     (span_pre_proc.py:365-436)
-    val live = fillChars(abandonDropped, pm.chars)
+    val live = fillChars(abandonDropped, upchars)
 
     // 4. page-number fence: a small isolated box in the bottom margin is
     //    boilerplate even when the model mislabeled it as text
     val kept = live.filter { d =>
       val smallBottom = d.w <= PageNumMaxW && d.h <= PageNumMaxH &&
-        d.y0 > BottomFenceFrac * pm.height
+        d.y0 > BottomFenceFrac * pageH
       val isolated = !live.exists(o =>
         (o ne d) && Geo.interLen(o.y0, o.y1, d.y0, d.y1) > 0)
       !(smallBottom && isolated)
@@ -491,7 +518,7 @@ object PageOps {
       val out = Vector.newBuilder[Det]
       var group = Vector.empty[Det]
       def flush(): Unit =
-        if (group.nonEmpty) { out += buildBlock(group, pm.width); group = Vector.empty }
+        if (group.nonEmpty) { out += buildBlock(group, pageW); group = Vector.empty }
       sorted.foreach { d =>
         if (group.isEmpty) group = Vector(d)
         else {

@@ -256,6 +256,22 @@ object Oracles {
         |FROM c GROUP BY doc_id, (cum_before // 40)
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
+    "chunk_locate" ->
+      """WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents),
+        |g AS (SELECT g.doc_id, g.ord, g.text
+        |  FROM read_parquet('/root/repo/src/test/resources/golden/extract_golden.parquet') g
+        |  JOIN ids ON g.doc_id = ids.did),
+        |t AS (SELECT doc_id, ord,
+        |  CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS toks FROM g),
+        |c AS (SELECT doc_id, ord, toks,
+        |  (sum(toks) OVER (PARTITION BY doc_id ORDER BY ord
+        |     ROWS UNBOUNDED PRECEDING) - toks) AS cum_before FROM t)
+        |SELECT doc_id, (cum_before // 60)::INT AS chunk_id,
+        |  min(ord)::INT AS first_ord, max(ord)::INT AS last_ord,
+        |  count(*)::BIGINT AS n_spans, sum(toks)::BIGINT AS n_tokens
+        |FROM c GROUP BY doc_id, (cum_before // 60)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
         |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,

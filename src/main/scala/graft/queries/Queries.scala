@@ -426,6 +426,27 @@ object Queries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Chunk -> reading-order locator (the RAG half of the reference's
+    * chunker, chunker/get_bbox_page_fast.py:8-40, at span granularity —
+    * our spans' position key IS the reading order): pack extracted spans
+    * into 60-token chunks by cumulative token count and report each
+    * chunk's span range. The oracle replays it over the committed golden
+    * span parquet, so the chunk boundaries are value-checked end to end. */
+  def chunkLocate(spark: SparkSession, dir: String): DataFrame = {
+    val spans = graft.pipeline.Extract.extractSpans(spark, dir)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans
+      .withColumn("toks",
+        when(col("text") === "", lit(0)).otherwise(size(split(col("text"), " "))))
+      .withColumn("cum_before", sum(col("toks")).over(w) - col("toks"))
+      .withColumn("chunk_id", expr("CAST(cum_before div 60 AS INT)"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(min(col("ord")).as("first_ord"), max(col("ord")).as("last_ord"),
+        count(lit(1)).as("n_spans"), sum(col("toks")).as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   // ---------------------------------------------------------------------
   // Relational headliners over the TPC-H-ish tables
   // ---------------------------------------------------------------------
@@ -529,6 +550,7 @@ object Queries {
     "textnorm_roundtrip" -> textnormRoundtrip _,
     "markdown_escape" -> markdownEscape _,
     "chunk_text" -> chunkText _,
+    "chunk_locate" -> chunkLocate _,
     "q1_agg" -> q1Agg _,
     "q2_join_topk" -> q2JoinTopK _,
     "events_hourly" -> eventsHourly _,

@@ -42,6 +42,9 @@ object Kinds {
   val Header = "header"
   val Footer = "footer"
   val PageNumber = "page_number"
+  /** checkbox span (ContentType.checkbox, enum_class.py:58; det stage
+    * checkbox_det_cls.py, injected as CategoryId 200). */
+  val Checkbox = "checkbox"
   /** kinds suppressed from the main flow (boilerplate strip). */
   val discarded: Set[String] = Set(Header, Footer, PageNumber)
   /** model category for explicitly-abandoned regions (CategoryId.Abandon=2,
@@ -78,14 +81,20 @@ case class CharDet(ch: String, x0: Double, y0: Double, x1: Double, y1: Double, i
 
 /** Per-page model output row (one row per (doc, page) after the kernel).
   * `chars` carries the pdf text layer on the txt route; detection boxes
-  * whose text is empty are filled from it (span_pre_proc.py:365-436). */
+  * whose text is empty are filled from it (span_pre_proc.py:365-436).
+  * `rotation` is the page scan rotation in degrees clockwise as detected
+  * by the orientation model (rapid_orientation_model.py, applied
+  * batch_analyze.py:114-125): coordinates arrive in the ROTATED image
+  * frame and the pipeline restores them upright (restore_poly,
+  * boxbase.py:328). */
 case class PageModel(
     doc_id: String,
     page_idx: Int,
     width: Double,
     height: Double,
     dets: Seq[Det],
-    chars: Seq[CharDet] = Nil)
+    chars: Seq[CharDet] = Nil,
+    rotation: Int = 0)
 
 /** An ordered block after page-level processing, pre doc-assembly.
   * `nLines` carries the block's text-line count into the doc-level
