@@ -73,9 +73,58 @@ object MediaStub {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Resize plumbing: aspect-preserving fit into a 256px box, computed in
+    * the batched kernel over the decoded dims — all-integer arithmetic
+    * (scale in per-mille) so the oracle is bit-exact. A real implementation
+    * resamples pixels here; the batch contract and the output schema are
+    * the real surface. */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        unhex(md5(col("doc_id").cast("string"))).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          decodeBatch(batch).map { m =>
+            val mx = math.max(m.width, m.height)
+            if (mx <= 256) (m.doc_id, m.width, m.height, 1000)
+            else (m.doc_id, m.width * 256 / mx, m.height * 256 / mx, 256000 / mx)
+          }
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "scale_pm")
+      .orderBy("doc_id")
+  }
+
+  /** Feature-extract plumbing: payload -> fixed-width embedding (8 byte
+    * dims), the batched encoder contract. The encoder is the STUB (real
+    * deployments run an image tower here); dims are exact ints so the
+    * oracle replays them. */
+  def mediaEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        unhex(md5(col("doc_id").cast("string"))).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { case (id, b) =>
+            (id, (0 until 8).map(i => b(i) & 0xff).toArray)
+          }
+        }
+      }
+      .toDF("doc_id", "emb")
+      .select(col("doc_id") +:
+        (0 until 8).map(i => col("emb").getItem(i).as(s"e$i")): _*)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> mediaMeta _,
     "media_frame_sample" -> frameSample _,
+    "media_resize" -> mediaResize _,
+    "media_embed" -> mediaEmbed _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -95,5 +144,21 @@ object MediaStub {
         |  (('0x' || substr(h, 13 + (k - 1) * 2, 2))::INT * 40)::BIGINT AS offset_ms
         |FROM m, UNNEST(generate_series(1, n)) AS t(k)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "media_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |  (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 1024 + 32) AS w,
+        |  (('0x' || substr(md5(doc_id::VARCHAR), 5, 4))::INT % 1024 + 32) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, w, h, greatest(w, h) AS mx FROM m)
+        |SELECT doc_id,
+        |  (CASE WHEN mx <= 256 THEN w ELSE w * 256 // mx END)::INT AS out_w,
+        |  (CASE WHEN mx <= 256 THEN h ELSE h * 256 // mx END)::INT AS out_h,
+        |  (CASE WHEN mx <= 256 THEN 1000 ELSE 256000 // mx END)::INT AS scale_pm
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "media_embed" ->
+      ("""SELECT doc_id, """ + (0 until 8).map(i =>
+        s"('0x' || substr(md5(doc_id::VARCHAR), ${1 + i * 2}, 2))::INT AS e$i")
+        .mkString(", ") +
+        """ FROM documents ORDER BY doc_id"""),
   )
 }
