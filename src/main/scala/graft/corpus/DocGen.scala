@@ -97,13 +97,22 @@ object DocGen {
 
   /** The header row carries the per-doc table counter so two DIFFERENT
     * tables can never share a header — header equality is the pipeline's
-    * cross-page merge signal (table_merge.py detect_table_headers:483). */
-  private def tableHtml(r: SplitMix64, k: Int): String = {
+    * cross-page merge signal (table_merge.py detect_table_headers:483).
+    * ~30% of tables are WIRED (bordered — the wired/wireless classify of
+    * rapid_table.py:47-58); ~25% embed an original image in a cell, which
+    * the table recognizer returns as a placeholder the pipeline's
+    * fill-image join must resolve (span_pre_proc.py:218-266). */
+  private def tableHtml(r: SplitMix64, docId: String, k: Int): String = {
     val a = word(r); val b = word(r)
     val v1 = 100 + r.nextInt(900); val v2 = r.nextInt(100)
-    s"<table><tr><td>Model $k</td><td>${cap(a)}</td></tr>" +
+    val open = if (r.chance(0.3)) "<table border=\"1\">" else "<table>"
+    val imgRow =
+      if (r.chance(0.25))
+        s"""<tr><td>Chart</td><td><img src="img://${sha256Hex(docId + ":tblimg:" + k)}"/></td></tr>"""
+      else ""
+    s"$open<tr><td>Model $k</td><td>${cap(a)}</td></tr>" +
       s"<tr><td>Testing Error</td><td>0.$v2$v1</td></tr>" +
-      s"<tr><td>${cap(b)} Regression</td><td>$v1.2</td></tr></table>"
+      s"<tr><td>${cap(b)} Regression</td><td>$v1.2</td></tr>$imgRow</table>"
   }
 
   /** A table split across a page boundary: both parts repeat the header. */
@@ -221,6 +230,10 @@ object DocGen {
           // detects as its own category
           blocks += ABlock(Kinds.Checkbox,
             (if (r.chance(0.5)) "☑" else "☐") + " " + word(r) + " " + word(r))
+        else if (roll < 0.56)
+          // seal region with its OCR'd text (seal stage,
+          // batch_analyze.py:415-456; containment-dedup-protected kind)
+          blocks += ABlock(Kinds.Seal, s"SEAL ${cap(word(r))} ${cap(word(r))}")
         else if (roll < 0.70) {
           figK += 1
           blocks += ABlock(Kinds.Figure, "",
@@ -237,7 +250,7 @@ object DocGen {
           // body) — this is also what lets a fresh table's own caption
           // block a cross-page merge (can_merge_tables:598)
           if (r.chance(0.8)) blocks += ABlock(Kinds.Caption, s"Table $tabK: Table Caption")
-          blocks += ABlock(Kinds.Table, tableHtml(r, tabK))
+          blocks += ABlock(Kinds.Table, tableHtml(r, docId, tabK))
           if (r.chance(0.4)) blocks += ABlock(Kinds.Footnote, s"Note: ${word(r)} ${word(r)}.")
         } else if (roll < 0.92) {
           blocks += ABlock(Kinds.Formula, formulaLatex(r))

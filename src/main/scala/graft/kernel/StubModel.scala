@@ -347,6 +347,7 @@ object StubModel extends DocModel {
 
       val dets = ArrayBuffer.empty[Det]
       val chars = ArrayBuffer.empty[CharDet] // text layer: deterministic order, never scrambled
+      val oriImgs = ArrayBuffer.empty[Det]   // embedded original images (pdf layer)
       var charIdx = 0
       // main dets, authoring order (scores drawn in this fixed order).
       // Paragraph text is emitted as PER-LINE detections (justified to the
@@ -425,6 +426,25 @@ object StubModel extends DocModel {
                 score, items(i), "", ord)
               i += 1
             }
+          case Kinds.Table if s.text.contains("<img ") =>
+            // table-fill-image contract (span_pre_proc.py:218-266 +
+            // rapid_table.py:181-199): the recognizer returns the cell
+            // content as a placeholder; the embedded image itself arrives
+            // via the pdf layer (get_ori_image) strictly inside the table
+            // region, and the pipeline's fill join must resolve it
+            var html = s.text
+            var fillIdx = 0
+            var pos = html.indexOf("<img src=\"")
+            while (pos >= 0) {
+              val end = html.indexOf("\"/>", pos)
+              val ref = html.substring(pos + 10, end)
+              html = html.substring(0, pos) + s"{{fill-$fillIdx}}" + html.substring(end + 3)
+              oriImgs += Det(Kinds.Figure, x0 + 10 + 40 * fillIdx, y0 + 56,
+                x0 + 40 + 40 * fillIdx, y0 + 76, 1.0, "", ref)
+              fillIdx += 1
+              pos = html.indexOf("<img src=\"", pos)
+            }
+            dets += Det(Kinds.Table, x0, y0, x1, y1, score, html, s.media_ref, ord)
           case k =>
             dets += Det(k, x0, y0, x1, y1, score, s.text, s.media_ref, ord)
         }
@@ -524,23 +544,26 @@ object StubModel extends DocModel {
       val rotation = if (rotKey == 0L) 90 else if (rotKey == 1L) 180
         else if (rotKey == 2L) 270 else 0
       if (rotation == 0)
-        PageModel(doc.doc_id, p, PageW, PageH, arr.toVector, chars.toVector)
+        PageModel(doc.doc_id, p, PageW, PageH, arr.toVector, chars.toVector,
+          0, oriImgs.toVector)
       else {
         @inline def fwd(x0: Double, y0: Double, x1: Double, y1: Double) = rotation match {
           case 90 => (PageH - y1, x0, PageH - y0, x1)
           case 180 => (PageW - x1, PageH - y1, PageW - x0, PageH - y0)
           case _ => (y0, PageW - x1, y1, PageW - x0) // 270
         }
-        val rdets = arr.toVector.map { d =>
+        @inline def rotDet(d: Det): Det = {
           val (x0, y0, x1, y1) = fwd(d.x0, d.y0, d.x1, d.y1)
           d.copy(x0 = x0, y0 = y0, x1 = x1, y1 = y1)
         }
+        val rdets = arr.toVector.map(rotDet)
         val rchars = chars.toVector.map { c =>
           val (x0, y0, x1, y1) = fwd(c.x0, c.y0, c.x1, c.y1)
           c.copy(x0 = x0, y0 = y0, x1 = x1, y1 = y1)
         }
         val (w, h) = if (rotation == 180) (PageW, PageH) else (PageH, PageW)
-        PageModel(doc.doc_id, p, w, h, rdets, rchars, rotation)
+        PageModel(doc.doc_id, p, w, h, rdets, rchars, rotation,
+          oriImgs.toVector.map(rotDet))
       }
     }
   }

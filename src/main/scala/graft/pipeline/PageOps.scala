@@ -434,29 +434,34 @@ object PageOps {
     * rapid_orientation_model.py applied batch_analyze.py:114-125): map
     * boxes from the rotated scan frame back to upright page coordinates.
     * Returns (upright width, upright height, dets, chars). */
-  def restoreOrientation(pm: PageModel): (Double, Double, Vector[Det], Vector[CharDet]) = {
+  def restoreOrientation(pm: PageModel)
+      : (Double, Double, Vector[Det], Vector[CharDet], Vector[Det]) = {
     val rot = ((pm.rotation % 360) + 360) % 360
-    if (rot == 0) return (pm.width, pm.height, pm.dets.toVector, pm.chars.toVector)
+    if (rot == 0)
+      return (pm.width, pm.height, pm.dets.toVector, pm.chars.toVector,
+        pm.oriImages.toVector)
     @inline def box(a0: Double, b0: Double, a1: Double, b1: Double) = rot match {
       case 90 => (b0, pm.width - a1, b1, pm.width - a0)
       case 180 => (pm.width - a1, pm.height - b1, pm.width - a0, pm.height - b0)
       case _ => (pm.height - b1, a0, pm.height - b0, a1) // 270
     }
-    val dets = pm.dets.toVector.map { d =>
+    @inline def restDet(d: Det): Det = {
       val (x0, y0, x1, y1) = box(d.x0, d.y0, d.x1, d.y1)
       d.copy(x0 = x0, y0 = y0, x1 = x1, y1 = y1)
     }
+    val dets = pm.dets.toVector.map(restDet)
     val chars = pm.chars.toVector.map { c =>
       val (x0, y0, x1, y1) = box(c.x0, c.y0, c.x1, c.y1)
       c.copy(x0 = x0, y0 = y0, x1 = x1, y1 = y1)
     }
-    if (rot == 180) (pm.width, pm.height, dets, chars)
-    else (pm.height, pm.width, dets, chars)
+    val ori = pm.oriImages.toVector.map(restDet)
+    if (rot == 180) (pm.width, pm.height, dets, chars, ori)
+    else (pm.height, pm.width, dets, chars, ori)
   }
 
   def process(pm: PageModel): Vector[OrderedBlock] = {
     // 0. orientation restore: boxes arrive in the rotated scan frame
-    val (pageW, pageH, updets, upchars) = restoreOrientation(pm)
+    val (pageW, pageH, updets, upchars, oriImages) = restoreOrientation(pm)
 
     // 1. low-confidence filter + OCR rec-confidence filter on text
     val conf = updets.filter(d =>
@@ -581,13 +586,33 @@ object PageOps {
       }
       buf.toVector ++ others
     }
+    // 4.65 table-fill-image join (extract_table_fill_image,
+    //      span_pre_proc.py:218-266; placeholder injection
+    //      rapid_table.py:181-199): embedded original images strictly
+    //      inside a table region resolve the recognizer's {{fill-i}}
+    //      placeholders, in (y0, x0) order
+    val filledBodies =
+      if (oriImages.isEmpty) unionedBodies
+      else unionedBodies.map { d =>
+        if (d.cat == Kinds.Table && d.text.contains("{{fill-")) {
+          val imgs = oriImages.filter { im =>
+            im.cx > d.x0 && im.cx < d.x1 && im.cy > d.y0 && im.cy < d.y1 &&
+              Geo.iou(im.x0, im.y0, im.x1, im.y1, d.x0, d.y0, d.x1, d.y1) < 0.9
+          }.sortBy(im => (im.y0, im.x0))
+          var html = d.text
+          imgs.zipWithIndex.foreach { case (im, i) =>
+            html = html.replace(s"{{fill-$i}}", s"""<img src="${im.media_ref}"/>""")
+          }
+          d.copy(text = html)
+        } else d
+      }
     // 4.7 span scope filter: a text block mostly contained in a figure/table
     //     body is a model misfire (chart labels, cell text) — the body
     //     carries its own content (span_pre_proc.py remove_outside_spans /
     //     remove_overlaps_min_spans:90-125)
     val scopedText = mergedVert.filter { t =>
       val tArea = t.area
-      tArea <= 0 || !unionedBodies.exists { b =>
+      tArea <= 0 || !filledBodies.exists { b =>
         Kinds.bodies(b.cat) && {
           val inter = Geo.interLen(t.x0, t.x1, b.x0, b.x1) *
             Geo.interLen(t.y0, t.y1, b.y0, b.y1)
@@ -595,7 +620,7 @@ object PageOps {
         }
       }
     }
-    val blocks = scopedText ++ unionedBodies
+    val blocks = scopedText ++ filledBodies
 
     // 5-7. tie-up + reading order + attachment expansion + figure-footnote
     //      re-class (shared core — see emitBlocks; index-keyed so

@@ -272,6 +272,15 @@ object Oracles {
         |FROM c GROUP BY doc_id, (cum_before // 60)
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
+    "table_classify" ->
+      """WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents)
+        |SELECT g.doc_id, g.ord,
+        |  CASE WHEN g.text LIKE '<table border%' THEN 'wired' ELSE 'wireless' END AS cls
+        |FROM read_parquet('/root/repo/src/test/resources/golden/extract_golden.parquet') g
+        |JOIN ids ON g.doc_id = ids.did
+        |WHERE g.kind = 'table'
+        |ORDER BY g.doc_id, g.ord""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
         |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,

@@ -447,6 +447,19 @@ object Queries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Wired/wireless table classification over the extraction output
+    * (rapid_table.py:47-58 TableCls: bordered tables route to the wired
+    * structure model, borderless to wireless) — the authored corpus
+    * carries both classes and the value check replays against the
+    * committed golden parquet. */
+  def tableClassify(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Extract.extractSpans(spark, dir)
+      .filter(col("kind") === "table")
+      .select(col("doc_id"), col("ord"),
+        when(col("text").startsWith("<table border"), lit("wired"))
+          .otherwise(lit("wireless")).as("cls"))
+      .orderBy("doc_id", "ord")
+
   // ---------------------------------------------------------------------
   // Relational headliners over the TPC-H-ish tables
   // ---------------------------------------------------------------------
@@ -551,6 +564,7 @@ object Queries {
     "markdown_escape" -> markdownEscape _,
     "chunk_text" -> chunkText _,
     "chunk_locate" -> chunkLocate _,
+    "table_classify" -> tableClassify _,
     "q1_agg" -> q1Agg _,
     "q2_join_topk" -> q2JoinTopK _,
     "events_hourly" -> eventsHourly _,

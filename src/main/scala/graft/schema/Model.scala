@@ -45,6 +45,10 @@ object Kinds {
   /** checkbox span (ContentType.checkbox, enum_class.py:58; det stage
     * checkbox_det_cls.py, injected as CategoryId 200). */
   val Checkbox = "checkbox"
+  /** seal span (ContentType.seal, enum_class.py:60; seal OCR stage
+    * batch_analyze.py:415-456) — protected from containment dedup in the
+    * reference (span_pre_proc.py:90-125). */
+  val Seal = "seal"
   /** kinds suppressed from the main flow (boilerplate strip). */
   val discarded: Set[String] = Set(Header, Footer, PageNumber)
   /** model category for explicitly-abandoned regions (CategoryId.Abandon=2,
@@ -94,7 +98,11 @@ case class PageModel(
     height: Double,
     dets: Seq[Det],
     chars: Seq[CharDet] = Nil,
-    rotation: Int = 0)
+    rotation: Int = 0,
+    /** embedded original images from the pdf text layer (get_ori_image,
+      * pdf_image_tools.py:286) — the table-fill-image join's right side
+      * (extract_table_fill_image, span_pre_proc.py:218-266). */
+    oriImages: Seq[Det] = Nil)
 
 /** An ordered block after page-level processing, pre doc-assembly.
   * `nLines` carries the block's text-line count into the doc-level
