@@ -96,8 +96,11 @@ object DocGen {
       cap(word(r)) + " " + word(r) + " . . . . " + (1 + r.nextInt(40))).mkString("\n")
 
   /** The header row carries the per-doc table counter so two DIFFERENT
-    * tables can never share a header — header equality is the pipeline's
-    * cross-page merge signal (table_merge.py detect_table_headers:483).
+    * tables never share a header (header equality drives the merge's
+    * header-skip, table_merge.py detect_table_headers:483; merge
+    * ELIGIBILITY is caption/footnote/structure-gated per
+    * can_merge_tables:598 — a fresh table's leading caption is what blocks
+    * an accidental cross-page merge).
     * ~30% of tables are WIRED (bordered — the wired/wireless classify of
     * rapid_table.py:47-58); ~25% embed an original image in a cell, which
     * the table recognizer returns as a placeholder the pipeline's

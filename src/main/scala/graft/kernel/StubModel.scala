@@ -445,6 +445,11 @@ object StubModel extends DocModel {
               pos = html.indexOf("<img src=\"", pos)
             }
             dets += Det(Kinds.Table, x0, y0, x1, y1, score, html, s.media_ref, ord)
+          case Kinds.ImageFootnote =>
+            // the model has no image_footnote category — it emits a plain
+            // footnote det; the pipeline's nearest-body re-class must
+            // recover the kind (__fix_footnote)
+            dets += Det(Kinds.Footnote, x0, y0, x1, y1, score, s.text, s.media_ref, ord)
           case k =>
             dets += Det(k, x0, y0, x1, y1, score, s.text, s.media_ref, ord)
         }

@@ -18,8 +18,6 @@ object PageOps {
   private val BottomFenceFrac = 0.93  // block_pre_proc.py:79-97 analogue
   private val LineGapMax = 6.0        // max inter-line gap inside a block
 
-  private val attachCats = Set(Kinds.Caption, Kinds.Footnote)
-
   /** OCR rec-confidence floor (ocr_utils.py:374-375): garbled recognition
     * results land below it; real text lines stay above on both routes. */
   private val RecMinConf = 0.3
@@ -162,8 +160,8 @@ object PageOps {
     val grid = new Array[mutable.ArrayBuffer[Int]](maxCell + 2)
     spanIdx.foreach { i =>
       val d = dets(i)
-      var cell = (d.y0 / gridSize).toInt
-      val endCell = (d.y1 / gridSize).toInt
+      var cell = math.max(0, (d.y0 / gridSize).toInt) // guard out-of-page boxes
+      val endCell = math.min(maxCell + 1, (d.y1 / gridSize).toInt)
       while (cell <= endCell) {
         if (grid(cell) == null) grid(cell) = new mutable.ArrayBuffer[Int](4)
         grid(cell) += i

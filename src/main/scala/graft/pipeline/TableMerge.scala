@@ -199,7 +199,13 @@ object TableMerge {
       else if (cols2 > cols1)
         rows1 = adjustRows(rows1, effectiveCols(rows1), body2.head, cols2)
     }
-    render(rows1 ++ body2)
+    // preserve the previous part's table tag (a wired table stays
+    // <table border="1"> after absorbing its continuation)
+    val open = {
+      val m = java.util.regex.Pattern.compile("^<table[^>]*>").matcher(prevHtml)
+      if (m.find()) m.group() else "<table>"
+    }
+    open + render(rows1 ++ body2).stripPrefix("<table>")
   }
 
   /** Legacy structural probe (kept for specs): both tables share an
@@ -217,13 +223,21 @@ object TableMerge {
     *    own trailing attachments, then the continuation's leading captions,
     *    separate them in the stream (the flat-form of "last para_block of
     *    page N-1 / first para_block of page N");
-    *  - leading captions of the continuation must carry a continuation
-    *    marker or the merge is blocked (a fresh table's own caption);
-    *  - the previous table's footnotes block per can_merge_tables;
-    *  - on merge: continuation captions are dropped (the merged-away
-    *    block's children are cleared in the reference), its footnotes
-    *    relocate after the merged table (cross_page tagged), and trailing
-    *    non-continuation captions restore as plain text blocks. */
+    *  - the continuation's own captions must include a continuation marker
+    *    or the merge is blocked (a fresh table's caption); on a merge ALL
+    *    of its leading captions drop — the merged-away block's children
+    *    are cleared in the reference (merge_table:998-1001);
+    *  - the previous table's footnotes (including ones relocated by an
+    *    earlier chain step) block per can_merge_tables;
+    *  - on merge: the continuation's footnotes relocate after the merged
+    *    table (cross_page tagged), and trailing non-continuation captions
+    *    restore as plain text blocks.
+    *
+    * Like the reference, two adjacent cross-page tables with equal column
+    * counts, no blocking captions and no footnotes DO merge even without a
+    * repeated header — the env-gated feature's known false-positive class;
+    * the corpus's fresh tables author a leading caption, which blocks it in
+    * the common case. */
   def mergeStream[B](blocks: Vector[B])(
       kind: B => String, text: B => String, page: B => Int,
       withText: (B, String) => B, toText: B => B): Vector[B] = {
@@ -244,9 +258,12 @@ object TableMerge {
         var chain = true
         while (chain) {
           chain = false
-          // trailing attachments of the current table on its page
+          // trailing attachments of the current table on its page — PLUS
+          // footnotes already relocated onto the merged table by earlier
+          // chain steps (they are the merged block's children in the
+          // reference and participate in can_merge_tables' footnote rules)
           var t = j
-          var prevFoot = 0
+          var prevFoot = acc.count(b => kind(b) == Kinds.Footnote)
           while (t < n && page(blocks(t)) == curPage && isAttach(blocks(t))) {
             if (kind(blocks(t)) == Kinds.Footnote) prevFoot += 1
             t += 1

@@ -25,6 +25,8 @@ object Oracles {
 
   val all: Map[String, String] = Map(
     // Full value-level oracle for the extraction pipeline: the committed
+    // golden parquet is addressed by the driver-protocol checkout path
+    // (/root/repo — the only filesystem layout the driver runs);
     // golden parquet holds the renderer-side expected span sequences
     // (graft.tools.OracleDump, independent of the pipeline code) for doc
     // ids 0..4999; join restricts to whichever ids the sf dir contains.

@@ -127,14 +127,20 @@ object ScaleQueries {
     var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("lbl")).persist()
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < 25) {
+    // run to CONVERGENCE: min-label propagation terminates in component-
+    // diameter rounds (the label sum strictly decreases every changed
+    // round), while a fixed small cap would silently disagree with the
+    // oracle's exact transitive closure on long candidate chains. The
+    // generous bound only guards a logic regression; localCheckpoint
+    // truncates the growing lineage each round.
+    while (changed > 0 && iter < 10000) {
       val nbrMin = edges
         .join(labels.select(col("v").as("u"), col("lbl").as("ulbl")), Seq("u"))
         .groupBy(col("v")).agg(min(col("ulbl")).as("nbr_lbl"))
       val next = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.join(labels.select(col("v"), col("lbl").as("old")), Seq("v"))
         .filter(col("lbl") =!= col("old")).count()
       labels.unpersist()

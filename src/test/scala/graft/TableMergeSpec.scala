@@ -101,6 +101,25 @@ class TableMergeSpec extends AnyFunSuite {
     assert(interText.length == 3)
   }
 
+  test("merge preserves the previous part's table tag (wired stays wired)") {
+    val t1 = "<table border=\"1\"><tr><td>H</td><td>I</td></tr><tr><td>a</td><td>1</td></tr></table>"
+    val t2 = "<table><tr><td>H</td><td>I</td></tr><tr><td>b</td><td>2</td></tr></table>"
+    assert(TableMerge.merge(t1, t2).startsWith("<table border=\"1\">"))
+  }
+
+  test("footnotes relocated by an earlier chain step block the next merge") {
+    val t1 = "<table><tr><td>H</td><td>I</td></tr><tr><td>a</td><td>1</td></tr></table>"
+    val t2 = "<table><tr><td>H</td><td>I</td></tr><tr><td>b</td><td>2</td></tr></table>"
+    val t3 = "<table><tr><td>H</td><td>I</td></tr><tr><td>c</td><td>3</td></tr></table>"
+    val out = runStream(Vector(
+      blk(Kinds.Table, t1, 0),
+      blk(Kinds.Table, t2, 1),
+      blk(Kinds.Footnote, "Note: n.", 1), // relocates onto the merged table
+      blk(Kinds.Table, t3, 2)))           // caption-less -> blocked by it
+    assert(out.map(_.kind) == Vector(Kinds.Table, Kinds.Footnote, Kinds.Table))
+    assert(out.head.text == TableMerge.merge(t1, t2))
+  }
+
   test("three-page chain merges right through") {
     val t1 = "<table><tr><td>H</td><td>I</td></tr><tr><td>a</td><td>1</td></tr></table>"
     val t2 = "<table><tr><td>H</td><td>I</td></tr><tr><td>b</td><td>2</td></tr></table>"
