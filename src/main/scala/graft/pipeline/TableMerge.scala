@@ -106,7 +106,11 @@ object TableMerge {
 
   /** Count of leading rows structurally identical in both tables
     * (detect_table_headers:483 — cell count, colspans, rowspans,
-    * normalized texts; stops at the first mismatch). */
+    * normalized texts; stops at the first mismatch). When the structural
+    * pass matches nothing, the VISUAL fallback
+    * (_detect_table_headers_visual:518) compares only normalized texts and
+    * effective column counts, tolerating colspan/rowspan differences
+    * between the two parts' recognized headers. */
   def detectHeaders(rows1: Vector[Row], rows2: Vector[Row]): Int = {
     val lim = math.min(math.min(rows1.length, rows2.length), MaxHeaderRows)
     var k = 0
@@ -119,7 +123,37 @@ object TableMerge {
         a.map(c => normText(c.text)) == b.map(c => normText(c.text))
       if (go) k += 1
     }
-    k
+    if (k > 0) k
+    else {
+      val eff1 = effectiveCols(rows1); val eff2 = effectiveCols(rows2)
+      var v = 0
+      var vgo = true
+      while (v < lim && vgo) {
+        vgo = rows1(v).map(c => normText(c.text)) == rows2(v).map(c => normText(c.text)) &&
+          eff1(v) == eff2(v)
+        if (vgo) v += 1
+      }
+      v
+    }
+  }
+
+  /** Visual segment count of a row after rendering
+    * (calculate_row_rendered_segments:456): each explicit cell is one
+    * segment regardless of colspan, and each rowspan placeholder carried
+    * from an earlier row is one segment per source cell. */
+  def renderedSegments(rows: Vector[Row], target: Int): Int = {
+    var pending = 0 // active rowspan sources covering the current row
+    var carry = Vector.empty[Int] // remaining rows per source
+    var i = 0
+    var result = 0
+    while (i <= target && i < rows.length) {
+      pending = carry.length
+      if (i == target) result = rows(i).length + pending
+      carry = carry.collect { case n if n > 1 => n - 1 } ++
+        rows(i).collect { case c if c.rowspan > 1 => c.rowspan - 1 }
+      i += 1
+    }
+    result
   }
 
   /** Expand the header skip to cover rows occupied by header rowspans
@@ -139,14 +173,16 @@ object TableMerge {
   }
 
   /** Boundary-row compatibility when total columns differ
-    * (check_rows_match:646, minus the rendered-segments fallback). */
+    * (check_rows_match:646): effective columns equal, actual cell counts
+    * equal, or rendered visual segments equal. */
   private def checkRowsMatch(rows1: Vector[Row], rows2: Vector[Row]): Boolean = {
     if (rows1.isEmpty) return false
     val k = expandHeaderByRowspan(rows2, detectHeaders(rows1, rows2))
     if (k >= rows2.length) return false
     val eff1 = effectiveCols(rows1)
     val eff2 = effectiveCols(rows2)
-    eff1.last == eff2(k) || rows1.last.length == rows2(k).length
+    eff1.last == eff2(k) || rows1.last.length == rows2(k).length ||
+      renderedSegments(rows1, rows1.length - 1) == renderedSegments(rows2, k)
   }
 
   /** Merge eligibility (can_merge_tables:598). `curMergeCaps` are the
