@@ -16,10 +16,7 @@ import scala.collection.mutable
   * Divergences, documented: (a) the 10%-width bbox check is skipped — the
   * flat span stream carries no geometry; (b) `cell_merge` boundary-cell
   * fusion (_apply_cell_merge:780) is model-hint-gated in the reference
-  * (`owner_block["cell_merge"]`) and the stub kernel has no hook for it;
-  * (c) visual header fallback (_detect_table_headers_visual) collapses
-  * into the structural pass since our corpus has no colspan-variant
-  * repeated headers. */
+  * (`owner_block["cell_merge"]`) and the stub kernel has no hook for it. */
 object TableMerge {
 
   val MaxHeaderRows = 5 // table_merge.py:28

@@ -26,6 +26,13 @@ object ScaleOracles {
   private def bandSql(b: Int): String =
     bucketTerm(2 * b, 1) + " + " + bucketTerm(2 * b + 1, 2)
 
+  /** Cosine similarity fold between two list aliases, bit-identical to the
+    * CosineSim expression's accumulation order. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b), z -> z[1] * z[2]), (p, q) -> p + q)
+       | / (sqrt(list_reduce(list_transform($a, x -> x * x), (p, q) -> p + q))
+       |    * sqrt(list_reduce(list_transform($b, x -> x * x), (p, q) -> p + q)))""".stripMargin
+
   /** Shared MinHash banding CTEs (through candidate pairs). */
   private val minhashCtes: String =
     s"""$shinglesCte,
@@ -88,6 +95,31 @@ object ScaleOracles {
     "ann_lsh_buckets" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
          |SELECT vec_id, ($bucketSql)::INT AS bucket FROM e ORDER BY vec_id""".stripMargin,
+
+    // IVF inverted-list search: nearest-centroid assignment, nprobe=2
+    // probe lists per query, exact cosine rank within the probed lists
+    "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+         |a1 AS (SELECT e.vec_id, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c),
+         |assign AS (SELECT vec_id, cent_id FROM (
+         |  SELECT vec_id, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+         |  FROM a1) WHERE rn = 1),
+         |p1 AS (SELECT e.vec_id AS q_id, c.cent_id, ${cosSql("e.v", "c.cv")} AS qsim
+         |  FROM e, c WHERE e.vec_id < 10),
+         |probes AS (SELECT q_id, cent_id FROM (
+         |  SELECT q_id, cent_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY qsim DESC, cent_id) AS rn
+         |  FROM p1) WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id AS n_id FROM probes p
+         |  JOIN assign a ON a.cent_id = p.cent_id WHERE a.vec_id >= 10),
+         |s AS (SELECT q_id, n_id, ${cosSql("eq.v", "en.v")} AS sim FROM cand
+         |  JOIN e eq ON eq.vec_id = q_id JOIN e en ON en.vec_id = n_id),
+         |r AS (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM s)
+         |SELECT q_id, n_id, rank::INT AS rank FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
 
     // within-bucket windowed top-k, mirroring ScaleQueries.annLshTopK: the
     // bucket expr is the DotConst mirror above, the cosine the same

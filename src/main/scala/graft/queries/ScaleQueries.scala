@@ -172,6 +172,49 @@ object ScaleQueries {
       .orderBy("vec_id")
   }
 
+  /** IVF-style ANN top-k — the coarse-quantizer scale path (inverted
+    * lists): 8 centroid vectors partition the corpus by nearest-centroid
+    * assignment (the inverted lists); each query probes its nprobe=2
+    * nearest lists and ranks candidates by exact cosine. At corpus scale
+    * the assignment is ONE broadcast-join pass and the search touches
+    * ~nprobe/K of the data; centroids would come from a k-means fit — here
+    * they are the first 8 vectors, deterministically. */
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    // inverted lists: every vector assigned to its nearest centroid
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+    val assign = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cents))
+      .withColumn("csim", VecFns.cosineSim(col("embedding"), col("cv")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    // each query probes its 2 nearest centroid lists
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("qsim").desc, col("cent_id"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .join(broadcast(cents))
+      .withColumn("qsim", VecFns.cosineSim(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 2)
+      .select(col("q_id"), col("qv"), col("cent_id"))
+    val cands = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+      .join(assign.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    broadcast(probes).join(cands, Seq("cent_id"))
+      .withColumn("sim", VecFns.cosineSim(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** LSH-accelerated cosine top-k: rank only within the query's bucket
     * (plus no candidates -> absent). Rows-only check (recall depends on
     * bucketing); the exact baseline is ann_cosine_topk. */
@@ -197,6 +240,7 @@ object ScaleQueries {
     "simhash64" -> simhash64 _,
     "cos_neardup_pairs" -> cosNeardupPairs _,
     "dedup_groups" -> dedupGroups _,
+    "ann_ivf_topk" -> annIvfTopK _,
     "ann_lsh_buckets" -> annLshBuckets _,
     "ann_lsh_topk" -> annLshTopK _,
   )
