@@ -449,9 +449,9 @@ object DocGen {
         val (p2, b2) = flat(k + 1)
         require(p2 == p + (k - j) + 1 && b2.kind == Kinds.Text,
           s"golden continuation invariant broken in $docId")
-        val t =
-          if (b.hyphen) b.text.dropRight(1) + b2.text
-          else b.text + " " + b2.text
+        // the hyphen variant's part-1 ends with '-' by construction, so
+        // the shared join handles both variants
+        val t = graft.textnorm.TextNorm.joinText(b.text, b2.text)
         b = b.copy(text = t, contWith = b2.contWith, hyphen = b2.hyphen)
         k += 1
       }

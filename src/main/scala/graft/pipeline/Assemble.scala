@@ -29,9 +29,10 @@ object Assemble {
       !next.text.head.isDigit && !next.text.head.isUpper &&
       (prev.nLines > 1 || next.nLines > 1)
 
-  /** hyphen-at-line-end join (pipeline_middle_json_mkcontent.py:11-21). */
+  /** hyphen + lang-aware join (pipeline_middle_json_mkcontent.py:11-21,
+    * 146-202). */
   private def join(a: String, b: String): String =
-    if (a.endsWith("-")) a.dropRight(1) + b else a + " " + b
+    graft.textnorm.TextNorm.joinText(a, b)
 
   def assemble(docId: String, pageBlocks: Seq[Vector[OrderedBlock]],
       mergeTables: Boolean = true): DocResult = {

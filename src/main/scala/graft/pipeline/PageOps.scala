@@ -104,8 +104,7 @@ object PageOps {
     val cls = classifyBlock(lines, x0, y0, x1, y1, pageW)
     val text = cls match {
       case Kinds.ListK | Kinds.Index => lines.map(_.text).mkString("\n")
-      case _ => lines.map(_.text).reduceLeft((a, b) =>
-        if (a.endsWith("-")) a.dropRight(1) + b else a + " " + b)
+      case _ => lines.map(_.text).reduceLeft(graft.textnorm.TextNorm.joinText)
     }
     Det(cls, x0, y0, x1, y1, score, text, "", lines.head.order, lines.length)
   }

@@ -6,6 +6,20 @@ package graft.textnorm
   * markdown escaping pipeline_middle_json_mkcontent.py:372-381). */
 object TextNorm {
 
+  @inline private def isCjkChar(c: Char): Boolean =
+    (c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3040 && c <= 0x30ff) ||
+      (c >= 0xac00 && c <= 0xd7af)
+
+  /** Lang-aware paragraph/line join (merge_para_with_text,
+    * pipeline_middle_json_mkcontent.py:146-202): zh/ja/ko text joins
+    * without a space, latin with one; a trailing hyphen joins the split
+    * word directly (hyphen rule, :11-21). Shared by the pipeline's line
+    * merge, the doc-level paragraph merge and the golden generator. */
+  def joinText(a: String, b: String): String =
+    if (a.endsWith("-")) a.dropRight(1) + b
+    else if (a.nonEmpty && b.nonEmpty && isCjkChar(a.last) && isCjkChar(b.head)) a + b
+    else a + " " + b
+
   /** Fullwidth -> halfwidth: U+FF01..U+FF5E shift by -0xFEE0, ideographic
     * space U+3000 -> ' '. Exact port of the reference mapping. */
   def fullToHalf(s: String): String = {
