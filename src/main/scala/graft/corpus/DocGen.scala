@@ -226,7 +226,12 @@ object DocGen {
       var g = 0
       while (g < nGroups) {
         val roll = r.nextDouble()
-        if (roll < 0.53) blocks += ABlock(Kinds.Text, paragraph(r))
+        if (roll < 0.52) blocks += ABlock(Kinds.Text, paragraph(r))
+        else if (roll < 0.53)
+          // pseudocode block the layout model labels 'algorithm'; rendered
+          // as a fenced code block (mkcontent _merge_algorithm_block)
+          blocks += ABlock(Kinds.Algorithm,
+            s"for i in range(${1 + r.nextInt(30)}):\n    total += ${word(r)}[i]\nreturn total")
         else if (roll < 0.55)
           // form checkbox with its label (checkbox_det_cls.py stage,
           // ContentType.checkbox) — a pass-through span kind the model

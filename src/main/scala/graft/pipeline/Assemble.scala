@@ -93,6 +93,13 @@ object Assemble {
         case Kinds.Title => "#" * math.max(1, b.level) + " " + b.text
         case Kinds.Figure => s"![](${b.media_ref})"
         case Kinds.Formula => b.text
+        case Kinds.Algorithm =>
+          // magika code-lang guess in the reference; a deterministic
+          // heuristic here (_merge_algorithm_block:205-237)
+          val lang =
+            if (b.text.contains("def ") || b.text.contains("return ") ||
+              b.text.contains("for ")) "python" else ""
+          s"```$lang\n${b.text}\n```"
         case Kinds.Caption | Kinds.Footnote | Kinds.ImageFootnote => "*" + b.text + "*"
         case _ => b.text
       }

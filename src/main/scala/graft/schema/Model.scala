@@ -49,6 +49,10 @@ object Kinds {
     * batch_analyze.py:415-456) — protected from containment dedup in the
     * reference (span_pre_proc.py:90-125). */
   val Seal = "seal"
+  /** algorithm/pseudocode block (layout label 'algorithm'; rendered as a
+    * fenced code block with a guessed language,
+    * pipeline_middle_json_mkcontent.py _merge_algorithm_block:205-237). */
+  val Algorithm = "algorithm"
   /** kinds suppressed from the main flow (boilerplate strip). */
   val discarded: Set[String] = Set(Header, Footer, PageNumber)
   /** model category for explicitly-abandoned regions (CategoryId.Abandon=2,
