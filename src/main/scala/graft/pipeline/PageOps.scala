@@ -48,10 +48,11 @@ object PageOps {
       first.x0 - bx0 > lineHeight / 2 &&
         math.abs(last.x0 - bx0) < lineHeight / 2 &&
         bx1 - last.x1 > lineHeight
-    // CJK-ish block? (reference delegates to fasttext; the closed-area
-    // threshold is the only consumer)
+    // CJK-ish block? (reference delegates to fasttext's zh/ja/ko branch;
+    // the closed-area threshold is the only consumer) — same Han+kana+
+    // hangul predicate as the lang-aware join, so the two tests agree
     val allText = lines.map(_.text).mkString
-    val cjkChars = allText.count(c => c >= 0x4e00 && c <= 0x9fff)
+    val cjkChars = allText.count(graft.textnorm.TextNorm.isCjkChar)
     val isCjk = allText.nonEmpty && cjkChars * 2 > allText.length
     var leftClose = 0; var leftNotClose = 0
     var rightClose = 0; var rightNotClose = 0

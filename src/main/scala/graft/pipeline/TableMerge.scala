@@ -21,9 +21,11 @@ object TableMerge {
 
   val MaxHeaderRows = 5 // table_merge.py:28
 
-  // table_merge.py:13-26
+  // table_merge.py:13-26 (the full CONTINUATION_END_MARKERS list, incl.
+  // "(…continued)" and the bare "续表" suffix)
   private val ContinuationEndMarkers =
-    Vector("(续)", "(续表)", "(续上表)", "(continued)", "(cont.)", "(cont’d)")
+    Vector("(续)", "(续表)", "(续上表)", "(continued)", "(cont.)", "(cont’d)",
+      "(…continued)", "续表")
   private val ContinuationInlineMarkers = Vector("(continued)")
 
   /** Continuation-caption test (_is_continuation_caption:197). */

@@ -6,7 +6,11 @@ package graft.textnorm
   * markdown escaping pipeline_middle_json_mkcontent.py:372-381). */
 object TextNorm {
 
-  @inline private def isCjkChar(c: Char): Boolean =
+  /** zh/ja/ko script test (Han + kana + hangul) — the single CJK predicate
+    * shared by the lang-aware join and the list ladder's closed-area
+    * threshold (the reference routes both through detect_lang's zh/ja/ko
+    * branch, utils/language.py:22-41). */
+  @inline def isCjkChar(c: Char): Boolean =
     (c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3040 && c <= 0x30ff) ||
       (c >= 0xac00 && c <= 0xd7af)
 
