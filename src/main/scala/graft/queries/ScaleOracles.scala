@@ -1,6 +1,12 @@
 package graft.queries
 
-/** DuckDB mirrors for [[ScaleQueries]]. */
+/** DuckDB mirrors for [[ScaleQueries]].
+  *
+  * The corpus-sized LSH constants are recomputed IN SQL from the same
+  * integer-exact formulas (`length(bin(m-1))` = bit length, never floating
+  * log2), so the oracle exercises the sizing rule itself: a drift between
+  * [[ScaleQueries.lshPlanesPerBand]] and the SQL replica fails the value
+  * compare at any scale factor. */
 object ScaleOracles {
 
   private val shinglesCte: String =
@@ -11,29 +17,30 @@ object ScaleOracles {
       |sh AS (SELECT doc_id, ('0x' || substr(md5(gr), 1, 8))::BIGINT AS g32
       |  FROM (SELECT doc_id, UNNEST(grams) AS gr FROM g))""".stripMargin
 
-  /** One LSH bit term for plane `j` with the given weight, mirroring
-    * DotConst exactly. */
-  private def bucketTerm(j: Int, weight: Int): String =
-    s"""(CASE WHEN list_reduce(list_transform(range(0, 64),
-       |  i -> v[i + 1] * ((((($j * 64 + i) * 2654435761) % 1000) / 1000.0) - 0.5)),
-       |  (a, b) -> a + b) >= 0 THEN $weight ELSE 0 END)""".stripMargin
+  /** planes-per-band from the embeddings count — the SQL replica of
+    * lshPlanesPerBand (TargetBucketPop = 32): m = ceil(n/32),
+    * p = max(2, bit_length(m-1)). */
+  private val parCte: String =
+    """par AS (SELECT CASE WHEN m <= 1 THEN 2
+      |  ELSE greatest(2, length(bin(m - 1))) END::INT AS p
+      |  FROM (SELECT ((count(*) + 31) // 32) AS m FROM embeddings))""".stripMargin
 
-  /** 8-plane full bucket. */
-  private def bucketSql: String =
-    (0 until 8).map(j => bucketTerm(j, 1 << j)).mkString(" + ")
-
-  /** 2-plane band bucket (band b covers planes 2b, 2b+1). */
-  private def bandSql(b: Int): String =
-    bucketTerm(2 * b, 1) + " + " + bucketTerm(2 * b + 1, 2)
+  /** Hyperplane table: plane j, 64 weights (the planesFor formula). */
+  private val planeCte: String =
+    """pl AS (SELECT j, list_transform(range(0, 64),
+      |  i -> (((((j * 64 + i) * 2654435761) % 1000) / 1000.0) - 0.5)) AS w
+      |  FROM range(0, 512) t(j))""".stripMargin
 
   /** Cosine similarity fold between two list aliases, bit-identical to the
     * CosineSim expression's accumulation order. */
   private def cosSql(a: String, b: String): String =
-    s"""list_reduce(list_transform(list_zip($a, $b), z -> z[1] * z[2]), (p, q) -> p + q)
-       | / (sqrt(list_reduce(list_transform($a, x -> x * x), (p, q) -> p + q))
-       |    * sqrt(list_reduce(list_transform($b, x -> x * x), (p, q) -> p + q)))""".stripMargin
+    s"""list_reduce(list_transform(list_zip($a, $b), z -> z[1] * z[2]), (f1, f2) -> f1 + f2)
+       | / (sqrt(list_reduce(list_transform($a, x -> x * x), (f1, f2) -> f1 + f2))
+       |    * sqrt(list_reduce(list_transform($b, x -> x * x), (f1, f2) -> f1 + f2)))""".stripMargin
 
-  /** Shared MinHash banding CTEs (through candidate pairs). */
+  /** Shared MinHash banding CTEs through CAPPED candidate pairs: buckets at
+    * or under the cap expand all-pairs, over-cap buckets emit star pairs to
+    * the bucket minimum (ScaleQueries.cappedBucketPairs, cap = 64). */
   private val minhashCtes: String =
     s"""$shinglesCte,
        |mh AS (SELECT doc_id, i, min(((17 + 13 * i) * g32 + (3 + 7 * i)) % 4294967311) AS mh
@@ -41,9 +48,50 @@ object ScaleOracles {
        |bands AS (SELECT doc_id, (i // 4) AS band,
        |  string_agg(mh::VARCHAR, '_' ORDER BY i) AS key
        |  FROM mh GROUP BY doc_id, (i // 4)),
-       |cand AS (SELECT a.doc_id, b.doc_id AS b_id, count(*)::BIGINT AS nbands
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+       |st AS (SELECT doc_id, band, key,
+       |  count(*) OVER (PARTITION BY band, key) AS cnt,
+       |  min(doc_id) OVER (PARTITION BY band, key) AS mn FROM bands),
+       |raw AS (SELECT a.doc_id, b.doc_id AS b_id
+       |  FROM st a JOIN st b ON a.band = b.band AND a.key = b.key
+       |    AND a.doc_id < b.doc_id WHERE a.cnt <= 64
+       |  UNION ALL
+       |  SELECT mn AS doc_id, doc_id AS b_id FROM st WHERE cnt > 64 AND doc_id > mn),
+       |cand AS (SELECT doc_id, b_id, count(*)::BIGINT AS nbands
+       |  FROM raw GROUP BY doc_id, b_id)""".stripMargin
+
+  /** Band buckets (band = j // p, bit = j % p) over the sized plane count,
+    * with the capped pair expansion (cap = 256). */
+  private val cosCandCtes: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |$parCte,
+       |$planeCte,
+       |dots AS (SELECT e.vec_id, pl.j,
+       |  list_reduce(list_transform(range(0, 64), i -> e.v[i + 1] * pl.w[i + 1]), (a, b) -> a + b) AS d
+       |  FROM e, pl, par WHERE pl.j < 4 * par.p),
+       |bk AS (SELECT vec_id, (j // p) AS band,
+       |  sum(CASE WHEN d >= 0 THEN (1::BIGINT << (j % p)) ELSE 0 END)::BIGINT AS key
+       |  FROM dots, par GROUP BY vec_id, (j // p)),
+       |bst AS (SELECT vec_id, band, key,
+       |  count(*) OVER (PARTITION BY band, key) AS cnt,
+       |  min(vec_id) OVER (PARTITION BY band, key) AS mn FROM bk),
+       |cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bst a JOIN bst b ON a.band = b.band AND a.key = b.key
+       |    AND a.vec_id < b.vec_id WHERE a.cnt <= 256
+       |  UNION
+       |  SELECT mn AS a_id, vec_id AS b_id FROM bst WHERE cnt > 256 AND vec_id > mn)""".stripMargin
+
+  /** Full-width ANN bucket bits = max(8, p) over the sized plane count. */
+  private val annBucketCtes: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |$parCte,
+       |$planeCte,
+       |nb AS (SELECT greatest(8, p)::INT AS bits FROM par),
+       |dots AS (SELECT e.vec_id, pl.j,
+       |  list_reduce(list_transform(range(0, 64), i -> e.v[i + 1] * pl.w[i + 1]), (a, b) -> a + b) AS d
+       |  FROM e, pl, nb WHERE pl.j < nb.bits),
+       |buck AS (SELECT vec_id,
+       |  sum(CASE WHEN d >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+       |  FROM dots GROUP BY vec_id)""".stripMargin
 
   val all: Map[String, String] = Map(
     "minhash_lsh_pairs" ->
@@ -77,37 +125,45 @@ object ScaleOracles {
         |  sum(CASE WHEN 2 * ol >= cnt THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sig_lo
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // banded-LSH candidates (pairs sharing ANY 2-plane band bucket), exact
-    // cosine on candidates — mirrors the banded scale shape
+    // banded-LSH candidates over corpus-sized bands (capped), exact cosine
+    // on candidates — mirrors the banded scale shape
     "cos_neardup_pairs" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, ${(0 until 4).map(i => s"(${bandSql(i)})::INT AS bb$i").mkString(", ")} FROM e),
-         |cand AS (${(0 until 4).map(i =>
-        s"SELECT a.vec_id AS a_id, c.vec_id AS b_id FROM b a JOIN b c ON a.bb$i = c.bb$i AND a.vec_id < c.vec_id")
-        .mkString("\n UNION \n")}),
-         |s AS (SELECT a_id, b_id,
-         |  list_reduce(list_transform(list_zip(ea.v, eb.v), z -> z[1] * z[2]), (p, q) -> p + q)
-         |  / (sqrt(list_reduce(list_transform(ea.v, x -> x * x), (p, q) -> p + q))
-         |     * sqrt(list_reduce(list_transform(eb.v, x -> x * x), (p, q) -> p + q))) AS sim
+      s"""$cosCandCtes,
+         |s AS (SELECT a_id, b_id, ${cosSql("ea.v", "eb.v")} AS sim
          |  FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id)
          |SELECT a_id, b_id FROM s WHERE sim >= 0.42 ORDER BY a_id, b_id""".stripMargin,
 
     "ann_lsh_buckets" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
-         |SELECT vec_id, ($bucketSql)::INT AS bucket FROM e ORDER BY vec_id""".stripMargin,
+      s"""$annBucketCtes
+         |SELECT vec_id, bucket FROM buck ORDER BY vec_id""".stripMargin,
 
-    // IVF inverted-list search: nearest-centroid assignment, nprobe=2
-    // probe lists per query, exact cosine rank within the probed lists
+    // IVF inverted-list search with K = max(8, floor(sqrt(n-1)) + 1)
+    // centroids refined by one deterministic k-means pass over
+    // floor(x*1000) integer quanta (order-free integer sums -> the refined
+    // centroids are bit-identical to the Spark side), nprobe=2 probe lists
+    // per query, exact cosine rank within the probed lists
     "ann_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
-         |a1 AS (SELECT e.vec_id, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, c),
+         |kpar AS (SELECT greatest(8, floor(sqrt(count(*) - 1))::INT + 1) AS k FROM e),
+         |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM e, kpar WHERE vec_id < kpar.k),
+         |a0 AS (SELECT e.vec_id, s.cent_id, ${cosSql("e.v", "s.cv")} AS csim FROM e, seeds s),
+         |as0 AS (SELECT vec_id, cent_id FROM (
+         |  SELECT vec_id, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+         |  FROM a0) WHERE rn = 1),
+         |qd AS (SELECT a.cent_id, t.i AS dim,
+         |    sum(floor(e.v[t.i + 1] * 1000)::BIGINT)::BIGINT AS s, count(*)::BIGINT AS c
+         |  FROM e JOIN as0 a USING (vec_id), range(0, 64) t(i)
+         |  GROUP BY a.cent_id, t.i),
+         |cents AS (SELECT cent_id, list((s::DOUBLE / c) / 1000.0 ORDER BY dim) AS cv
+         |  FROM qd GROUP BY cent_id),
+         |a1 AS (SELECT e.vec_id, c.cent_id, ${cosSql("e.v", "c.cv")} AS csim FROM e, cents c),
          |assign AS (SELECT vec_id, cent_id FROM (
          |  SELECT vec_id, cent_id,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
          |  FROM a1) WHERE rn = 1),
          |p1 AS (SELECT e.vec_id AS q_id, c.cent_id, ${cosSql("e.v", "c.cv")} AS qsim
-         |  FROM e, c WHERE e.vec_id < 10),
+         |  FROM e, cents c WHERE e.vec_id < 10),
          |probes AS (SELECT q_id, cent_id FROM (
          |  SELECT q_id, cent_id,
          |    row_number() OVER (PARTITION BY q_id ORDER BY qsim DESC, cent_id) AS rn
@@ -121,18 +177,14 @@ object ScaleOracles {
          |SELECT q_id, n_id, rank::INT AS rank FROM r WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
 
-    // within-bucket windowed top-k, mirroring ScaleQueries.annLshTopK: the
-    // bucket expr is the DotConst mirror above, the cosine the same
-    // left-to-right fold as ann_cosine_topk
+    // within-bucket windowed top-k, mirroring ScaleQueries.annLshTopK over
+    // the corpus-sized bucket bits
     "ann_lsh_topk" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, ($bucketSql)::INT AS bucket FROM e),
-         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 10),
-         |n AS (SELECT vec_id AS n_id, v AS nv, bucket FROM b WHERE vec_id >= 10),
-         |s AS (SELECT q_id, n_id,
-         |  list_reduce(list_transform(list_zip(qv, nv), z -> z[1] * z[2]), (p, q2) -> p + q2)
-         |  / (sqrt(list_reduce(list_transform(qv, x -> x * x), (p, q2) -> p + q2))
-         |     * sqrt(list_reduce(list_transform(nv, x -> x * x), (p, q2) -> p + q2))) AS sim
+      s"""$annBucketCtes,
+         |eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buck b USING (vec_id)),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM eb WHERE vec_id < 10),
+         |n AS (SELECT vec_id AS n_id, v AS nv, bucket FROM eb WHERE vec_id >= 10),
+         |s AS (SELECT q_id, n_id, ${cosSql("qv", "nv")} AS sim
          |  FROM q JOIN n USING (bucket)),
          |r AS (SELECT q_id, n_id,
          |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM s)

@@ -1,17 +1,80 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.VecFns
 
 /** Scale-path similarity/dedup operators: MinHash+LSH banding, 64-bit
   * SimHash, embedding cosine near-dup and hyperplane-LSH bucketing. Like
   * [[Queries]], every arithmetic step is replayable bit-exactly in DuckDB
-  * (hashes derive from md5 hex, folds are left-to-right doubles). */
+  * (hashes derive from md5 hex, folds are left-to-right doubles).
+  *
+  * SCALE DISCIPLINE (the two quadratic failure modes of bucketed
+  * candidate generation, and the guards used throughout):
+  *
+  *  1. Constant bucket capacity: with a fixed bucket count, bucket
+  *     population grows linearly with the corpus and the per-bucket
+  *     self-join fan-out Σ|bucket|² grows quadratically. Every bucketing
+  *     here therefore derives its capacity from the CORPUS SIZE via
+  *     [[lshPlanesPerBand]] (expected population n/2^P held ≈
+  *     [[TargetBucketPop]]), with the identical integer-exact formula in
+  *     the DuckDB oracle, so the same sizing rule is what gets verified.
+  *  2. Hot buckets: real crawl corpora contain duplicate clusters of 10^5+
+  *     documents that land in ONE bucket no matter how the capacity is
+  *     sized — an uncapped self-join is m² on them. Every band join here
+  *     caps the all-pairs expansion at [[MinhashBucketCap]]/[[CosBucketCap]]
+  *     members and switches an over-cap bucket to STAR pairing (every
+  *     member pairs with the bucket minimum): candidate count drops to
+  *     O(m) while connected components still recover the full cluster —
+  *     the same df-cap discipline as [[Queries.ShingleDfCap]].
+  */
 object ScaleQueries {
 
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  // -- corpus-sized LSH constants -------------------------------------------
+
+  /** Target expected bucket population for hyperplane bands. */
+  val TargetBucketPop = 32L
+
+  /** All-pairs cap per MinHash (band, key) bucket; above it the bucket
+    * switches to star pairing. */
+  val MinhashBucketCap = 64L
+
+  /** All-pairs cap per hyperplane (band, bucket); above it: star pairing. */
+  val CosBucketCap = 256L
+
+  /** Hyperplane count per band sized so expected bucket population
+    * n / 2^P ≈ TargetBucketPop: P = max(2, ceil(log2(ceil(n / 32)))),
+    * computed with INTEGER arithmetic (bit length), never floating log2 —
+    * the DuckDB oracle replays it as `length(bin(m - 1))` and a float
+    * boundary at exact powers of two would silently desynchronize the two
+    * sides. n=500 -> 4, n=2000 -> 6, n=10^9 -> 25. */
+  def lshPlanesPerBand(n: Long): Int = {
+    val m = (n + TargetBucketPop - 1) / TargetBucketPop
+    if (m <= 1) 2
+    else math.max(2, 64 - java.lang.Long.numberOfLeadingZeros(m - 1))
+  }
+
+  /** Bit width of the full ANN bucketing (single band): at least 8 (256-way
+    * split), growing with the corpus like the band planes. */
+  def annBucketBits(n: Long): Int = math.max(8, lshPlanesPerBand(n))
+
+  /** IVF centroid count ~ sqrt(n) (the classical IVF sizing rule: probe
+    * cost n/K per list vs K for the coarse pass balances at K=sqrt(n)),
+    * floored at 8. floor(sqrt(n-1))+1 rather than ceil(sqrt(n)) keeps the
+    * perfect-square boundary exact in IEEE doubles on both engines. */
+  def ivfK(n: Long): Int =
+    math.max(8, math.floor(math.sqrt((n - 1).toDouble)).toInt + 1)
+
+  /** Deterministic random-hyperplane LSH planes (`count` planes x 64 dims). */
+  def planesFor(count: Int): Array[Array[Double]] = Array.tabulate(count) { j =>
+    Array.tabulate(64) { i =>
+      (((j * 64L + i) * 2654435761L) % 1000L) / 1000.0 - 0.5
+    }
+  }
 
   /** Distinct word-3-gram shingles with a 32-bit integer hash per shingle. */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
@@ -23,9 +86,33 @@ object ScaleQueries {
       .select(col("doc_id"), explode(col("grams")).as("g"))
       .withColumn("g32", expr("CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)"))
 
+  /** Hybrid capped pair expansion of a bucketed id column: buckets at or
+    * under `cap` members expand all-pairs; over-cap buckets emit STAR pairs
+    * to the bucket minimum (O(m) instead of m², components preserved).
+    * `keys` are the bucket key columns; `id` the member id column. Output:
+    * (a_id, b_id) with a_id < b_id. */
+  private def cappedBucketPairs(df: DataFrame, keys: Seq[String], id: String,
+      cap: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val st = df
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("mn", min(col(id)).over(w))
+    val small = st.filter(col("cnt") <= cap)
+    val smallPairs = small
+      .join(small.select((col(id).as("b_id") +: keys.map(col)): _*), keys)
+      .filter(col(id) < col("b_id"))
+      .select(col(id).as("a_id"), col("b_id"))
+    val starPairs = st.filter(col("cnt") > cap && col(id) > col("mn"))
+      .select(col("mn").as("a_id"), col(id).as("b_id"))
+    smallPairs.unionByName(starPairs)
+  }
+
   /** MinHash signature (16 hashes, universal-hash family over the 32-bit
     * shingle space) -> 4 LSH bands of 4 rows -> candidate pairs sharing >=1
-    * band. The scalable counterpart of the exact dedup_ngram_jaccard. */
+    * band, with per-(band,key) bucket capping (duplicate clusters of m docs
+    * share ALL bands; uncapped they are an m²-per-band hot key — the
+    * star fallback keeps them one connected component at O(m) candidates).
+    * The scalable counterpart of the exact dedup_ngram_jaccard. */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     // all 16 minima as aggregate columns in ONE pass over the shingles —
@@ -34,7 +121,7 @@ object ScaleQueries {
       min(expr(s"(${17 + 13 * i} * g32 + ${3 + 7 * i}) % 4294967311")).as(s"mh$i")
     }
     val minh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-    // 4 bands of 4 rows -> (band, key) pairs, then bucket self-join
+    // 4 bands of 4 rows -> (band, key) pairs, then capped bucket expansion
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*).as("key"))
@@ -42,10 +129,8 @@ object ScaleQueries {
     val bands = minh
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val b2 = bands.select(col("doc_id").as("b_id"), col("band"), col("key"))
-    bands.join(b2, Seq("band", "key"))
-      .filter(col("doc_id") < col("b_id"))
-      .groupBy(col("doc_id"), col("b_id"))
+    cappedBucketPairs(bands, Seq("band", "key"), "doc_id", MinhashBucketCap)
+      .groupBy(col("a_id").as("doc_id"), col("b_id"))
       .agg(count(lit(1)).as("nbands"))
       .orderBy("doc_id", "b_id")
   }
@@ -71,32 +156,40 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
-  /** Per-band hyperplane bucket: 2 planes per band, 4 bands over the 8
-    * planes — banded LSH in the MinHash-band sense (candidates = pairs
-    * agreeing on ANY band's bucket). Banding is what keeps recall at a
-    * permissive cosine threshold: one 8-plane bucket has (1-θ/π)^8 ≈ 3%
-    * recall at θ=65°, 4 bands of 2 planes ≈ 88%; at a stricter real-world
-    * near-dup threshold you widen the bands instead. */
-  private def bandBucket(emb: org.apache.spark.sql.Column, band: Int): org.apache.spark.sql.Column =
-    (0 until 2).map { k =>
-      when(VecFns.dotConst(emb, planes(band * 2 + k)) >= 0, lit(1 << k)).otherwise(lit(0))
+  /** Per-band hyperplane bucket over `pB` planes (band b covers planes
+    * b*pB .. b*pB+pB-1). Banding keeps recall at a permissive cosine
+    * threshold — one wide bucket has (1-θ/π)^P recall, B bands of P planes
+    * 1-(1-(1-θ/π)^P)^B — while P grows with the corpus to hold bucket
+    * population ≈ TargetBucketPop. */
+  private def bandBucket(emb: Column, band: Int, pB: Int,
+      pl: Array[Array[Double]]): Column =
+    (0 until pB).map { k =>
+      when(VecFns.dotConst(emb, pl(band * pB + k)) >= 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Embedding cosine near-duplicate pairs, banded-LSH-routed: candidate
-    * pairs share at least one band bucket (4 equi-joins + distinct — the
-    * 100-TB shape), then the exact codegen'd cosine filters candidates. A
-    * bare a.join(b, a_id < b_id) is a BroadcastNestedLoop cartesian:
-    * 10^6 vectors = 5*10^11 pairs; banding bounds the fan-out at
-    * sum(bucket_size^2) per band. */
+    * pairs share at least one band bucket (4 equi-joins + distinct), then
+    * the exact codegen'd cosine filters candidates. A bare
+    * a.join(b, a_id < b_id) is a BroadcastNestedLoop cartesian: 10^6
+    * vectors = 5*10^11 pairs. Banding alone is NOT enough — with a fixed
+    * plane count the per-band fan-out Σ|bucket|² is still n²/2^P — so the
+    * plane count per band grows with the corpus (lshPlanesPerBand, bucket
+    * population held ≈ TargetBucketPop ⇒ fan-out O(n·TargetBucketPop) per
+    * band) and a per-bucket cap backstops adversarial clumps. */
   def cosNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = tbl(spark, dir, "embeddings")
+    // corpus-size read (a count over parquet metadata — the production
+    // shape reads table statistics): sizes the band width deterministically
+    val n = e.count()
+    val pB = lshPlanesPerBand(n)
+    val nBands = 4
+    val pl = planesFor(nBands * pB)
     val ids = e.select(col("vec_id") +:
-      (0 until 4).map(b => bandBucket(col("embedding"), b).cast("int").as(s"bb$b")): _*)
-    val cand = (0 until 4).map { b =>
-      ids.select(col("vec_id").as("a_id"), col(s"bb$b").as("k"))
-        .join(ids.select(col("vec_id").as("b_id"), col(s"bb$b").as("k")), Seq("k"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"))
+      (0 until nBands).map(b => bandBucket(col("embedding"), b, pB, pl).cast("long").as(s"bb$b")): _*)
+    val cand = (0 until nBands).map { b =>
+      cappedBucketPairs(
+        ids.select(col("vec_id"), col(s"bb$b").as("k")), Seq("k"), "vec_id",
+        CosBucketCap)
     }.reduce(_ unionByName _).distinct()
     cand
       .join(e.select(col("vec_id").as("a_id"), col("embedding").as("va")), Seq("a_id"))
@@ -132,7 +225,10 @@ object ScaleQueries {
     // round), while a fixed small cap would silently disagree with the
     // oracle's exact transitive closure on long candidate chains. The
     // generous bound only guards a logic regression; localCheckpoint
-    // truncates the growing lineage each round.
+    // truncates the growing lineage each round (a long-lived production
+    // deployment would use reliable checkpoint()/a per-round table so an
+    // executor loss can recompute — single-box local mode has no such
+    // failure domain and keeps the memory-only variant).
     while (changed > 0 && iter < 10000) {
       val nbrMin = edges
         .join(labels.select(col("v").as("u"), col("lbl").as("ulbl")), Seq("u"))
@@ -153,48 +249,63 @@ object ScaleQueries {
     out
   }
 
-  /** Deterministic random-hyperplane LSH planes (8 planes x 64 dims). */
-  def planes: Array[Array[Double]] = Array.tabulate(8) { j =>
-    Array.tabulate(64) { i =>
-      (((j * 64 + i) * 2654435761L) % 1000) / 1000.0 - 0.5
-    }
-  }
-
   /** Hyperplane-LSH bucket id per embedding — the scale path for ANN: a
-    * 256-way bucketing turns the brute-force O(n^2) into per-bucket search.
-    * DotConst embeds the plane as a codegen reference array. */
+    * 2^bits-way bucketing turns the brute-force O(n^2) into per-bucket
+    * search, with `bits` growing with the corpus (annBucketBits) so bucket
+    * population stays ≈ TargetBucketPop instead of n/256. DotConst embeds
+    * each plane as a codegen reference array. */
   def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
     val e = tbl(spark, dir, "embeddings")
-    val bucket = planes.zipWithIndex.map { case (p, j) =>
-      when(VecFns.dotConst(col("embedding"), p) >= 0, lit(1 << j)).otherwise(lit(0))
+    val bits = annBucketBits(e.count())
+    val bucket = planesFor(bits).zipWithIndex.map { case (p, j) =>
+      when(VecFns.dotConst(col("embedding"), p) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    e.select(col("vec_id"), bucket.cast("int").as("bucket"))
+    e.select(col("vec_id"), bucket.cast("long").as("bucket"))
       .orderBy("vec_id")
   }
 
   /** IVF-style ANN top-k — the coarse-quantizer scale path (inverted
-    * lists): 8 centroid vectors partition the corpus by nearest-centroid
-    * assignment (the inverted lists); each query probes its nprobe=2
-    * nearest lists and ranks candidates by exact cosine. At corpus scale
-    * the assignment is ONE broadcast-join pass and the search touches
-    * ~nprobe/K of the data; centroids would come from a k-means fit — here
-    * they are the first 8 vectors, deterministically. */
+    * lists): K ≈ sqrt(n) centroids (ivfK) partition the corpus by
+    * nearest-centroid assignment (the inverted lists); each query probes
+    * its nprobe=2 nearest lists and ranks candidates by exact cosine. At
+    * corpus scale the assignment is ONE broadcast-join pass and the search
+    * touches ~nprobe/K of the data. Centroids come from one deterministic
+    * k-means refinement pass: seeds = the first K vectors, every vector
+    * assigned to its nearest seed, centroid = the element-wise mean of its
+    * cluster over floor(x*1000) integer quanta — integer sums make the
+    * mean independent of aggregation order, so the refined centroids are
+    * bit-identical on Spark and DuckDB. */
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = tbl(spark, dir, "embeddings")
-    val cents = e.filter(col("vec_id") < 8)
+    val k = ivfK(e.count())
+
+    // one k-means refinement pass over integer-quantized coordinates
+    val seeds = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    // inverted lists: every vector assigned to its nearest centroid
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
-    val assign = e.select(col("vec_id"), col("embedding"))
-      .join(broadcast(cents))
-      .withColumn("csim", VecFns.cosineSim(col("embedding"), col("cv")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id"))
+    def nearestCent(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+      e.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cents))
+        .withColumn("csim", VecFns.cosineSim(col("embedding"), col("cv")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("cent_id"))
+    }
+    val cents = nearestCent(seeds)
+      .join(e, Seq("vec_id"))
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cent_id"), col("dim"))
+      .agg(sum(floor(col("x").cast("double") * 1000).cast("long")).as("s"),
+        count(lit(1)).as("c"))
+      .withColumn("v", (col("s").cast("double") / col("c")) / lit(1000.0))
+      .groupBy(col("cent_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("v")))).as("sv"))
+      .select(col("cent_id"), expr("transform(sv, s -> s.v)").as("cv"))
+
+    // inverted lists: every vector assigned to its nearest refined centroid
+    val assign = nearestCent(cents)
     // each query probes its 2 nearest centroid lists
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("qsim").desc, col("cent_id"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("cent_id"))
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
       .join(broadcast(cents))
@@ -205,8 +316,7 @@ object ScaleQueries {
     val cands = e.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
       .join(assign.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     broadcast(probes).join(cands, Seq("cent_id"))
       .withColumn("sim", VecFns.cosineSim(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w))
@@ -216,8 +326,8 @@ object ScaleQueries {
   }
 
   /** LSH-accelerated cosine top-k: rank only within the query's bucket
-    * (plus no candidates -> absent). Rows-only check (recall depends on
-    * bucketing); the exact baseline is ann_cosine_topk. */
+    * (plus no candidates -> absent). Recall depends on bucketing; the
+    * exact baseline is ann_cosine_topk. */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val withBucket = annLshBuckets(spark, dir)
     val e = tbl(spark, dir, "embeddings").join(withBucket, "vec_id")
@@ -225,8 +335,7 @@ object ScaleQueries {
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
     val n = e.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("bucket"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     broadcast(q).join(n, "bucket")
       .withColumn("sim", VecFns.cosineSim(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w))
