@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the 32-thread extraction tier is allocation-heavy: an 8g heap spends
+  // measurable wall-clock in young GC at local[32] on this 125g box
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseParallelGC")}",
 )

@@ -23,16 +23,20 @@ object Bench {
     s
   }
 
-  /** Extraction throughput at a given core count (docs/sec, best of `reps`
-    * — the sandbox VM is noisy-neighbored, so single runs swing +-20%). */
-  /** One timed extraction run at `cores` (fresh session). */
+  /** One timed extraction run at `cores` (fresh session). The sink is a
+    * noop WRITE: rows are fully computed and encoded (what a parquet/
+    * Iceberg sink pays) but not round-tripped back to driver-side objects —
+    * `foreach` would add a per-row DESERIALIZE no production sink incurs
+    * (~17% at local[32], graft.tools.EncProbe). */
   private def extractRun(cores: Int, nDocs: Long, warm: Boolean): Double = {
     val spark = session(cores)
     val ids = Extract.idRange(spark, nDocs)
-    if (warm)
-      Extract.runFromIds(ids.limit((nDocs / 4).toInt), partitions = cores).foreach(_ => ())
+    def job(d: org.apache.spark.sql.Dataset[String]): Unit =
+      Extract.runFromIds(d, partitions = cores)
+        .write.mode("overwrite").format("noop").save()
+    if (warm) job(ids.limit((nDocs / 4).toInt))
     val t0 = System.nanoTime()
-    Extract.runFromIds(ids, partitions = cores).foreach(_ => ())
+    job(ids)
     val tp = nDocs / ((System.nanoTime() - t0) / 1e9)
     spark.stop()
     SparkSession.clearActiveSession()

@@ -41,6 +41,13 @@ object StubModel extends DocModel {
   private val attachKinds =
     Set(Kinds.Caption, Kinds.Footnote, Kinds.ImageFootnote, Kinds.FormulaNumber)
 
+  // interned single-char strings for the text layer: a char-layer page
+  // emits ~130 CharDets, and a fresh String per char is fleet-wide
+  // allocation churn at 32 threads
+  private val charStrs: Array[String] = Array.tabulate(128)(c => c.toChar.toString)
+  @inline private def charStr(c: Char): String =
+    if (c < 128) charStrs(c) else c.toString
+
   /** Section-title level 2..4, derived from the title text alone — shared
     * by the corpus authoring and the rendered title box height, so the
     * pipeline can recover the level from geometry (get_title_level clamps
@@ -404,9 +411,9 @@ object StubModel extends DocModel {
                   val overhang = j == line.length - 1 &&
                     (ch == '.' || ch == '-' || ch == ',' || ch == '!' || ch == '?')
                   if (overhang)
-                    chars += CharDet(ch.toString, x1 - 4.0, ly0 + 2.0, x1 + 8.0, ly1 - 2.0, charIdx)
+                    chars += CharDet(charStr(ch), x1 - 4.0, ly0 + 2.0, x1 + 8.0, ly1 - 2.0, charIdx)
                   else
-                    chars += CharDet(ch.toString, x0 + j * cw, ly0 + 2.0, x0 + (j + 1) * cw, ly1 - 2.0, charIdx)
+                    chars += CharDet(charStr(ch), x0 + j * cw, ly0 + 2.0, x0 + (j + 1) * cw, ly1 - 2.0, charIdx)
                   charIdx += 1
                   j += 1
                 }

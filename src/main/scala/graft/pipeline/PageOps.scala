@@ -105,7 +105,7 @@ object PageOps {
     val cls = classifyBlock(lines, x0, y0, x1, y1, pageW)
     val text = cls match {
       case Kinds.ListK | Kinds.Index => lines.map(_.text).mkString("\n")
-      case _ => lines.map(_.text).reduceLeft(graft.textnorm.TextNorm.joinText)
+      case _ => graft.textnorm.TextNorm.joinAll(lines.map(_.text))
     }
     Det(cls, x0, y0, x1, y1, score, text, "", lines.head.order, lines.length)
   }
@@ -461,51 +461,95 @@ object PageOps {
     // 0. orientation restore: boxes arrive in the rotated scan frame
     val (pageW, pageH, updets, upchars, oriImages) = restoreOrientation(pm)
 
+    // Steps 1-3 as flag passes over one array (this loop runs for every
+    // page in the fleet — per-step Vector rebuilds here are measurable
+    // memory-bus churn at 32 threads). Semantics are unchanged: each
+    // step's tests read the PREVIOUS step's survivor set (the snapshot a
+    // chain of Vector.filter calls sees).
+    val arr = updets.toArray
+    val nD = arr.length
+    val alive = new Array[Boolean](nD)
     // 1. low-confidence filter + OCR rec-confidence filter on text
-    val conf = updets.filter(d =>
-      d.score > LowConf && !(d.cat == Kinds.Text && d.score < RecMinConf))
-
+    var i = 0
+    while (i < nD) {
+      val d = arr(i)
+      alive(i) = d.score > LowConf && !(d.cat == Kinds.Text && d.score < RecMinConf)
+      i += 1
+    }
     // 1.5 inline-formula re-class (check_inline_formula,
     //     rapid_layout.py:110-128): a formula detection overlapping a TEXT
     //     detection at IoU >= 0.9 is an inline equation — its content
     //     lives in the text span, so the layout det folds away instead of
     //     becoming a block. Runs before the IoU dedup, which is category-
-    //     blind and would otherwise pick one of the two by score.
-    val conf2 = conf.filter { d =>
-      !(d.cat == Kinds.Formula && conf.exists(o => o.cat == Kinds.Text &&
-        Geo.iou(d.x0, d.y0, d.x1, d.y1, o.x0, o.y0, o.x1, o.y1) >= 0.9))
+    //     blind and would otherwise pick one of the two by score. (Only
+    //     formulas drop here and only text dets are consulted, so the
+    //     in-place update cannot cascade.)
+    i = 0
+    while (i < nD) {
+      if (alive(i) && arr(i).cat == Kinds.Formula) {
+        val d = arr(i)
+        var j = 0
+        var hit = false
+        while (j < nD && !hit) {
+          if (alive(j) && arr(j).cat == Kinds.Text) {
+            val o = arr(j)
+            hit = Geo.iou(d.x0, d.y0, d.x1, d.y1, o.x0, o.y0, o.x1, o.y1) >= 0.9
+          }
+          j += 1
+        }
+        if (hit) alive(i) = false
+      }
+      i += 1
     }
-
     // 2. high-IoU dedup: drop a det when a strictly better overlapping det
     //    exists (ties impossible by construction; tiebreak on geometry+text
-    //    keeps this deterministic regardless of emission order)
+    //    keeps this deterministic regardless of emission order). Drops are
+    //    computed against the full post-1.5 set, then applied (snapshot —
+    //    exactly Vector.filter's non-cascading semantics).
     def lexLess(a: Det, b: Det): Boolean =
       if (a.x0 != b.x0) a.x0 < b.x0
       else if (a.y0 != b.y0) a.y0 < b.y0
       else a.text < b.text
-    val deduped = conf2.filter { d =>
-      !conf2.exists { o =>
-        (o ne d) && Geo.iou(d.x0, d.y0, d.x1, d.y1, o.x0, o.y0, o.x1, o.y1) > IouDedup &&
-          (o.score > d.score || (o.score == d.score && lexLess(o, d)))
+    val drop = new Array[Boolean](nD)
+    i = 0
+    while (i < nD) {
+      if (alive(i)) {
+        val d = arr(i)
+        var j = 0
+        var hit = false
+        while (j < nD && !hit) {
+          if (j != i && alive(j)) {
+            val o = arr(j)
+            if (o.score > d.score || (o.score == d.score && lexLess(o, d)))
+              hit = Geo.iou(d.x0, d.y0, d.x1, d.y1, o.x0, o.y0, o.x1, o.y1) > IouDedup
+          }
+          j += 1
+        }
+        drop(i) = hit
       }
+      i += 1
     }
-
     // 3. drop model-abandoned regions (headers/footers -> Abandon)
-    val abandonDropped = deduped.filter(_.cat != Kinds.Abandon)
+    val survivors = Vector.newBuilder[Det]
+    i = 0
+    while (i < nD) {
+      if (alive(i) && !drop(i) && arr(i).cat != Kinds.Abandon) survivors += arr(i)
+      i += 1
+    }
 
     // 3.5 char->span fill: txt-route line detections arrive with empty text
     //     and are reconstructed from the page's pdf text layer
     //     (span_pre_proc.py:365-436)
-    val live = fillChars(abandonDropped, upchars)
+    val live = fillChars(survivors.result(), upchars)
 
     // 4. page-number fence: a small isolated box in the bottom margin is
-    //    boilerplate even when the model mislabeled it as text
+    //    boilerplate even when the model mislabeled it as text. The O(n)
+    //    isolation scan only runs for the rare small-bottom boxes.
     val kept = live.filter { d =>
       val smallBottom = d.w <= PageNumMaxW && d.h <= PageNumMaxH &&
         d.y0 > BottomFenceFrac * pageH
-      val isolated = !live.exists(o =>
+      !smallBottom || live.exists(o =>
         (o ne d) && Geo.interLen(o.y0, o.y1, d.y0, d.y1) > 0)
-      !(smallBottom && isolated)
     }
 
     // 4.5 line merge + block classification: consecutive text-line

@@ -24,6 +24,23 @@ object TextNorm {
     else if (a.nonEmpty && b.nonEmpty && isCjkChar(a.last) && isCjkChar(b.head)) a + b
     else a + " " + b
 
+  /** `parts.reduceLeft(joinText)` without the quadratic intermediate
+    * strings: one StringBuilder, same join decisions (the decision only
+    * reads the accumulated tail char and the next head char). */
+  def joinAll(parts: Seq[String]): String = {
+    val it = parts.iterator
+    val sb = new java.lang.StringBuilder(it.next())
+    while (it.hasNext) {
+      val b = it.next()
+      val len = sb.length()
+      if (len > 0 && sb.charAt(len - 1) == '-') sb.setLength(len - 1)
+      else if (!(len > 0 && b.nonEmpty && isCjkChar(sb.charAt(len - 1)) && isCjkChar(b.head)))
+        sb.append(' ')
+      sb.append(b)
+    }
+    sb.toString
+  }
+
   /** Fullwidth -> halfwidth: U+FF01..U+FF5E shift by -0xFEE0, ideographic
     * space U+3000 -> ' '. Exact port of the reference mapping. */
   def fullToHalf(s: String): String = {
