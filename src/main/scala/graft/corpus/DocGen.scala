@@ -276,17 +276,20 @@ object DocGen {
     }
     // Cross-page TABLE continuation pass (runs before the paragraph pass so
     // a boundary gets at most one continuation construct): a table whose
-    // rows flow onto the next page. Seven variants exercise the full merge
+    // rows flow onto the next page. Eight variants exercise the full merge
     // protocol (utils/table_merge.py:483-1006): plain header repeat,
     // continuation caption, colspan adjustment, rowspan header skip,
-    // footnote relocation, post-table caption restore, and a NEGATIVE case
-    // (previous-part footnote blocks the merge entirely).
+    // footnote relocation, post-table caption restore, a NEGATIVE case
+    // (previous-part footnote + caption-less continuation -> can_merge says
+    // no), and the footnote-DELETION case (previous-part footnote +
+    // continuation caption -> merge proceeds and perform_table_merge drops
+    // the previous part's own footnote, :941-948).
     val withTables = pages.toArray
     var tp = 0
     while (tp < np - 1) {
       if (r.chance(0.15)) {
         tabK += 1
-        val variant = r.nextInt(7)
+        val variant = r.nextInt(8)
         val (part1, part2) = variant match {
           case 2 => colspanSplit(r, tabK)
           case 3 => rowspanSplit(r, tabK)
@@ -295,10 +298,10 @@ object DocGen {
         val append = Vector.newBuilder[ABlock]
         append += ABlock(Kinds.Caption, s"Table $tabK: Table Caption")
         append += ABlock(Kinds.Table, part1)
-        if (variant == 6) // negative: prev footnote -> can_merge says no
+        if (variant == 6 || variant == 7)
           append += ABlock(Kinds.Footnote, s"Note: ${word(r)} ${word(r)}.")
         val prepend = Vector.newBuilder[ABlock]
-        if (variant == 1 || variant == 3)
+        if (variant == 1 || variant == 3 || variant == 7)
           prepend += ABlock(Kinds.Caption, s"Table $tabK (continued)")
         prepend += ABlock(Kinds.Table, part2)
         if (variant == 4) // relocates onto the merged table

@@ -201,19 +201,27 @@ object TableMerge {
     checkRowsMatch(rows1, rows2)
   }
 
-  /** Colspan adjustment toward `target` columns
-    * (adjust_table_rows_colspan:680): a row whose visual cell count
-    * matches the reference row copies its colspan structure; otherwise
-    * the last cell widens by the column deficit. */
+  /** Colspan adjustment toward `target` columns — structural mirror of
+    * adjust_table_rows_colspan:680-720: a row whose VISUAL column count
+    * (cell count, calculate_visual_columns:394) equals the reference
+    * row's copies the reference colspan structure when the cell counts
+    * align and is otherwise left untouched (never widened); only a row
+    * with a different visual count widens its last cell by the column
+    * deficit. */
   private def adjustRows(rows: Vector[Row], eff: Vector[Int],
       refRow: Row, target: Int): Vector[Row] = {
+    val refStructure = refRow.map(_.colspan)
+    val refVisualCols = refRow.length
     rows.zipWithIndex.map { case (r, i) =>
       if (r.isEmpty || eff(i) >= target || r.map(_.colspan).sum >= target) r
-      else if (r.length == refRow.length) {
-        r.zip(refRow).map { case (c, ref) => c.copy(colspan = ref.colspan) }
+      else if (r.length == refVisualCols) {
+        if (refStructure.length == r.length)
+          r.zip(refStructure).map { case (c, cs) => c.copy(colspan = cs) }
+        else r
       } else {
         val diff = target - eff(i)
-        r.init :+ r.last.copy(colspan = r.last.colspan + diff)
+        if (diff > 0) r.init :+ r.last.copy(colspan = r.last.colspan + diff)
+        else r
       }
     }
   }
@@ -252,21 +260,29 @@ object TableMerge {
   /** The cross-page merge pass over a flat reading-order block stream,
     * shared verbatim by the golden generator and the pipeline assembly so
     * the merge DECISION can never diverge between them (merge_table:
-    * 950-1006 reshaped from nested page blocks to the flat stream):
+    * 950-1006 reshaped from nested page blocks to the flat stream).
+    * Like the reference, the sweep over a chain runs BACKWARD (last page
+    * toward the first): each continuation's header is detected against the
+    * immediately preceding part, and a later part that already absorbed its
+    * own continuation carries the absorbed rows into the earlier merge.
     *
-    *  - a table chain-merges with a table on the NEXT page when only its
-    *    own trailing attachments, then the continuation's leading captions,
+    *  - a table chain-links to a table on the NEXT page when only its own
+    *    trailing attachments, then the continuation's leading captions,
     *    separate them in the stream (the flat-form of "last para_block of
     *    page N-1 / first para_block of page N");
-    *  - the continuation's own captions must include a continuation marker
-    *    or the merge is blocked (a fresh table's caption); on a merge ALL
-    *    of its leading captions drop — the merged-away block's children
-    *    are cleared in the reference (merge_table:998-1001);
-    *  - the previous table's footnotes (including ones relocated by an
-    *    earlier chain step) block per can_merge_tables;
-    *  - on merge: the continuation's footnotes relocate after the merged
-    *    table (cross_page tagged), and trailing non-continuation captions
-    *    restore as plain text blocks.
+    *  - the continuation's captions (leading ones plus trailing ones that
+    *    carry a continuation marker — post-table non-continuation captions
+    *    never block, _is_post_table_non_continuation_caption:206) must
+    *    include a continuation marker or the merge is blocked; on a merge
+    *    the merged-away block's caption children clear
+    *    (merge_table:998-1001);
+    *  - the previous table's own footnotes block per can_merge_tables; on
+    *    a merge they are DELETED and the continuation's footnotes relocate
+    *    onto the merged table (perform_table_merge:941-948 rebuilds the
+    *    children as non-footnotes + relocated cross-page footnotes);
+    *  - the continuation's trailing non-continuation captions restore as
+    *    plain text blocks at the merged-away table's position
+    *    (_restore_post_table_captions_as_text:236).
     *
     * Like the reference, two adjacent cross-page tables with equal column
     * counts, no blocking captions and no footnotes DO merge even without a
@@ -286,59 +302,81 @@ object TableMerge {
       val b = blocks(i)
       if (kind(b) != Kinds.Table) { out += b; i += 1 }
       else {
-        var merged = b
-        var curPage = page(b)
-        var j = i + 1
-        val acc = mutable.ArrayBuffer.empty[B] // relocated/restored blocks
-        var chain = true
-        while (chain) {
-          chain = false
-          // trailing attachments of the current table on its page — PLUS
-          // footnotes already relocated onto the merged table by earlier
-          // chain steps (they are the merged block's children in the
-          // reference and participate in can_merge_tables' footnote rules)
-          var t = j
-          var prevFoot = acc.count(b => kind(b) == Kinds.Footnote)
-          while (t < n && page(blocks(t)) == curPage && isAttach(blocks(t))) {
-            if (kind(blocks(t)) == Kinds.Footnote) prevFoot += 1
-            t += 1
-          }
-          // leading captions of a candidate continuation on the next page
+        // ---- collect the maximal chain anchored at this table ----
+        // part k: lead = caption indices between the previous part's trail
+        // and the table (the continuation's caption children), tIdx the
+        // table, trailEnd = end of the attach run after it on its page
+        case class Part(lead: Vector[Int], tIdx: Int, trailEnd: Int) {
+          def trail: Vector[Int] = ((tIdx + 1) until trailEnd).toVector
+        }
+        val parts = mutable.ArrayBuffer.empty[Part]
+        var lead = Vector.empty[Int]
+        var tIdx = i
+        var scanning = true
+        while (scanning) {
+          val pg = page(blocks(tIdx))
+          var t = tIdx + 1
+          while (t < n && page(blocks(t)) == pg && isAttach(blocks(t))) t += 1
+          parts += Part(lead, tIdx, t)
           var u = t
-          while (u < n && page(blocks(u)) == curPage + 1 &&
+          while (u < n && page(blocks(u)) == pg + 1 &&
             kind(blocks(u)) == Kinds.Caption) u += 1
           if (u < n && kind(blocks(u)) == Kinds.Table &&
-              page(blocks(u)) == curPage + 1) {
-            val t2 = blocks(u)
-            val preCaps = blocks.slice(t, u)
-            // trailing attachments of the continuation
-            var v = u + 1
-            val postCaps = mutable.ArrayBuffer.empty[B]
-            val postFoots = mutable.ArrayBuffer.empty[B]
-            while (v < n && page(blocks(v)) == curPage + 1 && isAttach(blocks(v))) {
-              if (kind(blocks(v)) == Kinds.Caption) postCaps += blocks(v)
-              else postFoots += blocks(v)
-              v += 1
-            }
-            val mergeCaps = preCaps.map(text) ++
-              postCaps.map(text).filter(isContinuationCaption)
-            if (canMerge(text(merged), text(t2), prevFoot, mergeCaps.toSeq)) {
-              merged = withText(merged, merge(text(merged), text(t2)))
-              // prev trailing attachments keep their place after the table
-              acc ++= blocks.slice(j, t)
-              // continuation captions drop; stray trailing captions restore
-              // as text; continuation footnotes relocate
-              acc ++= postCaps.filterNot(c => isContinuationCaption(text(c))).map(toText)
-              acc ++= postFoots
-              curPage += 1
-              j = v
-              chain = true
+              page(blocks(u)) == pg + 1) {
+            lead = (t until u).toVector
+            tIdx = u
+          } else scanning = false
+        }
+        val m = parts.length
+        val html = Array.tabulate(m)(k => text(blocks(parts(k).tIdx)))
+        val foots = Array.tabulate(m)(k =>
+          parts(k).trail.map(blocks).filter(x => kind(x) == Kinds.Footnote))
+        val mergedAway = new Array[Boolean](m)
+        val absorbed = new Array[Boolean](m)
+        val restored = Array.fill(m)(Vector.empty[B])
+        // ---- backward sweep (merge_table: last page toward the first) ----
+        var k = m - 2
+        while (k >= 0) {
+          val cur = k + 1
+          val curTrailCaps = parts(cur).trail.map(blocks)
+            .filter(x => kind(x) == Kinds.Caption)
+          val mergeCaps = parts(cur).lead.map(x => text(blocks(x))) ++
+            curTrailCaps.map(text).filter(isContinuationCaption)
+          if (canMerge(html(k), html(cur), foots(k).length, mergeCaps)) {
+            html(k) = merge(html(k), html(cur))
+            // prev part's own footnotes are deleted; the continuation's
+            // (incl. ones relocated onto it by a later chain step) move in
+            foots(k) = foots(cur)
+            restored(cur) = curTrailCaps
+              .filterNot(x => isContinuationCaption(text(x))).map(toText)
+            mergedAway(cur) = true
+            absorbed(k) = true
+          }
+          k -= 1
+        }
+        // ---- forward emission ----
+        k = 0
+        while (k < m) {
+          val p = parts(k)
+          if (mergedAway(k)) out ++= restored(k)
+          else {
+            p.lead.foreach(li => out += blocks(li))
+            val tb = blocks(p.tIdx)
+            out += (if (absorbed(k)) withText(tb, html(k)) else tb)
+            if (absorbed(k)) {
+              // children rebuilt: own non-footnote attachments in order,
+              // then the relocated footnotes
+              p.trail.foreach { ti =>
+                if (kind(blocks(ti)) != Kinds.Footnote) out += blocks(ti)
+              }
+              foots(k).foreach(out += _)
+            } else {
+              p.trail.foreach(ti => out += blocks(ti))
             }
           }
+          k += 1
         }
-        out += merged
-        acc.foreach(out += _)
-        i = j
+        i = parts(m - 1).trailEnd
       }
     }
     out.result()

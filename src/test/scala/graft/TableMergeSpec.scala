@@ -69,10 +69,38 @@ class TableMergeSpec extends AnyFunSuite {
       blk(Kinds.Footnote, "Note: x.", 1),
       blk(Kinds.Text, "After.", 1))
     val out = runStream(in)
+    // relocated footnotes are CHILDREN of the merged table and render
+    // before the restored (page-level) caption text
     assert(out.map(_.kind) ==
-      Vector(Kinds.Text, Kinds.Table, Kinds.Text, Kinds.Footnote, Kinds.Text))
-    assert(out(1).text == TableMerge.merge(t1, t2))
-    assert(out(2).text == "Remarks here.") // restored caption -> text
+      Vector(Kinds.Text, Kinds.Table, Kinds.Footnote, Kinds.Text, Kinds.Text))
+    assert(out(1).text ==
+      "<table><tr><td>H</td><td>I</td></tr><tr><td>a</td><td>1</td></tr>" +
+        "<tr><td>b</td><td>2</td></tr></table>")
+    assert(out(2).text == "Note: x.")
+    assert(out(3).text == "Remarks here.") // restored caption -> text
+  }
+
+  test("merge with prev footnote + continuation caption DELETES the prev footnote") {
+    // perform_table_merge:941-948 rebuilds the previous block's children
+    // without its own footnotes before appending the relocated ones
+    val t1 = "<table><tr><td>H</td><td>I</td></tr><tr><td>a</td><td>1</td></tr></table>"
+    val t2 = "<table><tr><td>H</td><td>I</td></tr><tr><td>b</td><td>2</td></tr></table>"
+    val out = runStream(Vector(
+      blk(Kinds.Table, t1, 0),
+      blk(Kinds.Footnote, "Old note.", 0),
+      blk(Kinds.Caption, "Table 2 (continued)", 1),
+      blk(Kinds.Table, t2, 1),
+      blk(Kinds.Footnote, "New note.", 1)))
+    assert(out.map(_.kind) == Vector(Kinds.Table, Kinds.Footnote))
+    assert(out(1).text == "New note.", "prev footnote deleted, continuation's relocated")
+    // ...but TWO prev footnotes block even with a continuation caption
+    val blocked = runStream(Vector(
+      blk(Kinds.Table, t1, 0),
+      blk(Kinds.Footnote, "n1.", 0),
+      blk(Kinds.Footnote, "n2.", 0),
+      blk(Kinds.Caption, "Table 2 (continued)", 1),
+      blk(Kinds.Table, t2, 1)))
+    assert(blocked.length == 5)
   }
 
   test("mergeStream: fresh table's own caption blocks; footnote on prev blocks") {
@@ -127,6 +155,65 @@ class TableMergeSpec extends AnyFunSuite {
     val out = runStream(Vector(
       blk(Kinds.Table, t1, 0), blk(Kinds.Table, t2, 1), blk(Kinds.Table, t3, 2)))
     assert(out.length == 1)
-    assert(out.head.text == TableMerge.merge(TableMerge.merge(t1, t2), t3))
+    // the sweep runs backward like merge_table: t3 folds into t2 first
+    assert(out.head.text ==
+      "<table><tr><td>H</td><td>I</td></tr><tr><td>a</td><td>1</td></tr>" +
+        "<tr><td>b</td><td>2</td></tr><tr><td>c</td><td>3</td></tr></table>")
+  }
+
+  test("3-page chain with differing headers: each header detected against the PREVIOUS part") {
+    // merge_table sweeps pages backward, so t3's repeated header is
+    // detected against t2 (and skipped) even though it never matches the
+    // chain head t1 — a forward chain-head fold would duplicate it
+    val t1 = "<table><tr><td>A</td><td>B</td></tr><tr><td>a</td><td>1</td></tr></table>"
+    val t2 = "<table><tr><td>C</td><td>D</td></tr><tr><td>b</td><td>2</td></tr></table>"
+    val t3 = "<table><tr><td>C</td><td>D</td></tr><tr><td>c</td><td>3</td></tr></table>"
+    val out = runStream(Vector(
+      blk(Kinds.Table, t1, 0), blk(Kinds.Table, t2, 1), blk(Kinds.Table, t3, 2)))
+    assert(out.length == 1)
+    assert(out.head.text ==
+      "<table><tr><td>A</td><td>B</td></tr><tr><td>a</td><td>1</td></tr>" +
+        "<tr><td>C</td><td>D</td></tr><tr><td>b</td><td>2</td></tr>" +
+        "<tr><td>c</td><td>3</td></tr></table>")
+  }
+
+  test("visual header fallback: same texts + effective cols, differing colspans") {
+    // detect_table_headers' structural pass fails on the colspan mismatch;
+    // _detect_table_headers_visual matches on normalized texts + effective
+    // column counts and the repeated header is still skipped
+    val t1 = "<table><tr><td colspan=\"2\">H</td><td>I</td></tr>" +
+      "<tr><td>a</td><td>b</td><td>c</td></tr></table>"
+    val t2 = "<table><tr><td>H</td><td colspan=\"2\">I</td></tr>" +
+      "<tr><td>d</td><td>e</td><td>f</td></tr></table>"
+    assert(TableMerge.canMerge(t1, t2))
+    assert(TableMerge.merge(t1, t2) ==
+      "<table><tr><td colspan=\"2\">H</td><td>I</td></tr>" +
+        "<tr><td>a</td><td>b</td><td>c</td></tr>" +
+        "<tr><td>d</td><td>e</td><td>f</td></tr></table>")
+  }
+
+  test("colspan adjust toward the WIDER previous part: copy-structure and widen branches") {
+    // boundary rows match on actual cell count (2 == 2) while total
+    // columns differ (3 > 2) -> check_rows_match passes; the continuation's
+    // rows adjust toward 3 columns (adjust_table_rows_colspan):
+    //  - row [p, q] has the reference row's visual count (2 cells) -> it
+    //    COPIES the reference colspan structure (2,1)
+    //  - row [pq] differs visually (1 cell) -> its last cell widens by the
+    //    column deficit to colspan 3
+    val t1 = "<table><tr><td>M</td><td>N</td><td>O</td></tr>" +
+      "<tr><td colspan=\"2\">xy</td><td>z</td></tr></table>"
+    val t2 = "<table><tr><td>p</td><td>q</td></tr><tr><td>pq</td></tr></table>"
+    assert(TableMerge.canMerge(t1, t2))
+    assert(TableMerge.merge(t1, t2) ==
+      "<table><tr><td>M</td><td>N</td><td>O</td></tr>" +
+        "<tr><td colspan=\"2\">xy</td><td>z</td></tr>" +
+        "<tr><td colspan=\"2\">p</td><td>q</td></tr>" +
+        "<tr><td colspan=\"3\">pq</td></tr></table>")
+  }
+
+  test("bare 续表 and (…continued) markers gate like (continued)") {
+    assert(TableMerge.isContinuationCaption("表 3 续表"))
+    assert(TableMerge.isContinuationCaption("Table 3 (…continued)"))
+    assert(!TableMerge.isContinuationCaption("Table 3: Fresh"))
   }
 }
