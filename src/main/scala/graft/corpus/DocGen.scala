@@ -65,12 +65,12 @@ object DocGen {
 
   /** A paragraph whose wrapped lines can never trip the geometric list
     * ladder (para_split.py:163-187 fires when >=80% of a block's lines end
-    * with a LIST_END_FLAG): if >=80% of lines at either rendered width end
-    * with '.', redraw. The rendered widths are the stub's two column
-    * geometries (single-column cpl 90, two-column cpl 41). */
+    * with a LIST_END_FLAG): if >=80% of lines at ANY rendered width end
+    * with '.', redraw. The rendered widths come from the stub's column
+    * geometries (full page, two-column, insert, wrap). */
   private def paragraph(r: SplitMix64): String = {
     var p = paragraphOnce(r)
-    def risky(s: String): Boolean = Vector(90, 41).exists { cpl =>
+    def risky(s: String): Boolean = graft.kernel.StubModel.TextCpls.exists { cpl =>
       val ls = graft.kernel.StubModel.lineSplit(s, cpl)
       ls.length >= 2 && ls.count(l => l.nonEmpty && l.last == '.') * 5 >= ls.length * 4
     }

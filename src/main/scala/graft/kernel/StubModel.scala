@@ -30,8 +30,13 @@ object StubModel extends DocModel {
   // Both the unit gap and the column gap must exceed the worst intra-unit
   // attachment distance (body->caption->footnote = 4+18+4 = 26), or the
   // greedy tie-up could prefer a neighbouring unit's body — including one
-  // across the column gutter — over the attachment's own.
-  private val ColGap = 40.0
+  // across the column gutter — over the attachment's own. The column gap
+  // additionally must exceed 3x that distance (78): the tie-up's relative
+  // rejection only discards a pair when pair_dis >= 3 * nearest_dis
+  // (magic_model_utils.py:104-113), so a cross-gutter body within 78px of
+  // a footnote whose own body sits a full caption away (26) would be
+  // ACCEPTED by the reference's own sweep and flip the emission position.
+  private val ColGap = 80.0
   private val UnitGap = 34.0   // between logical units
   private val AttachGap = 4.0  // body <-> caption/footnote (tie-up anchor)
   private val ContentTopTitle = 100.0
@@ -95,6 +100,14 @@ object StubModel extends DocModel {
   }
 
   private def cplOf(colWidth: Double): Int = math.max(20, (colWidth / 6.0).toInt)
+
+  /** Every chars-per-line width the stub renders text at (full page,
+    * two-column, insert, wrap column). The corpus generator redraws any
+    * paragraph whose wrapped lines could trip the geometric list ladder at
+    * one of THESE widths — the set must cover every rendered geometry. */
+  val TextCpls: Vector[Int] =
+    Vector(540.0, (PageW - 2 * MarginX - ColGap) / 2, 184.0, 150.0)
+      .map(w => cplOf(w)).distinct
 
   /** Vertical-text flag (CJK-style columns, span_block_fix.py:160-236):
     * a deterministic content-keyed decision shared by placement and
@@ -218,13 +231,21 @@ object StubModel extends DocModel {
     s.kind == Kinds.Caption &&
       Math.floorMod(Rng.fnv64(docId + "|far|" + s.offset), 10L) == 0L
 
+  /** Nested-insert page flag (~10% of pages attempt the region layout;
+    * accepted only when the page has enough units and the region-aware
+    * orderer validates). Content-keyed, draws nothing. */
+  def usesInsert(docId: String, pageIdx: Int): Boolean =
+    Math.floorMod(Rng.fnv64(docId + "|ins|" + pageIdx), 10L) == 0L
+
   /** Layout validation: replay the pipeline's OWN tie-up + ordering core
     * (PageOps.orderBlocks — the single shared implementation) over the
-    * placed boxes and require the emitted sequence to equal authoring
-    * order. This is what keeps the golden oracle well-defined while the
-    * stub emits hard layouts (aligned-gap columns, deferred captions). */
+    * placed boxes (and region boxes, when the layout carries them) and
+    * require the emitted sequence to equal authoring order. This is what
+    * keeps the golden oracle well-defined while the stub emits hard
+    * layouts (aligned-gap columns, deferred captions, nested inserts). */
   private def orderSafe(placed: Vector[(InSpan, (Double, Double, Double, Double))],
-      emitsOrd: Boolean): Boolean = {
+      emitsOrd: Boolean,
+      regions: Vector[(Double, Double, Double, Double)] = Vector.empty): Boolean = {
     val blocks = placed.map { case (s, (x0, y0, x1, y1)) =>
       val cat = s.kind match {
         case Kinds.ListK | Kinds.Index => Kinds.Text // model can't see listness
@@ -233,19 +254,42 @@ object StubModel extends DocModel {
       }
       Det(cat, x0, y0, x1, y1, 1.0, "", "", if (emitsOrd) s.offset else -1)
     }
-    val got = graft.pipeline.PageOps.orderBlocks(blocks).map(i => placed(i)._1.offset)
+    val regionDets = regions.map { case (x0, y0, x1, y1) =>
+      Det("region", x0, y0, x1, y1, 1.0, "", "")
+    }
+    val got = graft.pipeline.PageOps.orderBlocks(blocks, regionDets, PageW, PageH)
+      .map(i => placed(i)._1.offset)
     got == placed.map(_._1.offset).sorted
   }
+
+  // -- layout telemetry (dev counters; local-mode JVM-wide) -----------------
+  /** Pages where every HARD candidate layout failed validation and the
+    * plain single column was used instead — the "authored away" event the
+    * sweep drives to ~0. */
+  val authoredAwayCount = new java.util.concurrent.atomic.AtomicLong
+  /** Pages where even the single-column layout failed validation (never
+    * expected; the golden suite would also catch it). */
+  val unsolvableCount = new java.util.concurrent.atomic.AtomicLong
+  /** Pages accepted with a nested-insert region layout. */
+  val insertPageCount = new java.util.concurrent.atomic.AtomicLong
 
   /** Pull far-flagged BELOW-captions (authored after their body — figure
     * captions) out of body units and re-append them as standalone trailing
     * units placed at the column end. Above-captions stay put: deferring
-    * them would flip their rendered side. */
+    * them would flip their rendered side. Only the LAST body unit's
+    * captions defer: the tie-up's unconditional leftover attachment pulls
+    * a column-end caption to its NEAREST subject, which is the last body —
+    * deferring an earlier body's caption would misattach under the
+    * reference's own algorithm (the validation sweep used to author those
+    * pages away as plain singles; the gate removes the doomed candidates
+    * instead). */
   private def deferFar(units: Vector[Unit], far: InSpan => Boolean): Vector[Unit] = {
+    val lastBodyUnit = units.lastIndexWhere(_.blocks.exists(b => Kinds.bodies(b.kind)))
+    if (lastBodyUnit < 0) return units
     val deferred = Vector.newBuilder[InSpan]
-    val kept = units.map { u =>
+    val kept = units.zipWithIndex.map { case (u, ui) =>
       val bodyAt = u.blocks.indexWhere(b => Kinds.bodies(b.kind))
-      if (bodyAt < 0) u
+      if (bodyAt < 0 || ui != lastBodyUnit) u
       else {
         val (f, k) = u.blocks.zipWithIndex.partition { case (s, i) =>
           i > bodyAt && s.kind == Kinds.Caption && far(s)
@@ -257,14 +301,24 @@ object StubModel extends DocModel {
     kept ++ deferred.result().map(s => Unit(Vector(s)))
   }
 
-  /** Place one page; every candidate layout is validated by replaying the
-    * pipeline's shared ordering core, falling back through: two-column with
-    * deferred far captions -> two-column -> single with deferred -> single.
-    * Docs whose model emits original_order accept the hardest layout
-    * immediately (the shortcut recovers any geometry). */
-  private def placePage(mains: Vector[InSpan], twoCol: Boolean, pageIdx: Int,
-      vert: InSpan => Boolean, far: InSpan => Boolean, emitsOrd: Boolean)
-      : Vector[(InSpan, (Double, Double, Double, Double))] = {
+  /** Place one page; every candidate layout — INCLUDING the plain single
+    * column — is validated by replaying the pipeline's shared ordering
+    * core, falling back through: nested-insert region layout -> two-column
+    * with deferred far captions -> two-column -> single with deferred ->
+    * single. Docs whose model emits original_order accept the hardest
+    * layout immediately (the shortcut recovers any geometry). A page whose
+    * HARD candidates all failed counts into [[authoredAwayCount]]; a page
+    * where even the single column fails counts into [[unsolvableCount]]
+    * (and still places single — the golden suite would surface it).
+    * Returns the placed spans plus the page's region-detection boxes
+    * (non-empty only for the insert layout). */
+  private def placePage(mains: Vector[InSpan], twoCol: Boolean, insert: Boolean,
+      pageIdx: Int, vert: InSpan => Boolean, far: InSpan => Boolean,
+      emitsOrd: Boolean)
+      : (Vector[(InSpan, (Double, Double, Double, Double))],
+         Vector[(Double, Double, Double, Double)]) = {
+    type Placed = Vector[(InSpan, (Double, Double, Double, Double))]
+    type Region = (Double, Double, Double, Double)
     val (titleOpt, rest) = mains.headOption match {
       case Some(t) if t.kind == Kinds.Title => (Some(t), mains.tail)
       case _ => (None, mains)
@@ -282,10 +336,10 @@ object StubModel extends DocModel {
     val titlePlaced = titleOpt.map(t => (t, titleBox)).toVector
     val baseUnits = toUnits(rest)
 
-    def single(units: Vector[Unit]): Vector[(InSpan, (Double, Double, Double, Double))] =
+    def single(units: Vector[Unit]): Placed =
       titlePlaced ++ placeColumn(units, MarginX, PageW - 2 * MarginX, yStart, vert)._1
 
-    def twoColCandidates(units: Vector[Unit]): Iterator[Vector[(InSpan, (Double, Double, Double, Double))]] = {
+    def twoColCandidates(units: Vector[Unit]): Iterator[(Placed, Vector[Region])] = {
       if (units.length < 2) return Iterator.empty
       val colW = (PageW - 2 * MarginX - ColGap) / 2
       // split units at roughly half the stacked height
@@ -306,22 +360,113 @@ object StubModel extends DocModel {
       val (c1, bottom1) = placeColumn(u1, MarginX, colW, yStart, vert)
       if (bottom1 > ContentBottom) return Iterator.empty
       val offsets = Vector(0.0, 5.0, 11.0, 18.0, 26.0, 35.0, 45.0)
-      offsets.iterator.flatMap { off =>
+      def enclose(ps: Placed): Region = (
+        ps.map(_._2._1).min, ps.map(_._2._2).min,
+        ps.map(_._2._3).max, ps.map(_._2._4).max)
+      val plain = offsets.iterator.flatMap { off =>
         val (c2, bottom2) = placeColumn(u2, MarginX + colW + ColGap, colW, yStart + off, vert)
         if (bottom2 > ContentBottom) None
-        else Some(titlePlaced ++ c1 ++ c2)
+        else Some((titlePlaced ++ c1 ++ c2, Vector.empty[Region]))
       }
+      // region-rescued variant: when no plain offset orders correctly, a
+      // region-detection model marking the two columns makes the order
+      // trivially column-major (the reference's region channel exists for
+      // exactly these layouts); the title, outside both regions, becomes
+      // its own supplementary region
+      val rescued = {
+        val (c2, bottom2) = placeColumn(u2, MarginX + colW + ColGap, colW, yStart, vert)
+        if (c1.isEmpty || c2.isEmpty || bottom2 > ContentBottom) Iterator.empty
+        else Iterator((titlePlaced ++ c1 ++ c2, Vector(enclose(c1), enclose(c2))))
+      }
+      plain ++ rescued
+    }
+
+    /** Nested-insert region layout (the v3 region class): a boxed insert
+      * (the page's LAST unit) floats between two narrow wrap columns; a
+      * full-width unit sits above and one below. Read order = main flow
+      * (above, left wrap, right wrap, below) then the insert — projection
+      * cuts alone interleave the insert between the wraps, so this layout
+      * is only accepted via the region-aware orderer, and the page emits
+      * its two region boxes like the reference's region-detection model
+      * (xycut_plus_v3.py:441-456). Column gutters (28) exceed the worst
+      * intra-unit attachment distance (26) so tie-ups stay unit-local. */
+    def insertCandidate(units: Vector[Unit]): Iterator[(Placed, Vector[Region])] = {
+      if (units.length < 5) return Iterator.empty
+      val insertUnits = Vector(units.last)
+      val above = Vector(units.head)
+      val mid = units.tail.init
+      val below = Vector(mid.last)
+      val wraps = mid.init
+      if (wraps.length < 2) return Iterator.empty
+      // wrap columns must be attachment-free (no bodies/captions/footnotes):
+      // a body in a narrow wrap column can out-compete the insert's own
+      // body for a caption in the page-global tie-up sweep
+      val attachy = Set(Kinds.Caption, Kinds.Footnote, Kinds.ImageFootnote)
+      if (wraps.exists(_.blocks.exists(b =>
+        Kinds.bodies(b.kind) || attachy(b.kind)))) return Iterator.empty
+      // the above/below slots must render FULL WIDTH (they are the region's
+      // separator rows); a vertical text block there is a narrow box that
+      // would regroup into the wrap columns and interleave
+      if ((above ++ below).exists(_.blocks.exists(vert))) return Iterator.empty
+      val (wl, wr) = wraps.splitAt((wraps.length + 1) / 2)
+      val fullW = PageW - 2 * MarginX
+      val leftW = 150.0; val insW = 184.0; val rightW = 150.0
+      val gut = 28.0
+      val (aP, aBot) = placeColumn(above, MarginX, fullW, yStart, vert)
+      val (lP, lBot) = placeColumn(wl, MarginX, leftW, aBot, vert)
+      val (iP, iBot) = placeColumn(insertUnits, MarginX + leftW + gut, insW, aBot + 12.0, vert)
+      val (rP, rBot) = placeColumn(wr, MarginX + leftW + gut + insW + gut, rightW, aBot, vert)
+      val belowY = math.max(math.max(lBot, rBot), iBot)
+      val (bP, bBot) = placeColumn(below, MarginX, fullW, belowY, vert)
+      if (bBot > ContentBottom) return Iterator.empty
+      def enclose(ps: Placed): Region = (
+        ps.map(_._2._1).min, ps.map(_._2._2).min,
+        ps.map(_._2._3).max, ps.map(_._2._4).max)
+      val mainP = titlePlaced ++ aP ++ lP ++ rP ++ bP
+      Iterator(((mainP ++ iP, Vector(enclose(mainP), enclose(iP)))))
     }
 
     val farUnits = deferFar(baseUnits, far)
     val hasFar = farUnits != baseUnits
-    val candidates: Iterator[Vector[(InSpan, (Double, Double, Double, Double))]] =
-      (if (twoCol) {
-        (if (hasFar) twoColCandidates(farUnits) else Iterator.empty) ++
-          twoColCandidates(baseUnits)
-      } else Iterator.empty) ++
-        (if (hasFar) Iterator(single(farUnits)) else Iterator.empty)
-    candidates.find(p => orderSafe(p, emitsOrd)).getOrElse(single(baseUnits))
+    // candidates carry a countsAsHard flag: a failed far-caption deferral
+    // falls through SILENTLY (the deferral is an opportunistic authoring
+    // choice — when the page's geometry would make the reference's own
+    // greedy tie-up misattach the far caption, the corpus keeps it
+    // adjacent instead), while a failed insert/two-column layout counts
+    // into authoredAwayCount
+    // (placed, regions, countsAsHard, isInsertLayout)
+    val hard: Iterator[(Placed, Vector[Region], Boolean, Boolean)] =
+      (if (insert) insertCandidate(baseUnits).map(c => (c._1, c._2, true, true)) else Iterator.empty) ++
+        (if (twoCol) {
+          ((if (hasFar) twoColCandidates(farUnits) else Iterator.empty) ++
+            twoColCandidates(baseUnits)).map(c => (c._1, c._2, true, false))
+        } else Iterator.empty) ++
+        (if (hasFar) Iterator((single(farUnits), Vector.empty[Region], false, false)) else Iterator.empty)
+    var hardTried = false
+    val chosen = hard.find { case (p, rs, counts, _) =>
+      if (counts) hardTried = true
+      orderSafe(p, emitsOrd, rs)
+    }
+    chosen match {
+      case Some((p, rs, _, isIns)) =>
+        if (isIns) insertPageCount.incrementAndGet()
+        (p, rs)
+      case None =>
+        val s = single(baseUnits)
+        if (hardTried && sys.env.contains("GRAFT_LAYOUT_DEBUG")) {
+          println(s"AWAY page=$pageIdx insert=$insert twoCol=$twoCol hasFar=$hasFar " +
+            s"units=${baseUnits.length} kinds=${mains.map(_.kind).mkString(",")}")
+        }
+        if (hardTried) {
+          // a hard layout existed and every candidate failed validation —
+          // the authored-away event; validate the single it degrades to
+          // (plain single-column pages skip this: the 20k golden sweep
+          // already proves their ordering end to end)
+          authoredAwayCount.incrementAndGet()
+          if (!orderSafe(s, emitsOrd)) unsolvableCount.incrementAndGet()
+        }
+        (s, Vector.empty)
+    }
   }
 
   override def analyze(doc: DocRow): Seq[PageModel] = {
@@ -350,7 +495,11 @@ object StubModel extends DocModel {
       val twoCol = kr.chance(0.3)
       val mains = pageSpans.filter(s => !Kinds.discarded(s.kind))
       val vert = (sp: InSpan) => isVertical(doc.doc_id, sp)
-      val placed = placePage(mains, twoCol, p, vert, far, emitsOrd)
+      val (placed, regionBoxes) =
+        placePage(mains, twoCol, usesInsert(doc.doc_id, p), p, vert, far, emitsOrd)
+      val regionDets = regionBoxes.map { case (x0, y0, x1, y1) =>
+        Det("region", x0, y0, x1, y1, 1.0, "", "")
+      }
 
       val dets = ArrayBuffer.empty[Det]
       val chars = ArrayBuffer.empty[CharDet] // text layer: deterministic order, never scrambled
@@ -557,7 +706,7 @@ object StubModel extends DocModel {
         else if (rotKey == 2L) 270 else 0
       if (rotation == 0)
         PageModel(doc.doc_id, p, PageW, PageH, arr.toVector, chars.toVector,
-          0, oriImgs.toVector)
+          0, oriImgs.toVector, regionDets)
       else {
         @inline def fwd(x0: Double, y0: Double, x1: Double, y1: Double) = rotation match {
           case 90 => (PageH - y1, x0, PageH - y0, x1)
@@ -575,7 +724,7 @@ object StubModel extends DocModel {
         }
         val (w, h) = if (rotation == 180) (PageW, PageH) else (PageH, PageW)
         PageModel(doc.doc_id, p, w, h, rdets, rchars, rotation,
-          oriImgs.toVector.map(rotDet))
+          oriImgs.toVector.map(rotDet), regionDets.map(rotDet))
       }
     }
   }

@@ -23,11 +23,147 @@ package graft.order
   * behavior (y-gap bands, then atomic top-to-bottom/left-to-right). */
 object XYCutV3 {
 
+  type Box = (Double, Double, Double, Double)
+
   private val MinGap = 1.0
+  /** Region-matching thresholds (REGION_SETTINGS,
+    * layout_parsing/setting.py): a block belongs to a region when the
+    * overlap over the smaller area exceeds 0.8; 0.4 marks a split
+    * candidate during supplementary-region shrinking. */
+  private val MatchOverlap = 0.8
+  private val SplitOverlap = 0.4
   /** A block at least this fraction of the region width is a full-width
     * separator candidate (the reference's centered/cross-layout test,
     * xycuts.py:79-92 tolerance form). */
   private val WideFrac = 0.55
+
+  @inline private def area(b: Box): Double =
+    math.abs((b._3 - b._1) * (b._4 - b._2))
+
+  @inline private def overlapSmall(a: Box, b: Box): Double =
+    graft.geom.Geo.overlapOverMin(a._1, a._2, a._3, a._4, b._1, b._2, b._3, b._4)
+
+  @inline private def intersects(a: Box, b: Box): Boolean =
+    math.min(a._3, b._3) > math.max(a._1, b._1) &&
+      math.min(a._4, b._4) > math.max(a._2, b._2)
+
+  private def enclosing(bs: Seq[Box]): Box =
+    (bs.map(_._1).min, bs.map(_._2).min, bs.map(_._3).max, bs.map(_._4).max)
+
+  /** Shrink a supplementary region bbox away from an overlapping detected
+    * region along the nearest edge — port of shrink_supplement_region_bbox
+    * (layout_parsing/utils.py:426-513): up to three edge-swap attempts;
+    * blocks matched > 0.8 stay inside, 0.4..0.8 "split" blocks push the
+    * edge further and recurse. Returns (shrunk bbox, matched indices). */
+  private def shrink(supp: Box, ref: Box, pageW: Double, pageH: Double,
+      idxs: Vector[Int], boxes: IndexedSeq[Box]): (Box, Vector[Int]) = {
+    if (idxs.isEmpty) return (supp, Vector.empty)
+    @inline def get(b: Box, e: Int): Double = e match {
+      case 0 => b._1; case 1 => b._2; case 2 => b._3; case _ => b._4
+    }
+    @inline def set(b: Box, e: Int, v: Double): Box = e match {
+      case 0 => (v, b._2, b._3, b._4); case 1 => (b._1, v, b._3, b._4)
+      case 2 => (b._1, b._2, v, b._4); case _ => (b._1, b._2, b._3, v)
+    }
+    val conv = Array(2, 3, 0, 1)
+    def edgeDists(a: Box, b: Box): Vector[Double] = Vector(
+      (b._1 - a._1) / pageW, (b._2 - a._2) / pageH,
+      (a._3 - b._3) / pageW, (a._4 - b._4) / pageH)
+    val dists = edgeDists(supp, ref)
+    var pool = dists
+    var minD = pool.min
+    var src = conv(dists.indexOf(minD))
+    var result = supp
+    var iner = Vector.empty[Int]
+    var attempt = 0
+    var done = false
+    while (attempt < 3 && !done) {
+      val dst = conv(src)
+      var tmp = set(supp, dst, get(ref, src))
+      iner = idxs.filter(i => overlapSmall(tmp, boxes(i)) > MatchOverlap)
+      val split = idxs.filter { i =>
+        val r = overlapSmall(tmp, boxes(i)); r > SplitOverlap && r <= MatchOverlap
+      }
+      if (iner.nonEmpty) {
+        split.foreach { si =>
+          val sb = boxes(si)
+          val ds = edgeDists(tmp, sb)
+          val src2 = ds.indexOf(ds.max)
+          tmp = set(tmp, conv(src2), get(sb, src2))
+          val (t2, in2) = shrink(tmp, ref, pageW, pageH, iner, boxes)
+          if (in2.nonEmpty) { tmp = t2; iner = in2 }
+        }
+        result = enclosing(iner.map(boxes))
+        done = true
+      } else {
+        pool = pool.patch(pool.indexOf(minD), Nil, 1)
+        if (pool.isEmpty) done = true
+        else { minD = pool.min; src = conv(dists.indexOf(minD)) }
+      }
+      attempt += 1
+    }
+    (result, iner)
+  }
+
+  /** Two-level enhanced cut with detected REGIONS — the v3 region layer
+    * (xycut_plus_v3.py:230-360 region_to_block_map + 31-40
+    * sort_layout_parsing_blocks): blocks join the (area-ascending) region
+    * whose bbox overlaps them > 0.8 over the smaller area, the region bbox
+    * iterating to the enclosing-bbox fixpoint of its matches; leftover
+    * blocks form supplementary regions (minimum enclosing bbox, shrunk
+    * away from overlapping detected regions); regions are ordered by the
+    * enhanced cut over region bboxes, then blocks within each region.
+    * This reads a NESTED region (a boxed insert between wrap columns) as
+    * one unit after its host flow — the layout class projection cuts
+    * alone provably interleave. */
+  def orderWithRegions(boxes: IndexedSeq[Box], regionBoxes: Seq[Box],
+      pageW: Double, pageH: Double): Vector[Int] = {
+    if (regionBoxes.isEmpty || boxes.length <= 1) return order(boxes)
+    val n = boxes.length
+    val remaining = scala.collection.mutable.LinkedHashSet.from(0 until n)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(Box, Vector[Int])]
+    regionBoxes.sortBy(area).foreach { r0 =>
+      var rb = r0
+      var matched = remaining.iterator
+        .filter(i => overlapSmall(rb, boxes(i)) > MatchOverlap).toVector
+      if (matched.nonEmpty) {
+        var prev = Vector.empty[Int]
+        while (prev != matched) {
+          prev = matched
+          rb = enclosing(matched.map(boxes))
+          matched = remaining.iterator
+            .filter(i => overlapSmall(rb, boxes(i)) > MatchOverlap).toVector
+        }
+        matched.foreach(remaining.remove)
+        groups += ((rb, matched))
+      }
+    }
+    // supplementary regions for unmatched blocks (:287-341)
+    var guard = 0
+    while (remaining.nonEmpty && guard < n + 1) {
+      val left = remaining.toVector
+      var supp = enclosing(left.map(boxes))
+      var matched = Vector.empty[Int]
+      groups.foreach { case (rb, _) =>
+        if (intersects(supp, rb)) {
+          val (s2, m2) = shrink(supp, rb, pageW, pageH, left, boxes)
+          supp = s2
+          matched = m2
+        }
+      }
+      if (matched.isEmpty) matched = left
+      supp = enclosing(matched.map(boxes))
+      matched.foreach(remaining.remove)
+      groups += ((supp, matched))
+      guard += 1
+    }
+    // regions by the enhanced cut, then blocks within each region
+    val rOrder = order(groups.map(_._1).toIndexedSeq)
+    rOrder.flatMap { ri =>
+      val (_, blks) = groups(ri)
+      order(blks.map(boxes)).map(blks)
+    }
+  }
 
   def order(boxes: IndexedSeq[(Double, Double, Double, Double)]): Vector[Int] = {
     val n = boxes.length

@@ -351,15 +351,19 @@ object PageOps {
     * tie-up, then reading order over anchors, then attachment expansion.
     * Ordering dispatch mirrors block_sort.py:154-236: the model-order
     * shortcut when any anchor carries original_order >= 0, else XY-cut++
-    * v3, falling back to the classic cut on failure. Returns block indices
-    * in emission order. */
-  def orderBlocks(blocks: Vector[Det]): Vector[Int] = emitBlocks(blocks).map(_._1)
+    * v3 (region-aware when the page carries region detections), falling
+    * back to the classic cut on failure. Returns block indices in
+    * emission order. */
+  def orderBlocks(blocks: Vector[Det], regions: Seq[Det] = Nil,
+      pageW: Double = 612.0, pageH: Double = 792.0): Vector[Int] =
+    emitBlocks(blocks, regions, pageW, pageH).map(_._1)
 
   /** orderBlocks plus the per-block emitted KIND: a footnote whose tie-up
     * subject is a FIGURE re-classes to image_footnote (__fix_footnote,
     * pipeline_magic_model.py:112-162 — the nearest body's kind decides);
     * everything else keeps its category. */
-  def emitBlocks(blocks: Vector[Det]): Vector[(Int, String)] = {
+  def emitBlocks(blocks: Vector[Det], regions: Seq[Det] = Nil,
+      pageW: Double = 612.0, pageH: Double = 792.0): Vector[(Int, String)] = {
     // one pass over the blocks to build the category index lists
     val capB = Vector.newBuilder[Int]; val fnB = Vector.newBuilder[Int]
     val numB = Vector.newBuilder[Int]; val bodyB = Vector.newBuilder[Int]
@@ -402,8 +406,12 @@ object PageOps {
         val boxes = anchorsIdx.map { i =>
           val b = blocks(i); (b.x0, b.y0, b.x1, b.y1)
         }
-        try XYCutV3.order(boxes)
-        catch { case _: Exception => XYCut.order(boxes) } // block_sort.py:230-236
+        try {
+          if (regions.nonEmpty)
+            XYCutV3.orderWithRegions(boxes,
+              regions.map(r => (r.x0, r.y0, r.x1, r.y1)), pageW, pageH)
+          else XYCutV3.order(boxes)
+        } catch { case _: Exception => XYCut.order(boxes) } // block_sort.py:230-236
       }
     // footnotes attached to a figure re-class to image_footnote
     val reclass: Map[Int, String] = fnAssign.flatMap { case (si, ois) =>
@@ -433,11 +441,11 @@ object PageOps {
     * boxes from the rotated scan frame back to upright page coordinates.
     * Returns (upright width, upright height, dets, chars). */
   def restoreOrientation(pm: PageModel)
-      : (Double, Double, Vector[Det], Vector[CharDet], Vector[Det]) = {
+      : (Double, Double, Vector[Det], Vector[CharDet], Vector[Det], Vector[Det]) = {
     val rot = ((pm.rotation % 360) + 360) % 360
     if (rot == 0)
       return (pm.width, pm.height, pm.dets.toVector, pm.chars.toVector,
-        pm.oriImages.toVector)
+        pm.oriImages.toVector, pm.regions.toVector)
     @inline def box(a0: Double, b0: Double, a1: Double, b1: Double) = rot match {
       case 90 => (b0, pm.width - a1, b1, pm.width - a0)
       case 180 => (pm.width - a1, pm.height - b1, pm.width - a0, pm.height - b0)
@@ -453,13 +461,14 @@ object PageOps {
       c.copy(x0 = x0, y0 = y0, x1 = x1, y1 = y1)
     }
     val ori = pm.oriImages.toVector.map(restDet)
-    if (rot == 180) (pm.width, pm.height, dets, chars, ori)
-    else (pm.height, pm.width, dets, chars, ori)
+    val regs = pm.regions.toVector.map(restDet)
+    if (rot == 180) (pm.width, pm.height, dets, chars, ori, regs)
+    else (pm.height, pm.width, dets, chars, ori, regs)
   }
 
   def process(pm: PageModel): Vector[OrderedBlock] = {
     // 0. orientation restore: boxes arrive in the rotated scan frame
-    val (pageW, pageH, updets, upchars, oriImages) = restoreOrientation(pm)
+    val (pageW, pageH, updets, upchars, oriImages, upregions) = restoreOrientation(pm)
 
     // Steps 1-3 as flag passes over one array (this loop runs for every
     // page in the fleet — per-step Vector rebuilds here are measurable
@@ -667,7 +676,7 @@ object PageOps {
     // 5-7. tie-up + reading order + attachment expansion + figure-footnote
     //      re-class (shared core — see emitBlocks; index-keyed so
     //      byte-identical detections can't collapse into one map entry)
-    val emitted = emitBlocks(blocks)
+    val emitted = emitBlocks(blocks, upregions, pageW, pageH)
 
     // 8. final blocks (list/index were classified geometrically during the
     //    line merge); title level from box height, clamped 1..4

@@ -106,7 +106,12 @@ case class PageModel(
     /** embedded original images from the pdf text layer (get_ori_image,
       * pdf_image_tools.py:286) — the table-fill-image join's right side
       * (extract_table_fill_image, span_pre_proc.py:218-266). */
-    oriImages: Seq[Det] = Nil)
+    oriImages: Seq[Det] = Nil,
+    /** region-detection output (the reference's region_det_res boxes,
+      * xycut_plus_v3.py:441-456): LAYOUT REGIONS the v3 orderer groups
+      * blocks by before the two-level enhanced cut — a nested boxed
+      * insert, a sidebar. Empty = the whole page is one region. */
+    regions: Seq[Det] = Nil)
 
 /** An ordered block after page-level processing, pre doc-assembly.
   * `nLines` carries the block's text-line count into the doc-level

@@ -50,5 +50,9 @@ object LayoutProbe {
     }
     println(s"docs=$n pages=$pages twoColPages=$twoCol alignedGapTwoCol=$alignedTwoCol " +
       s"farCaptions=$deferred shortcutDocs=$shortcutDocs")
+    println(s"insertPages=${StubModel.insertPageCount.get} " +
+      s"authoredAway=${StubModel.authoredAwayCount.get} " +
+      s"unsolvable=${StubModel.unsolvableCount.get} " +
+      s"(authoredAway rate=${StubModel.authoredAwayCount.get.toDouble / pages})")
   }
 }

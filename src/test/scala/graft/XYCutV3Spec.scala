@@ -69,4 +69,50 @@ class XYCutV3Spec extends AnyFunSuite with TableDrivenPropertyChecks {
       assert(got == want)
     }
   }
+
+  test("nested insert region: projections interleave, the region layer reads it last") {
+    // main flow: full-width above, two narrow wrap columns, full-width
+    // below; a boxed INSERT floats between the wraps. Projection cuts see
+    // three columns in the middle band and emit the insert between the
+    // wraps; the region layer (xycut_plus_v3.py:230-360) reads the main
+    // flow whole, then the insert.
+    val boxes: IndexedSeq[(Double, Double, Double, Double)] = Vector(
+      (36, 60, 576, 120),   // 0: above (full width)
+      (36, 160, 186, 400),  // 1: left wrap
+      (426, 160, 576, 400), // 2: right wrap
+      (36, 450, 576, 600),  // 3: below (full width)
+      (214, 172, 398, 380)) // 4: the insert
+    val mainRegion = (36.0, 60.0, 576.0, 600.0)
+    val insertRegion = (214.0, 172.0, 398.0, 380.0)
+    assert(XYCutV3.orderWithRegions(boxes, Seq(mainRegion, insertRegion), 612, 792)
+      == Vector(0, 1, 2, 3, 4))
+    // without regions the middle band is read as three columns: the insert
+    // lands between the wraps
+    assert(XYCutV3.order(boxes) == Vector(0, 1, 4, 2, 3))
+  }
+
+  test("region assignment: bbox expands to the enclosing fixpoint of its matches") {
+    // the detected region box only covers the top half of its second block;
+    // the iterative rematch (enclosing bbox -> rematch) must still claim it
+    val boxes: IndexedSeq[(Double, Double, Double, Double)] = Vector(
+      (40, 60, 200, 100),   // 0: region block
+      (40, 120, 200, 200),  // 1: region block, only half-covered initially
+      (40, 400, 200, 500))  // 2: outside -> supplementary region
+    val region = (36.0, 56.0, 204.0, 160.0) // covers 0 fully, 1 at half
+    assert(XYCutV3.orderWithRegions(boxes, Seq(region), 612, 792)
+      == Vector(0, 1, 2))
+  }
+
+  test("supplementary region shrinks away from a detected region") {
+    // unmatched blocks straddle a detected region: the supplementary bbox
+    // must shrink along the nearest edge and still order deterministically
+    val boxes: IndexedSeq[(Double, Double, Double, Double)] = Vector(
+      (320, 60, 576, 200),  // 0: inside the detected region
+      (36, 60, 280, 200),   // 1: unmatched, left of the region
+      (36, 220, 280, 360))  // 2: unmatched, below-left
+    val region = (316.0, 56.0, 580.0, 204.0)
+    val got = XYCutV3.orderWithRegions(boxes, Seq(region), 612, 792)
+    assert(got.sorted == Vector(0, 1, 2), "a permutation (totality)")
+    assert(got.indexOf(1) < got.indexOf(2), "left column top-down")
+  }
 }
