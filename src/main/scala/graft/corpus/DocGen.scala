@@ -242,6 +242,12 @@ object DocGen {
           // seal region with its OCR'd text (seal stage,
           // batch_analyze.py:415-456; containment-dedup-protected kind)
           blocks += ABlock(Kinds.Seal, s"SEAL ${cap(word(r))} ${cap(word(r))}")
+        else if (roll < 0.575)
+          // hyperlink span (ContentType.hyperlink, enum_class.py:59):
+          // anchor text + target URL in media_ref, markdown-rendered as a
+          // link (example.org is the RFC 2606 documentation domain)
+          blocks += ABlock(Kinds.Hyperlink, s"See the ${word(r)} ${word(r)}",
+            mediaRef = s"https://example.org/${word(r)}/${1 + r.nextInt(99)}")
         else if (roll < 0.70) {
           figK += 1
           blocks += ABlock(Kinds.Figure, "",

@@ -103,6 +103,7 @@ object Assemble {
               b.text.contains("for ")) "python" else ""
           s"```$lang\n${b.text}\n```"
         case Kinds.Caption | Kinds.Footnote | Kinds.ImageFootnote => "*" + b.text + "*"
+        case Kinds.Hyperlink => s"[${b.text}](${b.media_ref})" // inline_renderer.py:534-566
         case _ => b.text
       }
     }.mkString("\n\n")

@@ -283,6 +283,23 @@ object Oracles {
         |WHERE g.kind = 'table'
         |ORDER BY g.doc_id, g.ord""".stripMargin,
 
+    "checkbox_state" ->
+      """WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents)
+        |SELECT g.doc_id, g.ord,
+        |  CASE WHEN g.text LIKE '☑%' THEN 'Ticked' ELSE 'Unticked' END AS state
+        |FROM read_parquet('/root/repo/src/test/resources/golden/extract_golden.parquet') g
+        |JOIN ids ON g.doc_id = ids.did
+        |WHERE g.kind = 'checkbox'
+        |ORDER BY g.doc_id, g.ord""".stripMargin,
+
+    "hyperlink_spans" ->
+      """WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents)
+        |SELECT g.doc_id, g.ord, g.text, g.media_ref AS url
+        |FROM read_parquet('/root/repo/src/test/resources/golden/extract_golden.parquet') g
+        |JOIN ids ON g.doc_id = ids.did
+        |WHERE g.kind = 'hyperlink'
+        |ORDER BY g.doc_id, g.ord""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
         |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,

@@ -460,6 +460,28 @@ object Queries {
           .otherwise(lit("wireless")).as("cls"))
       .orderBy("doc_id", "ord")
 
+  /** Checkbox ticked/unticked state over the extraction output: the
+    * checkbox classifier emits the span content as a symbol — '☑' Ticked,
+    * '☐' Unticked (classify_checkboxes, checkbox_det_cls.py:87-91) — and
+    * the state derives from it; value-checked against the committed golden
+    * parquet. */
+  def checkboxState(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Extract.extractSpans(spark, dir)
+      .filter(col("kind") === "checkbox")
+      .select(col("doc_id"), col("ord"),
+        when(col("text").startsWith("☑"), lit("Ticked"))
+          .otherwise(lit("Unticked")).as("state"))
+      .orderBy("doc_id", "ord")
+
+  /** Hyperlink spans (ContentType.hyperlink, enum_class.py:59): anchor
+    * text plus the target URL the span's media_ref carries; value-checked
+    * against the committed golden parquet. */
+  def hyperlinkSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Extract.extractSpans(spark, dir)
+      .filter(col("kind") === "hyperlink")
+      .select(col("doc_id"), col("ord"), col("text"), col("media_ref").as("url"))
+      .orderBy("doc_id", "ord")
+
   // ---------------------------------------------------------------------
   // Relational headliners over the TPC-H-ish tables
   // ---------------------------------------------------------------------
@@ -565,6 +587,8 @@ object Queries {
     "chunk_text" -> chunkText _,
     "chunk_locate" -> chunkLocate _,
     "table_classify" -> tableClassify _,
+    "checkbox_state" -> checkboxState _,
+    "hyperlink_spans" -> hyperlinkSpans _,
     "q1_agg" -> q1Agg _,
     "q2_join_topk" -> q2JoinTopK _,
     "events_hourly" -> eventsHourly _,

@@ -43,8 +43,15 @@ object Kinds {
   val Footer = "footer"
   val PageNumber = "page_number"
   /** checkbox span (ContentType.checkbox, enum_class.py:58; det stage
-    * checkbox_det_cls.py, injected as CategoryId 200). */
+    * checkbox_det_cls.py, injected as CategoryId 200). The span content is
+    * the classifier's symbol — '☑' Ticked / '☐' Unticked
+    * (classify_checkboxes, checkbox_det_cls.py:87-91). */
   val Checkbox = "checkbox"
+  /** hyperlink span (ContentType.hyperlink, enum_class.py:59): anchor text
+    * in `text`, target URL carried in `media_ref` (the span's resource
+    * pointer), rendered as a markdown link (inline_renderer _render_link,
+    * office/mkcontent/inline_renderer.py:534-566). */
+  val Hyperlink = "hyperlink"
   /** seal span (ContentType.seal, enum_class.py:60; seal OCR stage
     * batch_analyze.py:415-456) — protected from containment dedup in the
     * reference (span_pre_proc.py:90-125). */
