@@ -392,6 +392,85 @@ object DocGen {
     ADoc(docId, adjusted.toVector)
   }
 
+  // -- raw pdfium text layer (classify router input) ------------------------
+
+  /** One raw page as the classify router reads it: the pdfium text layer
+    * plus the char-level observables pdf_classify.py consumes that text
+    * alone cannot carry (HasUnicodeMapError count, chars rendered by a
+    * no-ToUnicode Identity CID font). */
+  case class RawPage(doc_id: String, page_idx: Int, width: Int, height: Int,
+      text: String, map_err: Int, cid_chars: Int, img_cov_pct: Int)
+
+  /** Deterministic CJK filler (Han below U+7000 — never touches the
+    * suspicious U+7280-72DF window). */
+  private def cjkText(r: SplitMix64, n: Int): String = {
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) { sb.append((0x4E00 + r.nextInt(0x2200)).toChar); i += 1 }
+    sb.toString
+  }
+
+  private val U72Whitelist = "犀犁犄犊犒犟犬犯状犷犹狂狄狈狐狗狙狞".toSet
+
+  /** U+7280-72DF chars OUTSIDE the reference's common-hanzi whitelist
+    * (SUSPICIOUS_CJK_72XX_WHITELIST, pdf_classify.py:30-32). */
+  private def u72Text(r: SplitMix64, n: Int): String = {
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = (0x7280 + r.nextInt(0x60)).toChar
+      if (!U72Whitelist(c)) { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The raw text layer per document, with a deterministic corruption
+    * class drawn from its own rng stream (independent of "gen", so the
+    * extraction corpus is untouched). Classes map 1:1 onto the classify
+    * ladder's rules (pdf_classify.py:91-237) plus two negative classes
+    * (dot-leader TOC exemption; high image coverage that must NOT flip). */
+  def rawPages(docId: String): Vector[RawPage] = {
+    val doc = authored(docId)
+    val r = Rng.stream("clf", docId)
+    val roll = r.nextDouble()
+    // 0 normal, 1 aspect, 2 sparse, 3 map-error, 4 cid, 5 abnormal,
+    // 6 cross-script, 7 u72xx, 8 punct-garbage, 9 dot-leader TOC (txt),
+    // 10 high image coverage (txt)
+    val cls =
+      if (roll < 0.02) 1 else if (roll < 0.05) 2 else if (roll < 0.07) 3
+      else if (roll < 0.09) 4 else if (roll < 0.11) 5 else if (roll < 0.13) 6
+      else if (roll < 0.15) 7 else if (roll < 0.17) 8 else if (roll < 0.20) 9
+      else if (roll < 0.25) 10 else 0
+    doc.pages.zipWithIndex.map { case (pg, p) =>
+      val base = pg.blocks.map(_.text).filter(_.nonEmpty).mkString(" ")
+      val nFig = pg.blocks.count(_.kind == Kinds.Figure)
+      val imgCov = if (cls == 10) 85 + r.nextInt(14) else math.min(60, nFig * 18)
+      val (w, h) = if (cls == 1 && p == 0) (6120, 500) else (612, 792)
+      val text = cls match {
+        case 2 => base.take(20 + r.nextInt(20))
+        case 5 =>
+          val n = math.max(12, base.length / 20)
+          base + ("�" * (n / 2)) + ("" * (n / 4)) + ("" * (n / 4))
+        case 6 =>
+          val cyr = new String(Array.fill(50)((0x0410 + r.nextInt(0x40)).toChar))
+          val dev = new String(Array.fill(50)((0x0905 + r.nextInt(0x30)).toChar))
+          val jamo = new String(Array.fill(50)((0x1100 + r.nextInt(0x50)).toChar))
+          cjkText(r, 400) + cyr + dev + jamo
+        case 7 => cjkText(r, 800) + u72Text(r, 40)
+        case 8 =>
+          val letters = Vector.fill(28)(word(r)).mkString(" ").take(200)
+          letters + ("#$%&;:<>?@" * 10)
+        case 9 =>
+          val heads = Vector.fill(10)(cap(word(r)) + " " + word(r)).map(_.take(12))
+          heads.map(hd => hd + ("." * 12) + (1 + r.nextInt(40))).mkString(" ")
+        case _ => base
+      }
+      val mapErr = if (cls == 3) math.max(8, text.length * 8 / 100) else 0
+      val cid = if (cls == 4) math.max(40, text.length / 50) else 0
+      RawPage(docId, p, w, h, text, mapErr, cid, imgCov)
+    }
+  }
+
   // -- input table rows ----------------------------------------------------
 
   /** Input spans in authoring order, with per-page boilerplate

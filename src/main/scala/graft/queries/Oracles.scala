@@ -96,29 +96,23 @@ object Oracles {
         |       ELSE 'txt' END AS route
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // content-derived ladder: DuckDB recomputes every signal from the
+    // committed raw text layer with the SAME pattern table (ClassifySignals)
+    // the Spark side uses over its live-generated pages — the compare
+    // verifies generation determinism, the regex measurements and the
+    // ladder together
     "classify_router_v2" ->
-      """WITH s AS (SELECT doc_id, text,
-        |  ('0x' || substr(md5('clf' || doc_id::VARCHAR), 1, 8))::BIGINT AS seed,
-        |  len(string_split(text, ' '))::INT AS ntok, length(text)::INT AS nchars
-        |  FROM documents),
-        |f AS (SELECT doc_id, seed, nchars,
-        |  nchars // ((ntok // 24) + 1) AS avg_chars FROM s),
-        |r AS (SELECT doc_id, seed,
-        |  CASE
-        |    WHEN (seed % 97) < 5 THEN 1
-        |    WHEN avg_chars < 50 THEN 2
-        |    WHEN ((seed // 7) % 44) >= 40 THEN 3
-        |    WHEN ((seed // 13) % 33) >= 30 THEN 4
-        |    WHEN nchars >= 300 AND ((seed // 17) % 32) >= 30 THEN 5
-        |    WHEN ((seed // 19) % 130) >= 120 THEN 6
-        |    WHEN ((seed // 23) % 33) >= 30 THEN 7
-        |    WHEN ((seed // 29) % 27) >= 25 THEN 8
-        |    ELSE 0 END AS fired
-        |  FROM f)
-        |SELECT doc_id, fired::INT AS fired,
-        |  CASE WHEN fired = 0 THEN 'txt' ELSE 'ocr' END AS route,
-        |  ((seed // 31) % 100)::INT AS img_cov_pct
-        |FROM r ORDER BY doc_id""".stripMargin,
+      s"""WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents),
+         |rp AS (SELECT g.* FROM read_parquet('/root/repo/src/test/resources/golden/classify_raw.parquet') g
+         |  JOIN ids ON g.doc_id = ids.did),
+         |wp AS (SELECT *, count(*) OVER (PARTITION BY doc_id) AS pc FROM rp),
+         |sampled AS (SELECT * FROM wp WHERE ${ClassifySignals.samplePredicate(spark = false)}),
+         |sig AS (${ClassifySignals.pageSelect(spark = false).replace("__PAGES__", "sampled")}),
+         |lad AS (${ClassifySignals.docLadder.replace("__PAGE_SIGNALS__", "sig")})
+         |SELECT doc_id, fired::INT AS fired,
+         |  CASE WHEN fired = 0 THEN 'txt' ELSE 'ocr' END AS route,
+         |  img_cov_max::INT AS img_cov_pct
+         |FROM lad ORDER BY doc_id""".stripMargin,
 
     "caption_nearest" ->
       s"""$detsCte,

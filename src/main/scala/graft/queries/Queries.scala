@@ -156,40 +156,37 @@ object Queries {
 
   /** txt-vs-ocr router v2 — the reference's full ordered signal ladder
     * (pdf_classify.py:91-237) with thresholds verbatim (constants at
-    * pdf_classify.py:17-44): extreme page aspect ratio > 10.0; avg cleaned
-    * chars/page < 50; pdfium unicode-map error ratio >= 0.04; CID-font
-    * usage count >= 30 (without ToUnicode); abnormal-char ratio >= 0.03
-    * over >= 300 chars; suspicious cross-script count >= 120; suspicious
-    * U+7280-72DF count >= 30; ASCII-punct garbage ratio >= 0.25. High
-    * image coverage alone does NOT flip to ocr (pdf_classify.py:219-232) —
-    * `img_cov_pct` is emitted to show it. Page-level signals the documents
-    * table cannot carry (aspect, unicode errors, CID fonts, scripts) are
-    * synthesized deterministically from md5(doc_id); text-derived signals
-    * (chars/page, total chars) are real. Ratios are integer per-mille so
-    * the compare is bit-stable. */
-  def classifyRouterV2(spark: SparkSession, dir: String): DataFrame =
-    tbl(spark, dir, "documents")
-      .withColumn("seed", expr(
-        "CAST(conv(substring(md5(concat('clf', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
-      .withColumn("ntok", size(split(col("text"), " ")))
-      .withColumn("nchars", length(col("text")))
-      .withColumn("avg_chars", expr("nchars div ((ntok div 24) + 1)"))
-      .withColumn("fired", expr(
-        """CASE
-          |  WHEN (seed % 97) < 5 THEN 1
-          |  WHEN avg_chars < 50 THEN 2
-          |  WHEN ((seed div 7) % 44) >= 40 THEN 3
-          |  WHEN ((seed div 13) % 33) >= 30 THEN 4
-          |  WHEN nchars >= 300 AND ((seed div 17) % 32) >= 30 THEN 5
-          |  WHEN ((seed div 19) % 130) >= 120 THEN 6
-          |  WHEN ((seed div 23) % 33) >= 30 THEN 7
-          |  WHEN ((seed div 29) % 27) >= 25 THEN 8
-          |  ELSE 0 END""".stripMargin))
+    * pdf_classify.py:17-44), computed from CONTENT: the engine generates
+    * the raw pdfium text layer per document (DocGen.rawPages — the same
+    * corpus the committed classify_raw.parquet freezes) and every ladder
+    * input is a regex tally over that text (ClassifySignals — one pattern
+    * table feeding both engines, integer-exact threshold products): page
+    * aspect > 10; avg cleaned chars/page < 50; unicode-map error ratio >=
+    * 0.04; CID-font usage >= 30 chars and >= 1% of a page; abnormal-char
+    * (U+FFFD/control/private-use) ratio >= 0.03 over >= 300 chars;
+    * cross-script mix over 21 script ranges; non-whitelisted U+7280-72DF
+    * >= 30 at >= 2.6% of Han; ASCII-punct garbage >= 25% with >= 10% in
+    * runs (dot-leader TOC lines exempted). High image coverage alone does
+    * NOT flip to ocr (pdf_classify.py:219-232) — `img_cov_pct` shows it. */
+  def classifyRouterV2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents")
+      .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
+    val raw = ids.flatMap(id => graft.corpus.DocGen.rawPages(id)).toDF()
+    val sampled = raw
+      .withColumn("pc", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(expr(ClassifySignals.samplePredicate(spark = true)))
+    sampled.createOrReplaceTempView("graft_classify_pages")
+    spark.sql(ClassifySignals.pageSelect(spark = true)
+        .replace("__PAGES__", "graft_classify_pages"))
+      .createOrReplaceTempView("graft_classify_signals")
+    spark.sql(ClassifySignals.docLadder
+        .replace("__PAGE_SIGNALS__", "graft_classify_signals"))
       .withColumn("route", when(col("fired") === 0, lit("txt")).otherwise(lit("ocr")))
-      .withColumn("img_cov_pct", expr("CAST((seed div 31) % 100 AS INT)"))
       .select(col("doc_id"), col("fired").cast("int").as("fired"), col("route"),
-        col("img_cov_pct"))
+        col("img_cov_max").cast("int").as("img_cov_pct"))
       .orderBy("doc_id")
+  }
 
   /** Caption→body nearest-neighbour assignment, the SQL-checkable core of
     * the reference's caption tie-up (magic_model_utils.py:30-169): each
