@@ -294,6 +294,32 @@ object Oracles {
         |WHERE g.kind = 'hyperlink'
         |ORDER BY g.doc_id, g.ord""".stripMargin,
 
+    // block-aware chunk packing replayed as a sequential walk (recursive
+    // CTE advances every doc by one span per step) over the committed
+    // golden spans — an independent implementation of the same splitter
+    // semantics the Spark side walks in Scala
+    "chunk_blocks" ->
+      """WITH RECURSIVE ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents),
+        |g AS (SELECT g.doc_id, g.ord::INT AS ord, g.kind,
+        |    CASE WHEN g.text = '' THEN 0 ELSE len(string_split(g.text, ' ')) END AS toks,
+        |    row_number() OVER (PARTITION BY g.doc_id ORDER BY g.ord) AS rn
+        |  FROM read_parquet('/root/repo/src/test/resources/golden/extract_golden.parquet') g
+        |  JOIN ids ON g.doc_id = ids.did),
+        |walk AS (
+        |  SELECT doc_id, rn, ord, toks, 1 AS chunk_id, toks AS cum FROM g WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.rn, s.ord, s.toks,
+        |    CASE WHEN ((s.kind IN ('title', 'table', 'algorithm') AND w.cum >= 12)
+        |            OR (w.cum + s.toks > 60 AND w.cum >= 12))
+        |      THEN w.chunk_id + 1 ELSE w.chunk_id END,
+        |    CASE WHEN ((s.kind IN ('title', 'table', 'algorithm') AND w.cum >= 12)
+        |            OR (w.cum + s.toks > 60 AND w.cum >= 12))
+        |      THEN s.toks ELSE w.cum + s.toks END
+        |  FROM walk w JOIN g s ON s.doc_id = w.doc_id AND s.rn = w.rn + 1)
+        |SELECT doc_id, chunk_id::INT AS chunk_id, min(ord) AS first_ord,
+        |  max(ord) AS last_ord, count(*)::BIGINT AS n_spans, sum(toks)::BIGINT AS n_tokens
+        |FROM walk GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt,
         |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,

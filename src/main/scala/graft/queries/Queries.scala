@@ -444,6 +444,52 @@ object Queries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Block-type-aware chunker over the extraction block stream — the
+    * reference's markdown-AST splitter semantics (MarkdownTextSplitter,
+    * chunker/text_splitters.py:43-247) at span granularity, where the
+    * block stream IS the AST: headings force a chunk break (:196-206),
+    * tables and code fences break before themselves and enter a chunk
+    * ATOMICALLY (:208-218,236-240 — a table/fence is never interior-
+    * split), regular blocks pack greedily under the token budget, and
+    * every break is gated on min_chunk_tokens (:86-88). Budgets are the
+    * reference's 512/50 scaled to the synthetic corpus (60/12); tokens
+    * are whitespace tokens (the established stand-in for tiktoken).
+    * Emits (chunk_id, span range, token count); the oracle replays the
+    * same walk over the committed golden parquet with a recursive CTE. */
+  def chunkBlocks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Budget = 60
+    val MinTok = 12
+    val spans = graft.pipeline.Extract.extractSpans(spark, dir)
+      .select(col("doc_id"), col("ord").cast("int").as("ord"), col("kind"), col("text"))
+      .as[(String, Int, String, String)]
+    spans.groupByKey(_._1).flatMapGroups { (id: String, it: Iterator[(String, Int, String, String)]) =>
+      val ss = it.toVector.sortBy(_._2)
+      var chunk = 1
+      var cum = 0
+      val out = Vector.newBuilder[(String, Int, Int, Int)]
+      ss.foreach { case (_, ord, kind, text) =>
+        val toks = if (text.isEmpty) 0 else text.split(' ').length
+        val brk =
+          ((kind == Kinds0.Title || kind == Kinds0.Table || kind == Kinds0.Algorithm) && cum >= MinTok) ||
+            (cum + toks > Budget && cum >= MinTok)
+        if (brk) { chunk += 1; cum = 0 }
+        cum += toks
+        out += ((id, chunk, ord, toks))
+      }
+      out.result()
+    }.toDF("doc_id", "chunk_id", "ord", "toks")
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(min(col("ord")).as("first_ord"), max(col("ord")).as("last_ord"),
+        count(lit(1)).as("n_spans"), sum(col("toks")).as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+  private object Kinds0 {
+    val Title = graft.schema.Kinds.Title
+    val Table = graft.schema.Kinds.Table
+    val Algorithm = graft.schema.Kinds.Algorithm
+  }
+
   /** Wired/wireless table classification over the extraction output
     * (rapid_table.py:47-58 TableCls: bordered tables route to the wired
     * structure model, borderless to wireless) — the authored corpus
@@ -586,6 +632,7 @@ object Queries {
     "table_classify" -> tableClassify _,
     "checkbox_state" -> checkboxState _,
     "hyperlink_spans" -> hyperlinkSpans _,
+    "chunk_blocks" -> chunkBlocks _,
     "q1_agg" -> q1Agg _,
     "q2_join_topk" -> q2JoinTopK _,
     "events_hourly" -> eventsHourly _,
