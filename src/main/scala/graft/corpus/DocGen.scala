@@ -28,9 +28,9 @@ object DocGen {
     "corpus", "extract", "render", "scale", "shuffle", "salt", "bucket",
     "resume", "lineage", "metric")
 
-  private def word(r: SplitMix64): String = words(r.nextInt(words.size))
+  private[corpus] def word(r: SplitMix64): String = words(r.nextInt(words.size))
 
-  private def cap(s: String): String = s.head.toUpper + s.tail
+  private[corpus] def cap(s: String): String = s.head.toUpper + s.tail
 
   /** One sentence: capitalized, 6-12 words, terminated with '.'. Normal
     * paragraphs always end with a stop and start uppercase, so the para-merge
@@ -46,7 +46,7 @@ object DocGen {
     sb.append('.')
   }
 
-  private def paragraphOnce(r: SplitMix64): String = {
+  private[corpus] def paragraphOnce(r: SplitMix64): String = {
     val sb = new StringBuilder(160)
     val n = 1 + r.nextInt(3)
     var i = 0
@@ -78,7 +78,7 @@ object DocGen {
     p
   }
 
-  private def titleText(r: SplitMix64): String =
+  private[corpus] def titleText(r: SplitMix64): String =
     Vector.fill(2 + r.nextInt(3))(cap(word(r))).mkString(" ")
 
   /** List block: items end with ';' (last '.') — the end-flag ratio is the

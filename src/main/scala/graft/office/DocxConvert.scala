@@ -1,0 +1,151 @@
+package graft.office
+
+import graft.schema.{Kinds, OutSpan, DocResult, OrderedBlock}
+import org.w3c.dom.{Element, Node}
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+import scala.collection.mutable
+
+/** DOCX -> span-contract converter: the model-free office input path
+  * (reference office_analyze.py:9-36 -> model/docx/docx_converter.py,
+  * scoped to the WordprocessingML surface the corpus authors). Reads the
+  * real OOXML package (zip), parses word/document.xml with the JDK DOM
+  * parser, resolves drawing/hyperlink relationships from the rels part,
+  * and emits the SAME (kind, text, media_ref, order) contract as the PDF
+  * pipeline: Heading styles -> leveled titles, Caption style -> caption,
+  * multi-run paragraphs joined (xml:space preserved), consecutive
+  * numbered paragraphs -> one list block, w:tbl -> the engine's table
+  * HTML dialect, drawings -> img:// media refs, hyperlinks -> anchor +
+  * URL. Pure per-document function — runs inside mapPartitions like the
+  * PDF kernel. Element matching is prefix-based (w:/a:/r:), the corpus
+  * contract; a namespace-URI walk would be the production hardening. */
+object DocxConvert {
+
+  private def readZip(bytes: Array[Byte]): Map[String, String] = {
+    val zip = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = Map.newBuilder[String, String]
+    var e = zip.getNextEntry
+    val buf = new Array[Byte](8192)
+    while (e != null) {
+      val bos = new java.io.ByteArrayOutputStream()
+      var n = zip.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = zip.read(buf) }
+      out += e.getName -> new String(bos.toByteArray, "UTF-8")
+      e = zip.getNextEntry
+    }
+    zip.close()
+    out.result()
+  }
+
+  private def parseXml(xml: String): Element = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(false)
+    f.newDocumentBuilder()
+      .parse(new ByteArrayInputStream(xml.getBytes("UTF-8")))
+      .getDocumentElement
+  }
+
+  private def children(e: Element): Vector[Element] = {
+    val nl = e.getChildNodes
+    (0 until nl.getLength).iterator.map(nl.item)
+      .collect { case el: Element => el }.toVector
+  }
+
+  private def descendants(e: Element, name: String): Vector[Element] = {
+    val nl = e.getElementsByTagName(name)
+    (0 until nl.getLength).iterator.map(nl.item(_).asInstanceOf[Element]).toVector
+  }
+
+  /** Concatenated run text of a paragraph-ish element (w:t in order). */
+  private def textOf(e: Element): String =
+    descendants(e, "w:t").map(_.getTextContent).mkString
+
+  private def styleOf(p: Element): String =
+    descendants(p, "w:pStyle").headOption.map(_.getAttribute("w:val")).getOrElse("")
+
+  private case class Block(kind: String, text: String, mediaRef: String = "",
+      level: Int = 0)
+
+  /** Relationship targets: rId -> target. */
+  private def relMap(relsXml: Option[String]): Map[String, String] =
+    relsXml.map { xml =>
+      descendants(parseXml(xml), "Relationship")
+        .map(r => r.getAttribute("Id") -> r.getAttribute("Target")).toMap
+    }.getOrElse(Map.empty)
+
+  /** The block walk over w:body children in document order — document
+    * order IS the reading order for flow documents (no geometry pass). */
+  def blocks(bytes: Array[Byte]): Vector[(String, String, String, Int)] = {
+    val parts = readZip(bytes)
+    val doc = parseXml(parts("word/document.xml"))
+    val rels = relMap(parts.get("word/_rels/document.xml.rels"))
+    val body = descendants(doc, "w:body").head
+    val out = mutable.ArrayBuffer.empty[Block]
+    var listItems = Vector.empty[String]
+    var listNumId = "" // consecutive items of the SAME numbering instance
+    def flushList(): Unit =
+      if (listItems.nonEmpty) {
+        out += Block(Kinds.ListK, listItems.mkString("\n"))
+        listItems = Vector.empty
+        listNumId = ""
+      }
+    children(body).foreach { el =>
+      el.getTagName match {
+        case "w:tbl" =>
+          flushList()
+          val html = children(el).filter(_.getTagName == "w:tr").map { tr =>
+            children(tr).filter(_.getTagName == "w:tc")
+              .map(tc => s"<td>${textOf(tc)}</td>")
+              .mkString("<tr>", "", "</tr>")
+          }.mkString("<table>", "", "</table>")
+          out += Block(Kinds.Table, html)
+        case "w:p" =>
+          val style = styleOf(el)
+          val numPr = descendants(el, "w:numPr").headOption
+          val drawing = descendants(el, "w:drawing").headOption
+          val hyper = descendants(el, "w:hyperlink").headOption
+          if (numPr.isDefined) {
+            val nid = descendants(numPr.get, "w:numId").headOption
+              .map(_.getAttribute("w:val")).getOrElse("")
+            if (listItems.nonEmpty && nid != listNumId) flushList()
+            listNumId = nid
+            listItems :+= textOf(el)
+          } else {
+            flushList()
+            if (drawing.isDefined) {
+              val embed = descendants(drawing.get, "a:blip").headOption
+                .map(_.getAttribute("r:embed")).getOrElse("")
+              val target = rels.getOrElse(embed, "")
+              val hash = target.stripPrefix("media/").stripSuffix(".png")
+              out += Block(Kinds.Figure, "", s"img://$hash")
+            } else if (hyper.isDefined) {
+              val url = rels.getOrElse(hyper.get.getAttribute("r:id"), "")
+              out += Block(Kinds.Hyperlink, textOf(hyper.get), url)
+            } else if (style.startsWith("Heading")) {
+              val lvl = style.stripPrefix("Heading").toIntOption.getOrElse(1)
+              out += Block(Kinds.Title, textOf(el), level = math.min(6, math.max(1, lvl)))
+            } else if (style == "Caption") {
+              out += Block(Kinds.Caption, textOf(el))
+            } else {
+              val t = textOf(el)
+              if (t.nonEmpty) out += Block(Kinds.Text, t)
+            }
+          }
+        case _ =>
+      }
+    }
+    flushList()
+    out.toVector.map(b => (b.kind, b.text, b.mediaRef, b.level))
+  }
+
+  /** Full conversion to the engine's result contract (spans + markdown —
+    * the same renderer as the PDF path; title levels come from the
+    * Heading style names). */
+  def convert(docId: String, bytes: Array[Byte]): DocResult = {
+    val ordered = blocks(bytes).zipWithIndex.map { case ((kind, text, ref, lvl), ord) =>
+      OrderedBlock(kind, text, ref, 0, ord, lvl)
+    }
+    val spans = ordered.map(b => OutSpan(b.kind, b.text, b.media_ref, b.index))
+    DocResult(docId, spans, graft.pipeline.Assemble.renderMarkdown(ordered))
+  }
+}

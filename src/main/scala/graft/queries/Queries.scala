@@ -525,6 +525,24 @@ object Queries {
       .select(col("doc_id"), col("ord"), col("text"), col("media_ref").as("url"))
       .orderBy("doc_id", "ord")
 
+  /** Office input path (reference office_analyze.py:9-36 -> docx
+    * converter): build the real .docx package per document and run the
+    * OOXML converter inside the partition — zip + DOM parse + relationship
+    * resolution end to end — emitting the same span contract as the PDF
+    * pipeline. Value-checked against the committed office golden parquet. */
+  def officeExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents")
+      .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
+    ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val res = graft.office.DocxConvert.convert(id, graft.corpus.DocxGen.docxBytes(id))
+        res.spans.map(s => (id, s.order, s.kind, s.media_ref, s.text))
+      }
+    }.toDF("doc_id", "ord", "kind", "media_ref", "text")
+      .orderBy("doc_id", "ord")
+  }
+
   // ---------------------------------------------------------------------
   // Relational headliners over the TPC-H-ish tables
   // ---------------------------------------------------------------------
@@ -633,6 +651,7 @@ object Queries {
     "checkbox_state" -> checkboxState _,
     "hyperlink_spans" -> hyperlinkSpans _,
     "chunk_blocks" -> chunkBlocks _,
+    "office_extract" -> officeExtract _,
     "q1_agg" -> q1Agg _,
     "q2_join_topk" -> q2JoinTopK _,
     "events_hourly" -> eventsHourly _,

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.DocxGen
+import graft.office.DocxConvert
+import graft.schema.Kinds
+
+/** Office path: the zip + OOXML round trip must recover the authored span
+  * sequence exactly (office_analyze.py -> docx_converter.py surface). */
+class OfficeSpec extends AnyFunSuite {
+
+  test("500-doc golden equality through the real .docx package") {
+    (0 until 500).foreach { i =>
+      val id = f"doc-$i%012d"
+      val got = DocxConvert.convert(id, DocxGen.docxBytes(id)).spans
+      val want = DocxGen.golden(id)
+      assert(got == want, s"office spans diverged for $id")
+    }
+  }
+
+  test("corpus exercises every supported block kind") {
+    val kinds = (0 until 500).flatMap { i =>
+      DocxGen.golden(f"doc-$i%012d").map(_.kind)
+    }.toSet
+    assert(Set(Kinds.Title, Kinds.Text, Kinds.Table, Kinds.ListK,
+      Kinds.Figure, Kinds.Caption, Kinds.Hyperlink).subsetOf(kinds))
+  }
+
+  test("XML entities and split runs survive the round trip") {
+    // hand-built package: escaped chars, a 3-run paragraph with preserved
+    // spaces, a heading level from the style name
+    val doc =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+        |<w:body>
+        |<w:p><w:pPr><w:pStyle w:val="Heading3"/></w:pPr><w:r><w:t>T &amp; U &lt;V&gt;</w:t></w:r></w:p>
+        |<w:p><w:r><w:t xml:space="preserve">alpha </w:t></w:r><w:r><w:t xml:space="preserve">beta </w:t></w:r><w:r><w:t>gamma.</w:t></w:r></w:p>
+        |</w:body></w:document>""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    zip.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zip.write(doc.getBytes("UTF-8")); zip.closeEntry(); zip.close()
+    val res = DocxConvert.convert("t", bos.toByteArray)
+    assert(res.spans.map(s => (s.kind, s.text)) == Vector(
+      (Kinds.Title, "T & U <V>"),
+      (Kinds.Text, "alpha beta gamma.")))
+    assert(res.markdown.startsWith("### T & U <V>"), res.markdown)
+  }
+
+  test("consecutive numbered paragraphs fold into one list block") {
+    val id = (0 until 200).map(i => f"doc-$i%012d")
+      .find(id => DocxGen.golden(id).exists(_.kind == Kinds.ListK)).get
+    val got = DocxConvert.convert(id, DocxGen.docxBytes(id)).spans
+    val lists = got.filter(_.kind == Kinds.ListK)
+    assert(lists.nonEmpty)
+    assert(lists.forall(_.text.contains("\n")), "items joined into one block")
+  }
+}
