@@ -1,9 +1,7 @@
 package graft.office
 
 import graft.schema.{Kinds, OutSpan, DocResult, OrderedBlock}
-import org.w3c.dom.{Element, Node}
-import java.io.ByteArrayInputStream
-import java.util.zip.ZipInputStream
+import org.w3c.dom.Element
 import scala.collection.mutable
 
 /** DOCX -> span-contract converter: the model-free office input path
@@ -21,40 +19,7 @@ import scala.collection.mutable
   * contract; a namespace-URI walk would be the production hardening. */
 object DocxConvert {
 
-  private def readZip(bytes: Array[Byte]): Map[String, String] = {
-    val zip = new ZipInputStream(new ByteArrayInputStream(bytes))
-    val out = Map.newBuilder[String, String]
-    var e = zip.getNextEntry
-    val buf = new Array[Byte](8192)
-    while (e != null) {
-      val bos = new java.io.ByteArrayOutputStream()
-      var n = zip.read(buf)
-      while (n > 0) { bos.write(buf, 0, n); n = zip.read(buf) }
-      out += e.getName -> new String(bos.toByteArray, "UTF-8")
-      e = zip.getNextEntry
-    }
-    zip.close()
-    out.result()
-  }
-
-  private def parseXml(xml: String): Element = {
-    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    f.setNamespaceAware(false)
-    f.newDocumentBuilder()
-      .parse(new ByteArrayInputStream(xml.getBytes("UTF-8")))
-      .getDocumentElement
-  }
-
-  private def children(e: Element): Vector[Element] = {
-    val nl = e.getChildNodes
-    (0 until nl.getLength).iterator.map(nl.item)
-      .collect { case el: Element => el }.toVector
-  }
-
-  private def descendants(e: Element, name: String): Vector[Element] = {
-    val nl = e.getElementsByTagName(name)
-    (0 until nl.getLength).iterator.map(nl.item(_).asInstanceOf[Element]).toVector
-  }
+  import Ooxml.{readZip, parseXml, children, descendants}
 
   /** Concatenated run text of a paragraph-ish element (w:t in order). */
   private def textOf(e: Element): String =
@@ -66,19 +31,13 @@ object DocxConvert {
   private case class Block(kind: String, text: String, mediaRef: String = "",
       level: Int = 0)
 
-  /** Relationship targets: rId -> target. */
-  private def relMap(relsXml: Option[String]): Map[String, String] =
-    relsXml.map { xml =>
-      descendants(parseXml(xml), "Relationship")
-        .map(r => r.getAttribute("Id") -> r.getAttribute("Target")).toMap
-    }.getOrElse(Map.empty)
 
   /** The block walk over w:body children in document order — document
     * order IS the reading order for flow documents (no geometry pass). */
   def blocks(bytes: Array[Byte]): Vector[(String, String, String, Int)] = {
     val parts = readZip(bytes)
     val doc = parseXml(parts("word/document.xml"))
-    val rels = relMap(parts.get("word/_rels/document.xml.rels"))
+    val rels = Ooxml.relMap(parts.get("word/_rels/document.xml.rels"))
     val body = descendants(doc, "w:body").head
     val out = mutable.ArrayBuffer.empty[Block]
     var listItems = Vector.empty[String]

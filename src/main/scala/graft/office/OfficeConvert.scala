@@ -1,0 +1,102 @@
+package graft.office
+
+import graft.schema.{Kinds, OutSpan, DocResult, OrderedBlock}
+import org.w3c.dom.Element
+import Ooxml._
+
+/** Office format dispatcher + the xlsx/pptx converters (reference
+  * office_analyze.py:16-25 routes by guess_suffix_by_bytes; here the
+  * package's parts identify the format — word/document.xml, xl/
+  * workbook.xml, ppt/presentation.xml). All three converters emit the
+  * engine's (kind, text, media_ref, order) span contract. */
+object OfficeConvert {
+
+  /** xlsx: sheets in workbook order (workbook.xml sheets -> rels ->
+    * worksheet parts); each sheet emits its name as a title plus one
+    * table block. Cell values resolve through sharedStrings (t="s");
+    * A1-style refs place cells, gaps pad to the sheet's max column
+    * (xlsx_converter.py surface). */
+  def xlsxBlocks(parts: Map[String, String]): Vector[(String, String, String, Int)] = {
+    val wb = parseXml(parts("xl/workbook.xml"))
+    val rels = relMap(parts.get("xl/_rels/workbook.xml.rels"))
+    val sst: Vector[String] = parts.get("xl/sharedStrings.xml").map { xml =>
+      descendants(parseXml(xml), "si").map(si =>
+        descendants(si, "t").map(_.getTextContent).mkString)
+    }.getOrElse(Vector.empty)
+    def colOf(ref: String): Int = {
+      var c = 0
+      ref.takeWhile(_.isLetter).foreach(ch => c = c * 26 + (ch - 'A' + 1))
+      c - 1
+    }
+    descendants(wb, "sheet").flatMap { sh =>
+      val target = rels.getOrElse(sh.getAttribute("r:id"), "")
+      val ws = parseXml(parts(s"xl/$target"))
+      val rows = descendants(ws, "row").map { row =>
+        descendants(row, "c").map { c =>
+          val raw = descendants(c, "v").headOption.map(_.getTextContent).getOrElse("")
+          val v = if (c.getAttribute("t") == "s") sst(raw.toInt) else raw
+          (colOf(c.getAttribute("r")), v)
+        }
+      }
+      val nCols = rows.iterator.flatMap(_.map(_._1)).foldLeft(-1)(math.max) + 1
+      val html = rows.map { cells =>
+        val m = cells.toMap
+        (0 until nCols).map(ci => s"<td>${m.getOrElse(ci, "")}</td>")
+          .mkString("<tr>", "", "</tr>")
+      }.mkString("<table>", "", "</table>")
+      Vector((Kinds.Title, sh.getAttribute("name"), "", 1),
+        (Kinds.Table, html, "", 0))
+    }
+  }
+
+  /** pptx: slides strictly in PRESENTATION order (presentation.xml
+    * sldIdLst -> rels -> slide parts — part file numbering is not the
+    * order); title placeholders -> titles, other text bodies -> one text
+    * block per a:p, pictures resolve through the slide's own rels
+    * (pptx_converter.py surface). */
+  def pptxBlocks(parts: Map[String, String]): Vector[(String, String, String, Int)] = {
+    val pres = parseXml(parts("ppt/presentation.xml"))
+    val rels = relMap(parts.get("ppt/_rels/presentation.xml.rels"))
+    descendants(pres, "p:sldId").flatMap { sid =>
+      val target = rels.getOrElse(sid.getAttribute("r:id"), "")
+      val partName = s"ppt/$target"
+      val slide = parseXml(parts(partName))
+      val slideRels = relMap(parts.get(
+        partName.replace("slides/", "slides/_rels/") + ".rels"))
+      val tree = descendants(slide, "p:spTree").head
+      children(tree).flatMap { el =>
+        el.getTagName match {
+          case "p:sp" =>
+            val isTitle = descendants(el, "p:ph").exists(_.getAttribute("type") == "title")
+            val paras = descendants(el, "a:p").map(p =>
+              descendants(p, "a:t").map(_.getTextContent).mkString)
+            if (isTitle) paras.map(t => (Kinds.Title, t, "", 1))
+            else paras.filter(_.nonEmpty).map(t => (Kinds.Text, t, "", 0))
+          case "p:pic" =>
+            val embed = descendants(el, "a:blip").headOption
+              .map(_.getAttribute("r:embed")).getOrElse("")
+            val target = slideRels.getOrElse(embed, "")
+            val hash = target.stripPrefix("../media/").stripSuffix(".png")
+            Vector((Kinds.Figure, "", s"img://$hash", 0))
+          case _ => Vector.empty
+        }
+      }
+    }
+  }
+
+  /** Sniff the format from the package parts and convert
+    * (guess_suffix_by_bytes analogue). */
+  def convert(docId: String, bytes: Array[Byte]): DocResult = {
+    val parts = readZip(bytes)
+    val bs =
+      if (parts.contains("word/document.xml")) DocxConvert.blocks(bytes)
+      else if (parts.contains("xl/workbook.xml")) xlsxBlocks(parts)
+      else if (parts.contains("ppt/presentation.xml")) pptxBlocks(parts)
+      else throw new IllegalArgumentException("unknown office package")
+    val ordered = bs.zipWithIndex.map { case ((kind, text, ref, lvl), ord) =>
+      OrderedBlock(kind, text, ref, 0, ord, lvl)
+    }
+    DocResult(docId, ordered.map(b => OutSpan(b.kind, b.text, b.media_ref, b.index)),
+      graft.pipeline.Assemble.renderMarkdown(ordered))
+  }
+}

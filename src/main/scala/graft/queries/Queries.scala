@@ -525,9 +525,10 @@ object Queries {
       .select(col("doc_id"), col("ord"), col("text"), col("media_ref").as("url"))
       .orderBy("doc_id", "ord")
 
-  /** Office input path (reference office_analyze.py:9-36 -> docx
-    * converter): build the real .docx package per document and run the
-    * OOXML converter inside the partition — zip + DOM parse + relationship
+  /** Office input path (reference office_analyze.py:9-36 routing into the
+    * docx/xlsx/pptx converters): build the real OOXML package per document
+    * (50% docx / 25% xlsx / 25% pptx) and run the format-sniffing
+    * converter inside the partition — zip + DOM parse + relationship
     * resolution end to end — emitting the same span contract as the PDF
     * pipeline. Value-checked against the committed office golden parquet. */
   def officeExtract(spark: SparkSession, dir: String): DataFrame = {
@@ -536,7 +537,7 @@ object Queries {
       .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
     ids.mapPartitions { it =>
       it.flatMap { id =>
-        val res = graft.office.DocxConvert.convert(id, graft.corpus.DocxGen.docxBytes(id))
+        val res = graft.office.OfficeConvert.convert(id, graft.corpus.OfficeGen.bytes(id))
         res.spans.map(s => (id, s.order, s.kind, s.media_ref, s.text))
       }
     }.toDF("doc_id", "ord", "kind", "media_ref", "text")

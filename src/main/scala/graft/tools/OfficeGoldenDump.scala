@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.corpus.DocxGen
+import graft.corpus.OfficeGen
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** Dev tool: freeze the office golden span sequences (DocxGen.golden) for
@@ -20,7 +20,7 @@ object OfficeGoldenDump {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val rows = spark.range(5000).map(i => f"doc-$i%012d")
-      .flatMap(id => DocxGen.golden(id).map(s => (id, s.order, s.kind, s.media_ref, s.text)))
+      .flatMap(id => OfficeGen.golden(id).map(s => (id, s.order, s.kind, s.media_ref, s.text)))
       .toDF("doc_id", "ord", "kind", "media_ref", "text")
       .orderBy("doc_id", "ord")
     val tmp = Files.createTempDirectory("office_golden").toString

@@ -9,21 +9,43 @@ import graft.schema.Kinds
   * sequence exactly (office_analyze.py -> docx_converter.py surface). */
 class OfficeSpec extends AnyFunSuite {
 
-  test("500-doc golden equality through the real .docx package") {
+  test("500-doc golden equality through real packages of all three formats") {
+    var formats = Set.empty[String]
     (0 until 500).foreach { i =>
       val id = f"doc-$i%012d"
-      val got = DocxConvert.convert(id, DocxGen.docxBytes(id)).spans
-      val want = DocxGen.golden(id)
+      formats += graft.corpus.OfficeGen.formatOf(id)
+      val got = graft.office.OfficeConvert
+        .convert(id, graft.corpus.OfficeGen.bytes(id)).spans
+      val want = graft.corpus.OfficeGen.golden(id)
       assert(got == want, s"office spans diverged for $id")
     }
+    assert(formats == Set("docx", "xlsx", "pptx"))
   }
 
   test("corpus exercises every supported block kind") {
     val kinds = (0 until 500).flatMap { i =>
-      DocxGen.golden(f"doc-$i%012d").map(_.kind)
+      graft.corpus.OfficeGen.golden(f"doc-$i%012d").map(_.kind)
     }.toSet
     assert(Set(Kinds.Title, Kinds.Text, Kinds.Table, Kinds.ListK,
       Kinds.Figure, Kinds.Caption, Kinds.Hyperlink).subsetOf(kinds))
+  }
+
+  test("xlsx: sharedStrings indirection, cell gaps and sheet order survive") {
+    val id = (0 until 100).map(i => f"doc-$i%012d")
+      .find(id => graft.corpus.OfficeGen.formatOf(id) == "xlsx").get
+    val got = graft.office.OfficeConvert
+      .convert(id, graft.corpus.OfficeGen.bytes(id)).spans
+    assert(got.count(_.kind == Kinds.Table) >= 1)
+    assert(got.head.kind == Kinds.Title, "sheet name leads")
+  }
+
+  test("pptx: slides follow presentation order, not part numbering") {
+    val id = (0 until 100).map(i => f"doc-$i%012d")
+      .find(id => graft.corpus.OfficeGen.formatOf(id) == "pptx").get
+    val got = graft.office.OfficeConvert
+      .convert(id, graft.corpus.OfficeGen.bytes(id)).spans
+    val want = graft.corpus.OfficeGen.golden(id)
+    assert(got == want, "reversed slide part numbering must not reorder")
   }
 
   test("XML entities and split runs survive the round trip") {
