@@ -294,6 +294,14 @@ object Oracles {
         |WHERE g.kind = 'hyperlink'
         |ORDER BY g.doc_id, g.ord""".stripMargin,
 
+    "seal_texts" ->
+      """WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents)
+        |SELECT g.doc_id, g.ord, g.text
+        |FROM read_parquet('/root/repo/src/test/resources/golden/extract_golden.parquet') g
+        |JOIN ids ON g.doc_id = ids.did
+        |WHERE g.kind = 'seal'
+        |ORDER BY g.doc_id, g.ord""".stripMargin,
+
     "office_extract" ->
       """WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents)
         |SELECT g.doc_id, g.ord, g.kind, g.media_ref, g.text

@@ -516,6 +516,16 @@ object Queries {
           .otherwise(lit("Unticked")).as("state"))
       .orderBy("doc_id", "ord")
 
+  /** Seal spans with their OCR'd text (the seal recognition stage,
+    * batch_analyze.py:415-456 — seal regions are containment-protected and
+    * carry the seal OCR output as content); value-checked against the
+    * committed golden parquet. */
+  def sealTexts(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Extract.extractSpans(spark, dir)
+      .filter(col("kind") === "seal")
+      .select(col("doc_id"), col("ord"), col("text"))
+      .orderBy("doc_id", "ord")
+
   /** Hyperlink spans (ContentType.hyperlink, enum_class.py:59): anchor
     * text plus the target URL the span's media_ref carries; value-checked
     * against the committed golden parquet. */
@@ -651,6 +661,7 @@ object Queries {
     "table_classify" -> tableClassify _,
     "checkbox_state" -> checkboxState _,
     "hyperlink_spans" -> hyperlinkSpans _,
+    "seal_texts" -> sealTexts _,
     "chunk_blocks" -> chunkBlocks _,
     "office_extract" -> officeExtract _,
     "q1_agg" -> q1Agg _,
