@@ -15,8 +15,10 @@ import scala.collection.mutable
   *
   * Divergences, documented: (a) the 10%-width bbox check is skipped — the
   * flat span stream carries no geometry; (b) `cell_merge` boundary-cell
-  * fusion (_apply_cell_merge:780) is model-hint-gated in the reference
-  * (`owner_block["cell_merge"]`) and the stub kernel has no hook for it. */
+  * fusion (_apply_cell_merge:780) is IMPLEMENTED on the merge API (the
+  * `cellMerge` hint parameter, spec-pinned) but not wired through the
+  * stream pass: the hint is model-supplied in the reference
+  * (`owner_block["cell_merge"]`) and the stub kernel emits none. */
 object TableMerge {
 
   val MaxHeaderRows = 5 // table_merge.py:28
@@ -226,10 +228,95 @@ object TableMerge {
     }
   }
 
+  /** Start visual column of every cell in `rows(target)`, with rowspan
+    * carries from earlier rows occupying their columns
+    * (build_visual_col_mapping / _scan_row_visual_sources,
+    * table_merge.py:400-456). */
+  def visualColMapping(rows: Vector[Row], target: Int): Vector[Int] = {
+    var pending = Map.empty[Int, Int] // col -> rows remaining below
+    var r = 0
+    var result = Vector.empty[Int]
+    while (r <= target && r < rows.length) {
+      val starts = Vector.newBuilder[Int]
+      var col = 0
+      rows(r).foreach { c =>
+        while (pending.getOrElse(col, 0) > 0) col += 1
+        starts += col
+        if (c.rowspan > 1)
+          (col until col + c.colspan).foreach(k => pending += k -> (c.rowspan - 1))
+        col += c.colspan
+      }
+      if (r == target) result = starts.result()
+      else pending = pending.collect { case (k, n) if n > 1 => k -> (n - 1) }
+      r += 1
+    }
+    result
+  }
+
+  private def cellHasContent(c: Cell): Boolean =
+    c.text.trim.nonEmpty || c.text.contains("<img")
+
+  /** Model-hinted boundary-cell fusion (_apply_cell_merge,
+    * table_merge.py:780-856): `cellMerge(vi) == 1` appends the
+    * continuation's first data-row cell at visual column vi into the
+    * previous table's last-row cell at the same visual column (once per
+    * unique cell pair — colspans expand the mapping), then clears the
+    * transferred source cells; a first data row left without semantic
+    * content sinks its blank rowspan placeholders into the next row and
+    * is removed. Returns (new rows1, new body2). */
+  private def applyCellMerge(rows1: Vector[Row], body2: Vector[Row],
+      cellMerge: Seq[Int]): (Vector[Row], Vector[Row]) = {
+    if (cellMerge.isEmpty || rows1.isEmpty || body2.isEmpty) return (rows1, body2)
+    val cells1 = rows1.last
+    val cells2 = body2.head
+    val v1 = visualColMapping(rows1, rows1.length - 1)
+    val v2 = visualColMapping(body2, 0)
+    def expand(starts: Vector[Int], row: Row): Map[Int, Int] =
+      starts.zipWithIndex.flatMap { case (s, ci) =>
+        (s until s + row(ci).colspan).map(_ -> ci)
+      }.toMap
+    val toCell1 = expand(v1, cells1)
+    val toCell2 = expand(v2, cells2)
+    val pairs = cellMerge.zipWithIndex.collect {
+      case (1, vi) if toCell1.contains(vi) && toCell2.contains(vi) =>
+        (toCell1(vi), toCell2(vi))
+    }.distinct
+    if (pairs.isEmpty) return (rows1, body2)
+    var last1 = cells1
+    pairs.foreach { case (ci1, ci2) =>
+      last1 = last1.updated(ci1, last1(ci1).copy(text = last1(ci1).text + cells2(ci2).text))
+    }
+    val clearedIdx = pairs.map(_._2).toSet
+    var first2 = cells2.zipWithIndex.map { case (c, ci) =>
+      if (clearedIdx(ci)) c.copy(text = "") else c
+    }
+    val newRows1 = rows1.init :+ last1
+    if (first2.exists(cellHasContent)) (newRows1, body2.updated(0, first2))
+    else {
+      // sink blank rowspan placeholders into the next row, preserving
+      // column alignment (_carry_rowspan_structure_to_next_row:833-856)
+      if (body2.length > 1) {
+        val carried = first2.zip(v2).collect {
+          case (c, startV) if c.rowspan > 1 && !cellHasContent(c) =>
+            (startV, c.copy(rowspan = c.rowspan - 1))
+        }
+        var next = body2(1)
+        val nextStarts = visualColMapping(body2, 1)
+        carried.sortBy(-_._1).foreach { case (startV, cell) =>
+          val at = nextStarts.indexWhere(_ > startV)
+          next = if (at < 0) next :+ cell else (next.take(at) :+ cell) ++ next.drop(at)
+        }
+        (newRows1, next +: body2.drop(2))
+      } else (newRows1, Vector.empty)
+    }
+  }
+
   /** Merged HTML of two table parts (perform_table_merge:857-948): skip the
     * continuation's repeated header (rowspan-expanded), adjust the narrower
-    * side's colspans, append the continuation's data rows. */
-  def merge(prevHtml: String, curHtml: String): String = {
+    * side's colspans, apply the model's cell_merge hint when present, then
+    * append the continuation's data rows. */
+  def merge(prevHtml: String, curHtml: String,
+      cellMerge: Seq[Int] = Nil): String = {
     var rows1 = parse(prevHtml)
     val rows2 = parse(curHtml)
     val k = expandHeaderByRowspan(rows2, detectHeaders(rows1, rows2))
@@ -241,6 +328,10 @@ object TableMerge {
         body2 = adjustRows(body2, effectiveCols(body2), rows1.last, cols1)
       else if (cols2 > cols1)
         rows1 = adjustRows(rows1, effectiveCols(rows1), body2.head, cols2)
+    }
+    if (cellMerge.nonEmpty) {
+      val (r1, b2) = applyCellMerge(rows1, body2, cellMerge)
+      rows1 = r1; body2 = b2
     }
     // preserve the previous part's table tag (a wired table stays
     // <table border="1"> after absorbing its continuation)

@@ -211,6 +211,38 @@ class TableMergeSpec extends AnyFunSuite {
         "<tr><td colspan=\"3\">pq</td></tr></table>")
   }
 
+  test("cell_merge hint: boundary cells fuse, mixed rows keep cleared cells") {
+    // _apply_cell_merge:780-856 — flag 1 at a visual column appends the
+    // continuation's first data-row cell into the previous last-row cell
+    val t1 = "<table><tr><td>H</td><td>I</td></tr><tr><td>alpha</td><td>beta</td></tr></table>"
+    val t2 = "<table><tr><td>H</td><td>I</td></tr><tr><td>gamma</td><td>delta</td></tr></table>"
+    // mixed flags: col 0 fuses (alpha+gamma), col 1 stays -> row kept with
+    // the transferred cell cleared
+    assert(TableMerge.merge(t1, t2, Seq(1, 0)) ==
+      "<table><tr><td>H</td><td>I</td></tr><tr><td>alphagamma</td><td>beta</td></tr>" +
+        "<tr><td></td><td>delta</td></tr></table>")
+    // all-1 flags: the emptied first data row is removed entirely
+    val t3 = "<table><tr><td>H</td><td>I</td></tr><tr><td>gamma</td><td>delta</td></tr>" +
+      "<tr><td>x</td><td>y</td></tr></table>"
+    assert(TableMerge.merge(t1, t3, Seq(1, 1)) ==
+      "<table><tr><td>H</td><td>I</td></tr><tr><td>alphagamma</td><td>betadelta</td></tr>" +
+        "<tr><td>x</td><td>y</td></tr></table>")
+  }
+
+  test("cell_merge maps visual columns through colspans") {
+    // prev last row: one colspan-2 cell + a normal cell; flags on visual
+    // cols 0 and 1 both map to THE SAME prev cell -> one transfer only
+    val t1 = "<table><tr><td>A</td><td>B</td><td>C</td></tr>" +
+      "<tr><td colspan=\"2\">wide</td><td>z</td></tr></table>"
+    val t2 = "<table><tr><td>p</td><td>q</td><td>r</td></tr></table>"
+    val merged = TableMerge.merge(t1, t2, Seq(1, 1, 0))
+    assert(merged.contains("<td colspan=\"2\">widep</td>") ||
+      merged.contains("<td colspan=\"2\">widepq</td>"), merged)
+    // p and q are distinct source cells: both fuse into the wide cell once each
+    assert(merged.contains("widepq"), merged)
+    assert(merged.contains("<tr><td></td><td></td><td>r</td></tr>"), merged)
+  }
+
   test("bare 续表 and (…continued) markers gate like (continued)") {
     assert(TableMerge.isContinuationCaption("表 3 续表"))
     assert(TableMerge.isContinuationCaption("Table 3 (…continued)"))
