@@ -63,6 +63,63 @@ class RenderSpec extends AnyFunSuite {
     assert(html.contains("<a href=\"https://example.org/corpus/3\">See the corpus</a>"))
   }
 
+  test("joinText hand fixtures (golden shares this path — pinned independently)") {
+    import graft.textnorm.TextNorm.{joinText, joinAll}
+    assert(joinText("hyphen wor-", "d end") == "hyphen word end")
+    assert(joinText("latin tail", "next head") == "latin tail next head")
+    assert(joinText("中文结尾", "继续文本") == "中文结尾继续文本")
+    assert(joinText("mixed 结尾", "next") == "mixed 结尾 next")
+    assert(joinText("ends 片", "仮名") == "ends 片仮名")
+    assert(joinText("", "x") == " x")
+    assert(joinAll(Seq("a-", "b", "平仮", "名", "tail")) == "ab 平仮名 tail")
+  }
+
+  test("renderMarkdown hand fixture (golden shares this path — pinned independently)") {
+    val blocks = Vector(
+      blk(Kinds.Title, "Doc Title", level = 1),
+      blk(Kinds.Text, "Plain paragraph."),
+      blk(Kinds.Caption, "Table 1: Table Caption"),
+      blk(Kinds.Table, "<table><tr><td>a</td></tr></table>"),
+      blk(Kinds.Footnote, "Note: n."),
+      blk(Kinds.Formula, "$$ x $$ \\tag{3}"),
+      blk(Kinds.Figure, "", ref = "img://h"),
+      blk(Kinds.ImageFootnote, "Fig note."),
+      blk(Kinds.Title, "Section", level = 3),
+      blk(Kinds.Algorithm, "return total"),
+      blk(Kinds.Checkbox, "☑ opt in"),
+      blk(Kinds.Seal, "SEAL Alpha Beta"),
+      blk(Kinds.ListK, "- a;\n- b."))
+    assert(Assemble.renderMarkdown(blocks) ==
+      """# Doc Title
+        |
+        |Plain paragraph.
+        |
+        |*Table 1: Table Caption*
+        |
+        |<table><tr><td>a</td></tr></table>
+        |
+        |*Note: n.*
+        |
+        |$$ x $$ \tag{3}
+        |
+        |![](img://h)
+        |
+        |*Fig note.*
+        |
+        |### Section
+        |
+        |```python
+        |return total
+        |```
+        |
+        |☑ opt in
+        |
+        |SEAL Alpha Beta
+        |
+        |- a;
+        |- b.""".stripMargin)
+  }
+
   test("markdown -> html renders a full corpus document without loss") {
     val g = graft.corpus.DocGen.golden("doc-000000000007")
     val html = MarkdownHtml.render(g.markdown, "doc-000000000007")
