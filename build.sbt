@@ -30,4 +30,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // measurable wall-clock in young GC at local[32] on this 125g box
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseParallelGC")}",
-)
+) ++ sys.env.get("SPARK_JVM_EXTRA").toSeq.flatMap(_.split(" ").toSeq)
