@@ -544,7 +544,7 @@ object StubModel extends DocModel {
               val dollar = lines(i).indexOf('$')
               if (dollar >= 0) {
                 val end = lines(i).lastIndexOf('$')
-                dets += Det(Kinds.Formula, x0, ly0, x1, ly1, score,
+                dets += Det(Kinds.InlineFormula, x0, ly0, x1, ly1, score,
                   lines(i).substring(dollar, end + 1), "", -1)
               }
               if (charLayer) {

@@ -25,7 +25,7 @@ object Extract {
   /** Pure per-document extraction — unit-testable without Spark. */
   def extractDoc(doc: DocRow, model: DocModel = StubModel): DocResult = {
     val pages = model.analyze(doc)
-    Assemble.assemble(doc.doc_id, pages.map(PageOps.process))
+    Assemble.assemble(doc.doc_id, pages.map(p => PageOps.process(p)))
   }
 
   /** Deterministic corpus table from a dataset of doc ids (FIXTURES.md §2). */

@@ -466,9 +466,20 @@ object PageOps {
     else (pm.height, pm.width, dets, chars, ori, regs)
   }
 
-  def process(pm: PageModel): Vector[OrderedBlock] = {
+  /** `formulaLevel` mirrors the reference's formula config
+    * (batch_analyze.py:70,182-187): level 1 (or formula disabled) removes
+    * INLINE-equation detections outright — their pixels read as plain text
+    * — while display formulas keep their blocks. Level 0 folds labeled
+    * inline dets into their text span (their content already lives there). */
+  def process(pm: PageModel, formulaLevel: Int = 0): Vector[OrderedBlock] = {
     // 0. orientation restore: boxes arrive in the rotated scan frame
-    val (pageW, pageH, updets, upchars, oriImages, upregions) = restoreOrientation(pm)
+    val (pageW, pageH, updets0, upchars, oriImages, upregions) = restoreOrientation(pm)
+
+    // 0.5 formula-level filter: drop labeled inline-equation dets when the
+    //     config says not to recognize them (batch_analyze.py:182-187)
+    val updets =
+      if (formulaLevel == 1) updets0.filter(_.cat != Kinds.InlineFormula)
+      else updets0
 
     // Steps 1-3 as flag passes over one array (this loop runs for every
     // page in the fleet — per-step Vector rebuilds here are measurable
@@ -485,17 +496,20 @@ object PageOps {
       alive(i) = d.score > LowConf && !(d.cat == Kinds.Text && d.score < RecMinConf)
       i += 1
     }
-    // 1.5 inline-formula re-class (check_inline_formula,
-    //     rapid_layout.py:110-128): a formula detection overlapping a TEXT
-    //     detection at IoU >= 0.9 is an inline equation — its content
-    //     lives in the text span, so the layout det folds away instead of
-    //     becoming a block. Runs before the IoU dedup, which is category-
-    //     blind and would otherwise pick one of the two by score. (Only
-    //     formulas drop here and only text dets are consulted, so the
-    //     in-place update cannot cascade.)
+    // 1.5 inline-formula fold: a LABELED inline-equation det always folds
+    //     into its text span (its content lives there,
+    //     pipeline_magic_model.py InlineEquation spans); an unlabeled
+    //     formula det overlapping a TEXT detection at IoU >= 0.9 folds by
+    //     the geometric check (check_inline_formula, rapid_layout.py:
+    //     110-128 — the fallback for models without the category). Runs
+    //     before the IoU dedup, which is category-blind and would
+    //     otherwise pick one of the two by score. (Only formulas drop here
+    //     and only text dets are consulted, so the in-place update cannot
+    //     cascade.)
     i = 0
     while (i < nD) {
-      if (alive(i) && arr(i).cat == Kinds.Formula) {
+      if (alive(i) && arr(i).cat == Kinds.InlineFormula) alive(i) = false
+      else if (alive(i) && arr(i).cat == Kinds.Formula) {
         val d = arr(i)
         var j = 0
         var hit = false

@@ -33,6 +33,12 @@ object Kinds {
   val Figure = "figure"
   val Table = "table"
   val Formula = "formula"
+  /** model DET category for an inline equation (CategoryId.InlineEquation,
+    * enum_class.py — distinct from the interline/display category): its
+    * content lives inside the text span, so the det folds away; the
+    * formula_level=1 config drops these dets outright
+    * (batch_analyze.py:182-187). Never an OUTPUT span kind. */
+  val InlineFormula = "inline_formula"
   val FormulaNumber = "formula_number"
   val Caption = "caption"
   val Footnote = "footnote"

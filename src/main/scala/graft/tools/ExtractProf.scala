@@ -31,7 +31,7 @@ object ExtractProf {
     println(f"analyze-only(incl placement sim): ${5000 / dt3}%.0f docs/s")
     val pms = docs.map(d => graft.kernel.StubModel.analyze(d))
     val t4 = System.nanoTime()
-    pms.foreach(ps => ps.map(graft.pipeline.PageOps.process))
+    pms.foreach(ps => ps.map(p => graft.pipeline.PageOps.process(p)))
     val dt4 = (System.nanoTime() - t4) / 1e9
     println(f"pageops-only: ${5000 / dt4}%.0f docs/s")
   }

@@ -8,7 +8,7 @@ object PageOpsProf {
     println(s"pages: ${pms.length}, avg dets/page: ${pms.map(_.dets.length).sum / pms.length}, " +
       s"pages with chars: ${pms.count(_.chars.nonEmpty)}, avg chars: ${pms.map(_.chars.length).sum / math.max(1, pms.count(_.chars.nonEmpty))}")
     // warm
-    pms.take(2000).foreach(PageOps.process)
+    pms.take(2000).foreach(p => PageOps.process(p))
     def time(label: String)(f: => Unit): Unit = {
       var best = Double.MaxValue
       (1 to 5).foreach { _ =>
@@ -18,7 +18,7 @@ object PageOpsProf {
       }
       println(f"$label: $best%.3f s (best of 5)")
     }
-    time("full process")(pms.foreach(PageOps.process))
+    time("full process")(pms.foreach(p => PageOps.process(p)))
     time("process, chars stripped")(pms.foreach(p => PageOps.process(p.copy(chars = Nil))))
     // orderBlocks cost in isolation over synthetic mid-size block sets
     val blocks = pms.take(3000).map(p => p.dets.filter(d => d.score > 0.5).toVector)

@@ -80,7 +80,7 @@ class GoldenSpec extends AnyFunSuite {
     var gated = 0
     affected.foreach { id =>
       val row = DocGen.docRow(id)
-      val pages = StubModel.analyze(row).map(PageOps.process)
+      val pages = StubModel.analyze(row).map(p => PageOps.process(p))
       val on = Assemble.assemble(id, pages, mergeTables = true)
       val off = Assemble.assemble(id, pages, mergeTables = false)
       assert(on.spans == DocGen.golden(id).spans)
