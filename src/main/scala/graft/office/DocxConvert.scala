@@ -52,12 +52,44 @@ object DocxConvert {
       el.getTagName match {
         case "w:tbl" =>
           flushList()
-          val html = children(el).filter(_.getTagName == "w:tr").map { tr =>
-            children(tr).filter(_.getTagName == "w:tc")
-              .map(tc => s"<td>${textOf(tc)}</td>")
-              .mkString("<tr>", "", "</tr>")
-          }.mkString("<table>", "", "</table>")
-          out += Block(Kinds.Table, html)
+          // reconstruct spans: gridSpan -> colspan; vMerge restart opens a
+          // rowspan whose per-row continuation placeholders increment it
+          // and drop from the output; tblBorders -> the bordered dialect
+          import graft.pipeline.TableMerge.Cell
+          val bordered = children(el).exists(c => c.getTagName == "w:tblPr" &&
+            descendants(c, "w:tblBorders").nonEmpty)
+          var ownerRows = Map.empty[Int, (Int, Int)] // vcol -> (rowIdx, cellIdx)
+          val rows = scala.collection.mutable.ArrayBuffer.empty[Vector[Cell]]
+          children(el).filter(_.getTagName == "w:tr").foreach { tr =>
+            val cellsB = Vector.newBuilder[Cell]
+            var vcol = 0
+            var cellIdx = 0
+            var alive = Set.empty[Int] // vcols continued or restarted this row
+            children(tr).filter(_.getTagName == "w:tc").foreach { tc =>
+              val gs = descendants(tc, "w:gridSpan").headOption
+                .flatMap(g => g.getAttribute("w:val").toIntOption).getOrElse(1)
+              val vm = descendants(tc, "w:vMerge").headOption
+              val restart = vm.exists(_.getAttribute("w:val") == "restart")
+              if (vm.isDefined && !restart) {
+                // continuation placeholder: grow the owner, emit nothing
+                ownerRows.get(vcol).foreach { case (ri, ci) =>
+                  val c = rows(ri)(ci)
+                  rows(ri) = rows(ri).updated(ci, c.copy(rowspan = c.rowspan + 1))
+                }
+                alive += vcol
+              } else {
+                cellsB += Cell(textOf(tc), gs, 1)
+                if (restart) { alive += vcol; ownerRows += vcol -> (rows.length, cellIdx) }
+                cellIdx += 1
+              }
+              vcol += gs
+            }
+            ownerRows = ownerRows.filter { case (v, _) => alive(v) }
+            rows += cellsB.result()
+          }
+          val html = graft.pipeline.TableMerge.render(rows.toVector)
+          out += Block(Kinds.Table,
+            if (bordered) "<table border=\"1\">" + html.stripPrefix("<table>") else html)
         case "w:p" =>
           val style = styleOf(el)
           val numPr = descendants(el, "w:numPr").headOption
