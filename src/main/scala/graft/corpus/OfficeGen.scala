@@ -112,13 +112,20 @@ object OfficeGen {
 
   // -- pptx ------------------------------------------------------------------
 
-  private case class Slide(title: String, bodies: Vector[String], pic: Option[String])
+  private case class Slide(title: String, bodies: Vector[String],
+      table: Option[Vector[Vector[String]]], pic: Option[String])
 
   private def pptxSlides(r: SplitMix64, docId: String): Vector[Slide] =
     Vector.tabulate(2 + r.nextInt(3)) { i =>
       Slide(
         DocGen.titleText(r),
         Vector.fill(1 + r.nextInt(3))(DocGen.paragraphOnce(r)),
+        if (r.chance(0.25))
+          Some(Vector.tabulate(2 + r.nextInt(2), 2 + r.nextInt(2)) { (_, _) =>
+            if (r.chance(0.4)) (100 + r.nextInt(900)).toString
+            else DocGen.cap(DocGen.word(r))
+          })
+        else None,
         if (r.chance(0.3)) Some(DocGen.sha256Hex(s"$docId:slide:$i")) else None)
     }
 
@@ -135,13 +142,20 @@ object OfficeGen {
            |<p:txBody><a:p><a:r><a:t>${xmlEsc(s.title)}</a:t></a:r></a:p></p:txBody></p:sp>""".stripMargin
       val bodies = s.bodies.map(b =>
         s"""<p:sp><p:txBody><a:p><a:r><a:t>${xmlEsc(b)}</a:t></a:r></a:p></p:txBody></p:sp>""").mkString
+      val tbl = s.table.map { cells =>
+        val trs = cells.map(row =>
+          row.map(c =>
+            s"""<a:tc><a:txBody><a:p><a:r><a:t>${xmlEsc(c)}</a:t></a:r></a:p></a:txBody></a:tc>""")
+            .mkString("<a:tr>", "", "</a:tr>")).mkString
+        s"""<p:graphicFrame><a:graphic><a:graphicData><a:tbl>$trs</a:tbl></a:graphicData></a:graphic></p:graphicFrame>"""
+      }.getOrElse("")
       val pic = s.pic.map(_ =>
         s"""<p:pic><p:blipFill><a:blip r:embed="rId1"/></p:blipFill></p:pic>""").getOrElse("")
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"
          |  xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"
          |  xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-         |<p:cSld><p:spTree>$title$bodies$pic</p:spTree></p:cSld></p:sld>""".stripMargin
+         |<p:cSld><p:spTree>$title$bodies$tbl$pic</p:spTree></p:cSld></p:sld>""".stripMargin
     }
     // presentation order i -> slide part number (n - i), i.e. reversed
     val sldIds = slides.indices.map { i =>
@@ -179,6 +193,7 @@ object OfficeGen {
     pptxSlides(r, docId).flatMap { s =>
       Vector((Kinds.Title, s.title, "")) ++
         s.bodies.map(b => (Kinds.Text, b, "")) ++
+        s.table.map(cells => (Kinds.Table, DocxGen.tableHtmlOf(cells), "")).toVector ++
         s.pic.map(h => (Kinds.Figure, "", s"img://$h")).toVector
     }
   }

@@ -78,6 +78,16 @@ object OfficeConvert {
             val target = slideRels.getOrElse(embed, "")
             val hash = target.stripPrefix("../media/").stripSuffix(".png")
             Vector((Kinds.Figure, "", s"img://$hash", 0))
+          case "p:graphicFrame" =>
+            // slide table (a:tbl inside the graphic frame)
+            descendants(el, "a:tbl").headOption.toVector.map { tbl =>
+              val html = children(tbl).filter(_.getTagName == "a:tr").map { tr =>
+                children(tr).filter(_.getTagName == "a:tc").map { tc =>
+                  s"<td>${descendants(tc, "a:t").map(_.getTextContent).mkString}</td>"
+                }.mkString("<tr>", "", "</tr>")
+              }.mkString("<table>", "", "</table>")
+              (Kinds.Table, html, "", 0)
+            }
           case _ => Vector.empty
         }
       }
