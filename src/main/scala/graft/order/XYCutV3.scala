@@ -85,13 +85,17 @@ object XYCutV3 {
         val r = overlapSmall(tmp, boxes(i)); r > SplitOverlap && r <= MatchOverlap
       }
       if (iner.nonEmpty) {
+        // split blocks push the edge and recurse over the matched set; the
+        // enclosing and the returned match list stay the OUTER set, exactly
+        // like the reference (:480-501 — the recursion's indices only gate
+        // the continue)
         split.foreach { si =>
           val sb = boxes(si)
           val ds = edgeDists(tmp, sb)
           val src2 = ds.indexOf(ds.max)
           tmp = set(tmp, conv(src2), get(sb, src2))
           val (t2, in2) = shrink(tmp, ref, pageW, pageH, iner, boxes)
-          if (in2.nonEmpty) { tmp = t2; iner = in2 }
+          if (in2.nonEmpty) tmp = t2
         }
         result = enclosing(iner.map(boxes))
         done = true

@@ -469,7 +469,9 @@ object Queries {
       var cum = 0
       val out = Vector.newBuilder[(String, Int, Int, Int)]
       ss.foreach { case (_, ord, kind, text) =>
-        val toks = if (text.isEmpty) 0 else text.split(' ').length
+        // split(regex, -1) keeps trailing empties — the SQL engines'
+        // split/string_split semantics, unlike Scala's default
+        val toks = if (text.isEmpty) 0 else text.split(" ", -1).length
         val brk =
           ((kind == Kinds0.Title || kind == Kinds0.Table || kind == Kinds0.Algorithm) && cum >= MinTok) ||
             (cum + toks > Budget && cum >= MinTok)
