@@ -26,6 +26,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("orderWithRegions is a permutation under arbitrary boxes and region rects") {
+    val rng = new Random(13)
+    (1 to 200).foreach { _ =>
+      val n = 1 + rng.nextInt(25)
+      val boxes = Vector.fill(n)(randBox(rng))
+      val nR = rng.nextInt(4)
+      val regions = Vector.fill(nR)(randBox(rng))
+      val out = XYCutV3.orderWithRegions(boxes, regions, 612, 792)
+      assert(out.sorted == (0 until n).toVector,
+        s"not a permutation with $nR regions: $out")
+    }
+  }
+
   test("tie-up: every object attaches exactly once when subjects exist; none without") {
     val rng = new Random(11)
     (1 to 200).foreach { _ =>
