@@ -224,19 +224,20 @@ object ScaleQueries {
     // diameter rounds (the label sum strictly decreases every changed
     // round), while a fixed small cap would silently disagree with the
     // oracle's exact transitive closure on long candidate chains. The
-    // generous bound only guards a logic regression; localCheckpoint
-    // truncates the growing lineage each round (a long-lived production
-    // deployment would use reliable checkpoint()/a per-round table so an
-    // executor loss can recompute — single-box local mode has no such
-    // failure domain and keeps the memory-only variant).
+    // generous bound only guards a logic regression. Lineage is truncated
+    // each round: RELIABLY (checkpoint to the configured checkpoint dir —
+    // survives executor loss, the multi-executor deployment shape) when
+    // the session has one, else memory-only localCheckpoint (single-box
+    // local mode has no executor-loss failure domain).
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
     while (changed > 0 && iter < 10000) {
       val nbrMin = edges
         .join(labels.select(col("v").as("u"), col("lbl").as("ulbl")), Seq("u"))
         .groupBy(col("v")).agg(min(col("ulbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, Seq("v"), "left")
+      val next0 = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+      val next = if (reliable) next0.checkpoint() else next0.localCheckpoint(true)
       changed = next.join(labels.select(col("v"), col("lbl").as("old")), Seq("v"))
         .filter(col("lbl") =!= col("old")).count()
       labels.unpersist()
