@@ -435,12 +435,14 @@ object DocGen {
     val roll = r.nextDouble()
     // 0 normal, 1 aspect, 2 sparse, 3 map-error, 4 cid, 5 abnormal,
     // 6 cross-script, 7 u72xx, 8 punct-garbage, 9 dot-leader TOC (txt),
-    // 10 high image coverage (txt)
+    // 10 high image coverage (txt), 11 kana-dominant ja (txt),
+    // 12 hangul-dominant ko (txt)
     val cls =
       if (roll < 0.02) 1 else if (roll < 0.05) 2 else if (roll < 0.07) 3
       else if (roll < 0.09) 4 else if (roll < 0.11) 5 else if (roll < 0.13) 6
       else if (roll < 0.15) 7 else if (roll < 0.17) 8 else if (roll < 0.20) 9
-      else if (roll < 0.25) 10 else 0
+      else if (roll < 0.25) 10 else if (roll < 0.27) 11
+      else if (roll < 0.29) 12 else 0
     doc.pages.zipWithIndex.map { case (pg, p) =>
       val base = pg.blocks.map(_.text).filter(_.nonEmpty).mkString(" ")
       val nFig = pg.blocks.count(_.kind == Kinds.Figure)
@@ -463,6 +465,10 @@ object DocGen {
         case 9 =>
           val heads = Vector.fill(10)(cap(word(r)) + " " + word(r)).map(_.take(12))
           heads.map(hd => hd + ("." * 12) + (1 + r.nextInt(40))).mkString(" ")
+        case 11 => // hiragana/katakana-dominant page (lang ja)
+          new String(Array.fill(400)((0x3041 + r.nextInt(0xBE)).toChar))
+        case 12 => // hangul-syllable-dominant page (lang ko)
+          new String(Array.fill(400)((0xAC00 + r.nextInt(0x2BA4)).toChar))
         case _ => base
       }
       val mapErr = if (cls == 3) math.max(8, text.length * 8 / 100) else 0

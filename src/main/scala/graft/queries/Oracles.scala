@@ -168,6 +168,33 @@ object Oracles {
         |  length(text)::INT AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "lang_id_v2" ->
+      """WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents),
+        |rp AS (SELECT g.* FROM read_parquet('/root/repo/src/test/resources/golden/classify_raw.parquet') g
+        |  JOIN ids ON g.doc_id = ids.did),
+        |c AS (SELECT doc_id,
+        |  sum(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')))::BIGINT AS han,
+        |  sum(len(regexp_extract_all(text, '[\x{3040}-\x{30FF}]')))::BIGINT AS kana,
+        |  sum(len(regexp_extract_all(text, '[\x{AC00}-\x{D7AF}]')))::BIGINT AS hang,
+        |  sum(len(regexp_extract_all(text, '[A-Za-z]')))::BIGINT AS latin,
+        |  sum(length(regexp_replace(text, '\s+', '', 'g')))::BIGINT AS cl
+        |  FROM rp GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN 2 * (han + kana + hang) > cl THEN
+        |      CASE WHEN 4 * kana >= han + kana + hang THEN 'ja'
+        |           WHEN 4 * hang >= han + kana + hang THEN 'ko'
+        |           ELSE 'zh' END
+        |    WHEN 2 * latin > cl THEN 'en'
+        |    ELSE 'und' END AS lang
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "token_count_bpe" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::INT AS n_bpe,
+        |  len(regexp_extract_all(text, ' ?\p{L}+'))::INT AS n_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "quality_score" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id,

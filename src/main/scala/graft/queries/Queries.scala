@@ -281,6 +281,21 @@ object Queries {
         length(col("text")).as("n_chars_m"))
       .orderBy("doc_id")
 
+  /** BPE-style pre-tokenizer count: the GPT-2 pre-tokenization segments
+    * (contraction suffixes, space-prefixed letter/digit/punct runs,
+    * whitespace runs) WITHOUT lookaheads, so the identical pattern runs
+    * under both Java regex and RE2 — the budget-estimation token count a
+    * training pipeline uses before the real BPE merge pass. */
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .withColumn("n_bpe", expr(
+        """size(regexp_extract_all(text,
+          |  "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+", 0))""".stripMargin))
+      .withColumn("n_word", expr(
+        """size(regexp_extract_all(text, " ?\\p{L}+", 0))"""))
+      .select(col("doc_id"), col("n_bpe"), col("n_word"))
+      .orderBy("doc_id")
+
   /** Heuristic document quality score: token count, stopword ratio and
     * average token length folded into [0,1]. Raw double output — identical
     * operation order on both sides makes it bit-exact. */
@@ -311,6 +326,41 @@ object Queries {
         when(col("ratio") >= lit(0.08), lit("en")).otherwise(lit("unk")))
       .select(col("doc_id"), col("lang_pred"))
       .orderBy("doc_id")
+
+  /** Script-profile language ID over the raw pdfium text layer — the
+    * content-derived upgrade of [[langId]] (the reference delegates to
+    * fasttext, utils/language.py:22-41, grouping zh/ja/ko): per-doc script
+    * tallies decide the language with integer-exact majorities — a
+    * CJK-dominant doc splits ja (kana) / ko (hangul syllables) / zh (Han),
+    * a latin-dominant doc is en, anything else und. Spark generates the
+    * pages live; DuckDB recomputes the same regex tallies from the
+    * committed classify_raw.parquet. */
+  def langIdV2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents")
+      .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
+    val raw = ids.flatMap(id => graft.corpus.DocGen.rawPages(id)).toDF()
+    raw
+      .withColumn("han", expr("""size(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]', 0))"""))
+      .withColumn("kana", expr("""size(regexp_extract_all(text, '[\\x{3040}-\\x{30FF}]', 0))"""))
+      .withColumn("hang", expr("""size(regexp_extract_all(text, '[\\x{AC00}-\\x{D7AF}]', 0))"""))
+      .withColumn("latin", expr("""size(regexp_extract_all(text, '[A-Za-z]', 0))"""))
+      .withColumn("cl", expr("""length(regexp_replace(text, '\\s+', ''))"""))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("han")).as("han"), sum(col("kana")).as("kana"),
+        sum(col("hang")).as("hang"), sum(col("latin")).as("latin"),
+        sum(col("cl")).as("cl"))
+      .withColumn("lang", expr(
+        """CASE
+          |  WHEN 2 * (han + kana + hang) > cl THEN
+          |    CASE WHEN 4 * kana >= han + kana + hang THEN 'ja'
+          |         WHEN 4 * hang >= han + kana + hang THEN 'ko'
+          |         ELSE 'zh' END
+          |  WHEN 2 * latin > cl THEN 'en'
+          |  ELSE 'und' END""".stripMargin))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
 
   /** Content-addressed document fingerprint: md5 plus its first 60 bits as a
     * join-friendly int64 (the reference fingerprints crops/bytes with
@@ -651,8 +701,10 @@ object Queries {
     "det_min_width_filter" -> detMinWidthFilter _,
     "dedup_exact" -> dedupExact _,
     "token_count" -> tokenCount _,
+    "token_count_bpe" -> tokenCountBpe _,
     "quality_score" -> qualityScore _,
     "lang_id" -> langId _,
+    "lang_id_v2" -> langIdV2 _,
     "doc_fingerprint" -> docFingerprint _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "ann_cosine_topk" -> annCosineTopK _,
