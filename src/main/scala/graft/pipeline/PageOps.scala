@@ -685,7 +685,37 @@ object PageOps {
         }
       }
     }
-    val blocks = scopedText ++ filledBodies
+    val blocks0 = scopedText ++ filledBodies
+
+    // 4.8 containment dedup (remove_overlaps_min_spans,
+    //     span_pre_proc.py:90-125): when two blocks overlap at >= 0.65 of
+    //     the smaller area, the smaller drops — seals are protected on
+    //     both sides; drops cascade (a dropped block can't kill another),
+    //     exactly the reference's sequential pair walk. Bodies are already
+    //     unioned (4.6), matching the reference's stage order.
+    val blocks = {
+      val n2 = blocks0.length
+      val dropped = new Array[Boolean](n2)
+      var a = 0
+      while (a < n2) {
+        var b2 = 0
+        while (b2 < n2) {
+          if (a != b2 && !dropped(a) && !dropped(b2)) {
+            val s1 = blocks0(a); val s2 = blocks0(b2)
+            if (s1.cat != Kinds.Seal && s2.cat != Kinds.Seal &&
+                Geo.overlapOverMin(s1.x0, s1.y0, s1.x1, s1.y1,
+                  s2.x0, s2.y0, s2.x1, s2.y1) >= 0.65) {
+              dropped(if (s1.area <= s2.area) a else b2) = true
+            }
+          }
+          b2 += 1
+        }
+        a += 1
+      }
+      if (dropped.exists(identity))
+        blocks0.indices.filterNot(dropped).map(blocks0).toVector
+      else blocks0
+    }
 
     // 5-7. tie-up + reading order + attachment expansion + figure-footnote
     //      re-class (shared core — see emitBlocks; index-keyed so

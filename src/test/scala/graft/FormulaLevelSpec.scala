@@ -40,4 +40,18 @@ class FormulaLevelSpec extends AnyFunSuite {
       Det(Kinds.Formula, 36, 100, 576, 112, 0.8, "$x_1$", ""))
     assert(PageOps.process(pm(dets)).map(_.kind) == Vector(Kinds.Text))
   }
+
+  test("containment dedup drops the smaller block at >= 0.65 over-min; seals protected") {
+    // remove_overlaps_min_spans (span_pre_proc.py:90-125): a small block
+    // fully inside a big one drops; a seal in the same position survives
+    val contained = Vector(
+      Det(Kinds.Formula, 36, 100, 400, 300, 0.9, "$$ big $$", ""),
+      Det(Kinds.Formula, 100, 150, 200, 200, 0.8, "$$ small $$", ""))
+    val out = PageOps.process(pm(contained))
+    assert(out.map(_.text) == Vector("$$ big $$"))
+    val sealed_ = Vector(
+      Det(Kinds.Formula, 36, 100, 400, 300, 0.9, "$$ big $$", ""),
+      Det(Kinds.Seal, 100, 150, 200, 200, 0.8, "SEAL X", ""))
+    assert(PageOps.process(pm(sealed_)).length == 2, "seal never drops")
+  }
 }
