@@ -36,6 +36,32 @@ object StreamJobs {
       }
   }
 
+  /** Continuous OFFICE ingestion over a binary landing directory: newly
+    * landed .docx/.xlsx/.pptx packages stream in via the binaryFile source
+    * and convert inside the partition (zip + DOM + rels — the same
+    * per-document function as the batch office_extract). Stateless,
+    * exactly-once with a replayable source/sink. */
+  def officeStream(spark: SparkSession, landingDir: String): Dataset[DocResult] = {
+    import spark.implicits._
+    spark.readStream
+      .format("binaryFile")
+      .schema(StructType(Seq( // the binaryFile source's fixed schema
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("pathGlobFilter", "*.ooxml")
+      .load(landingDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (path, bytes) =>
+          val id = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".ooxml")
+          graft.office.OfficeConvert.convert(id, bytes)
+        }
+      }
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState: per-user sessions
     * split at 30-minute gaps. Closed sessions are emitted; the open tail
     * session is carried in GroupState across micro-batches (arrivals are

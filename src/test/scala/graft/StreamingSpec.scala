@@ -37,6 +37,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming office ingestion converts landed packages to golden spans") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft_office_landing").toString
+    // land 30 mixed-format packages as two drops
+    def drop(ids: Range): Unit = ids.foreach { i =>
+      val id = f"doc-$i%012d"
+      Files.write(java.nio.file.Paths.get(s"$landing/$id.ooxml"),
+        graft.corpus.OfficeGen.bytes(id))
+    }
+    drop(0 until 15)
+    drop(15 until 30)
+    val q = StreamJobs.officeStream(spark, landing)
+      .writeStream.format("memory").queryName("office_stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("office_stream_out")
+      .as[graft.schema.DocResult].collect().map(r => r.doc_id -> r.spans).toMap
+    assert(got.size == 30)
+    (0 until 30).foreach { i =>
+      val id = f"doc-$i%012d"
+      assert(got(id) == graft.corpus.OfficeGen.golden(id), s"office stream mismatch for $id")
+    }
+  }
+
   test("stateful sessionization stitches sessions across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
