@@ -31,13 +31,17 @@ object OfficeGen {
 
   // -- xlsx ------------------------------------------------------------------
 
-  private case class Sheet(name: String, nCols: Int, cells: Vector[Vector[Option[String]]])
+  private case class Sheet(name: String, nCols: Int,
+      cells: Vector[Vector[Option[String]]],
+      /** merged region (row0, col0, rowSpan, colSpan), at most one */
+      merge: Option[(Int, Int, Int, Int)])
 
   /** 1-3 sheets; cells carry GAPS (the converter pads every row to the
-    * sheet's column count) and string values route through the deduped
-    * sharedStrings table like a real workbook. The first row's last column
-    * and the last row's first column are always present, so the authored
-    * grid extent is recoverable. */
+    * sheet's column count), string values route through the deduped
+    * sharedStrings table like a real workbook, and ~30% of sheets carry a
+    * mergeCells region (rendered as colspan/rowspan on the anchor cell).
+    * The first row's last column and the last row's first column are
+    * always present, so the authored grid extent is recoverable. */
   private def xlsxSheets(r: SplitMix64): Vector[Sheet] =
     Vector.fill(1 + r.nextInt(3)) {
       val name = DocGen.cap(DocGen.word(r)) + " " + DocGen.cap(DocGen.word(r))
@@ -50,7 +54,24 @@ object OfficeGen {
           if (r.chance(0.4)) (100 + r.nextInt(900)).toString
           else DocGen.cap(DocGen.word(r)))
       }
-      Sheet(name, nCols, cells)
+      val merge =
+        if (r.chance(0.3) && nRows >= 3 && nCols >= 3) {
+          val rs = 1 + r.nextInt(2); val cs = if (rs == 1) 2 else 1 + r.nextInt(2)
+          Some((r.nextInt(nRows - rs), r.nextInt(nCols - cs), rs, cs))
+        } else None
+      // the merge anchor must hold a value; covered cells hold none
+      val withMerge = merge match {
+        case Some((r0, c0, rs, cs)) =>
+          Vector.tabulate(nRows, nCols) { (row, colI) =>
+            val inside = row >= r0 && row < r0 + rs && colI >= c0 && colI < c0 + cs
+            if (row == r0 && colI == c0)
+              Some(cells(row)(colI).getOrElse(DocGen.cap(DocGen.word(r))))
+            else if (inside) None
+            else cells(row)(colI)
+          }
+        case None => cells
+      }
+      Sheet(name, nCols, withMerge, merge)
     }
 
   private def colRef(c: Int): String = // 0 -> A .. 25 -> Z (corpus stays < 26)
@@ -71,9 +92,13 @@ object OfficeGen {
         }.mkString
         s"""<row r="${ri + 1}">$cs</row>"""
       }.mkString
+      val mergeXml = sh.merge.map { case (r0, c0, rs, cs) =>
+        val ref = s"${colRef(c0)}${r0 + 1}:${colRef(c0 + cs - 1)}${r0 + rs}"
+        s"""<mergeCells count="1"><mergeCell ref="$ref"/></mergeCells>"""
+      }.getOrElse("")
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
-         |<sheetData>$rows</sheetData></worksheet>""".stripMargin
+         |<sheetData>$rows</sheetData>$mergeXml</worksheet>""".stripMargin
     }
     val wbSheets = sheets.zipWithIndex.map { case (sh, i) =>
       s"""<sheet name="${xmlEsc(sh.name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
@@ -103,8 +128,22 @@ object OfficeGen {
   def xlsxGolden(docId: String): Vector[(String, String, String)] = {
     val r = Rng.stream("xlsx", docId)
     xlsxSheets(r).flatMap { sh =>
-      val html = sh.cells.map { row =>
-        row.map(v => s"<td>${v.getOrElse("")}</td>").mkString("<tr>", "", "</tr>")
+      def covered(row: Int, colI: Int): Boolean = sh.merge.exists {
+        case (r0, c0, rs, cs) =>
+          row >= r0 && row < r0 + rs && colI >= c0 && colI < c0 + cs &&
+            !(row == r0 && colI == c0)
+      }
+      val html = sh.cells.zipWithIndex.map { case (row, ri) =>
+        (0 until sh.nCols).flatMap { ci =>
+          if (covered(ri, ci)) None
+          else sh.merge match {
+            case Some((r0, c0, rs, cs)) if ri == r0 && ci == c0 =>
+              val csA = if (cs > 1) s""" colspan="$cs"""" else ""
+              val rsA = if (rs > 1) s""" rowspan="$rs"""" else ""
+              Some(s"<td$csA$rsA>${row(ci).getOrElse("")}</td>")
+            case _ => Some(s"<td>${row(ci).getOrElse("")}</td>")
+          }
+        }.mkString("<tr>", "", "</tr>")
       }.mkString("<table>", "", "</table>")
       Vector((Kinds.Title, sh.name, ""), (Kinds.Table, html, ""))
     }

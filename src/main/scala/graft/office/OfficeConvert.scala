@@ -31,18 +31,43 @@ object OfficeConvert {
     descendants(wb, "sheet").flatMap { sh =>
       val target = rels.getOrElse(sh.getAttribute("r:id"), "")
       val ws = parseXml(parts(s"xl/$target"))
+      // mergeCells ranges: (row0, col0, rowSpan, colSpan), 0-based
+      val merges = descendants(ws, "mergeCell").map { mc =>
+        val Array(a, b) = mc.getAttribute("ref").split(":")
+        def rowOf(ref: String): Int = ref.dropWhile(_.isLetter).toInt - 1
+        (rowOf(a), colOf(a), rowOf(b) - rowOf(a) + 1, colOf(b) - colOf(a) + 1)
+      }
+      def anchor(ri: Int, ci: Int): Option[(Int, Int, Int, Int)] =
+        merges.find { case (r0, c0, _, _) => ri == r0 && ci == c0 }
+      def coveredNotAnchor(ri: Int, ci: Int): Boolean = merges.exists {
+        case (r0, c0, rs, cs) =>
+          ri >= r0 && ri < r0 + rs && ci >= c0 && ci < c0 + cs &&
+            !(ri == r0 && ci == c0)
+      }
       val rows = descendants(ws, "row").map { row =>
-        descendants(row, "c").map { c =>
+        val cells = descendants(row, "c").map { c =>
           val raw = descendants(c, "v").headOption.map(_.getTextContent).getOrElse("")
           val v = if (c.getAttribute("t") == "s") sst(raw.toInt) else raw
           (colOf(c.getAttribute("r")), v)
         }
+        (row.getAttribute("r").toInt - 1, cells)
       }
-      val nCols = rows.iterator.flatMap(_.map(_._1)).foldLeft(-1)(math.max) + 1
-      val html = rows.map { cells =>
+      // grid extent: the rightmost written cell PLUS any merge span past it
+      val nCols = math.max(
+        rows.iterator.flatMap(_._2.map(_._1)).foldLeft(-1)(math.max) + 1,
+        merges.iterator.map { case (_, c0, _, cs) => c0 + cs }.foldLeft(0)(math.max))
+      val html = rows.map { case (ri, cells) =>
         val m = cells.toMap
-        (0 until nCols).map(ci => s"<td>${m.getOrElse(ci, "")}</td>")
-          .mkString("<tr>", "", "</tr>")
+        (0 until nCols).flatMap { ci =>
+          if (coveredNotAnchor(ri, ci)) None
+          else anchor(ri, ci) match {
+            case Some((_, _, rs, cs)) =>
+              val csA = if (cs > 1) s""" colspan="$cs"""" else ""
+              val rsA = if (rs > 1) s""" rowspan="$rs"""" else ""
+              Some(s"<td$csA$rsA>${m.getOrElse(ci, "")}</td>")
+            case None => Some(s"<td>${m.getOrElse(ci, "")}</td>")
+          }
+        }.mkString("<tr>", "", "</tr>")
       }.mkString("<table>", "", "</table>")
       Vector((Kinds.Title, sh.getAttribute("name"), "", 1),
         (Kinds.Table, html, "", 0))
