@@ -250,6 +250,16 @@ object ScaleQueries {
     out
   }
 
+  /** The FINAL dedup decision: one row per document with its component
+    * representative and the keep flag (keeper = the component's min
+    * doc_id — the reference point the whole candidates→groups chain
+    * exists to produce). Downstream training jobs filter `keep`. */
+  def dedupKeep(spark: SparkSession, dir: String): DataFrame =
+    dedupGroups(spark, dir)
+      .withColumn("keep", (col("doc_id") === col("group_id")).cast("int"))
+      .select(col("doc_id"), col("group_id"), col("keep"))
+      .orderBy("doc_id")
+
   /** Hyperplane-LSH bucket id per embedding — the scale path for ANN: a
     * 2^bits-way bucketing turns the brute-force O(n^2) into per-bucket
     * search, with `bits` growing with the corpus (annBucketBits) so bucket
@@ -350,6 +360,7 @@ object ScaleQueries {
     "simhash64" -> simhash64 _,
     "cos_neardup_pairs" -> cosNeardupPairs _,
     "dedup_groups" -> dedupGroups _,
+    "dedup_keep" -> dedupKeep _,
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_lsh_buckets" -> annLshBuckets _,
     "ann_lsh_topk" -> annLshTopK _,
