@@ -39,8 +39,11 @@ object ClassifySignals {
     * regex (single backslashes). */
   private def cnt(spark: Boolean, src: String, pattern: String): String = {
     if (spark) {
+      // native count-only expression (functions/TextExprs.CountMatches):
+      // same match semantics as size(regexp_extract_all(.., 0)) without
+      // materializing an array of every matched substring per page
       val lit = pattern.replace("\\", "\\\\").replace("'", "\\'")
-      s"size(regexp_extract_all($src, '$lit', 0))"
+      s"count_matches($src, '$lit')"
     } else {
       val lit = pattern.replace("'", "''")
       s"len(regexp_extract_all($src, '$lit'))"
@@ -51,7 +54,7 @@ object ClassifySignals {
   private def matchChars(spark: Boolean, src: String, pattern: String): String =
     if (spark) {
       val lit = pattern.replace("\\", "\\\\").replace("'", "\\'")
-      s"aggregate(transform(regexp_extract_all($src, '$lit', 0), x -> length(x)), 0, (a, x) -> a + x)"
+      s"matched_chars($src, '$lit')"
     } else {
       // list_reduce THROWS on an empty list; list_sum returns NULL
       val lit = pattern.replace("'", "''")

@@ -170,6 +170,7 @@ object Queries {
     * NOT flip to ocr (pdf_classify.py:219-232) — `img_cov_pct` shows it. */
   def classifyRouterV2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.ext.GraftExtensions.install(spark) // count_matches / matched_chars
     val ids = tbl(spark, dir, "documents")
       .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
     val raw = ids.flatMap(id => graft.corpus.DocGen.rawPages(id)).toDF()
@@ -288,11 +289,10 @@ object Queries {
     * training pipeline uses before the real BPE merge pass. */
   def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
-      .withColumn("n_bpe", expr(
-        """size(regexp_extract_all(text,
-          |  "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+", 0))""".stripMargin))
-      .withColumn("n_word", expr(
-        """size(regexp_extract_all(text, " ?\\p{L}+", 0))"""))
+      .withColumn("n_bpe", graft.functions.TextFns.countMatches(col("text"),
+        """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""))
+      .withColumn("n_word",
+        graft.functions.TextFns.countMatches(col("text"), """ ?\p{L}+"""))
       .select(col("doc_id"), col("n_bpe"), col("n_word"))
       .orderBy("doc_id")
 
@@ -341,10 +341,10 @@ object Queries {
       .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
     val raw = ids.flatMap(id => graft.corpus.DocGen.rawPages(id)).toDF()
     raw
-      .withColumn("han", expr("""size(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]', 0))"""))
-      .withColumn("kana", expr("""size(regexp_extract_all(text, '[\\x{3040}-\\x{30FF}]', 0))"""))
-      .withColumn("hang", expr("""size(regexp_extract_all(text, '[\\x{AC00}-\\x{D7AF}]', 0))"""))
-      .withColumn("latin", expr("""size(regexp_extract_all(text, '[A-Za-z]', 0))"""))
+      .withColumn("han", graft.functions.TextFns.countMatches(col("text"), """[\x{4E00}-\x{9FFF}]"""))
+      .withColumn("kana", graft.functions.TextFns.countMatches(col("text"), """[\x{3040}-\x{30FF}]"""))
+      .withColumn("hang", graft.functions.TextFns.countMatches(col("text"), """[\x{AC00}-\x{D7AF}]"""))
+      .withColumn("latin", graft.functions.TextFns.countMatches(col("text"), "[A-Za-z]"))
       .withColumn("cl", expr("""length(regexp_replace(text, '\\s+', ''))"""))
       .groupBy(col("doc_id"))
       .agg(sum(col("han")).as("han"), sum(col("kana")).as("kana"),

@@ -36,6 +36,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.filter("c = 1.0").count() == df.count())
   }
 
+  test("count_matches / matched_chars agree with regexp_extract_all on tricky inputs") {
+    import spark.implicits._
+    val rows = Seq(
+      "plain ascii text, with punct!!!! and .... leaders..........",
+      "混合 CJK と kana カナ 한글 text", "", "   ", "a.b.c....d",
+      "'s 't 're BPE-ish 123 splits", null.asInstanceOf[String])
+    val df = rows.toDF("t")
+    df.createOrReplaceTempView("cm_probe")
+    val pats = Seq("""[!-/:-@\\[-`{-~]""", """\\.{8,}""", """ ?\\p{L}+""", """[\\x{4E00}-\\x{9FFF}]""")
+    pats.foreach { p =>
+      val bad = spark.sql(
+        s"""SELECT t FROM cm_probe WHERE
+           |  count_matches(t, '$p') IS DISTINCT FROM size(regexp_extract_all(t, '$p', 0)) OR
+           |  matched_chars(t, '$p') IS DISTINCT FROM
+           |    aggregate(transform(regexp_extract_all(t, '$p', 0), x -> length(x)), 0, (a, x) -> a + x)
+           |""".stripMargin).count()
+      assert(bad == 0, s"pattern $p diverges")
+    }
+    // null in, null out
+    assert(spark.sql("SELECT count_matches(CAST(NULL AS STRING), 'x') IS NULL AS n")
+      .as[Boolean].head())
+  }
+
+  test("GraftExtensions.install is idempotent and coexists with the extension path") {
+    // install() targets Verify/Bench's bare sessions (createOrReplaceTemp
+    // semantics); here it must also be a safe no-op-like overlay on a
+    // session that ALREADY has the functions via spark.sql.extensions —
+    // classifyRouterV2 calls it unconditionally on whatever session it gets
+    val s = spark.newSession()
+    graft.ext.GraftExtensions.install(s)
+    graft.ext.GraftExtensions.install(s) // twice: createOrReplace, no conflict
+    import s.implicits._
+    assert(s.sql("SELECT count_matches('aXbXc', 'X') AS n").as[Int].head() == 2)
+    assert(s.sql("SELECT matched_chars('..mm....', '\\\\.{2,}') AS n").as[Int].head() == 6)
+  }
+
   test("expressions survive whole-stage codegen over a real column") {
     import spark.implicits._
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
