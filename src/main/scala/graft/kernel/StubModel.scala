@@ -537,15 +537,26 @@ object StubModel extends DocModel {
             while (i < lines.length) {
               val ly0 = y0 + 14.0 * i; val ly1 = ly0 + 12.0
               // a line carrying an inline equation also gets a FORMULA
-              // detection over the same box (the layout model sees the
-              // math); the pipeline's inline-formula re-class
-              // (check_inline_formula, rapid_layout.py:110-128) must fold
-              // it into the text span instead of emitting a block
+              // detection (the layout model sees the math). Post-rec (ocr)
+              // lines carry it over the whole line box — the pipeline's
+              // inline-formula re-class (check_inline_formula,
+              // rapid_layout.py:110-128) must fold it into the text span.
+              // On char-layer (txt-route) lines the det covers the actual
+              // formula substring range — the shape update_det_boxes
+              // (ocr_utils.py:193-217, txt call site span_pre_proc.py:172)
+              // consumes: the pipeline must split the empty line det
+              // around it and splice the equation back as an in-line span.
               val dollar = lines(i).indexOf('$')
               if (dollar >= 0) {
                 val end = lines(i).lastIndexOf('$')
-                dets += Det(Kinds.InlineFormula, x0, ly0, x1, ly1, score,
-                  lines(i).substring(dollar, end + 1), "", -1)
+                if (charLayer) {
+                  val cw = (x1 - x0) / lines(i).length
+                  dets += Det(Kinds.InlineFormula, x0 + dollar * cw, ly0,
+                    x0 + (end + 1) * cw, ly1, score,
+                    lines(i).substring(dollar, end + 1), "", -1)
+                } else
+                  dets += Det(Kinds.InlineFormula, x0, ly0, x1, ly1, score,
+                    lines(i).substring(dollar, end + 1), "", -1)
               }
               if (charLayer) {
                 // empty line det + text-layer chars; a trailing stop char

@@ -202,6 +202,129 @@ object PageOps {
     out.result()
   }
 
+  /** y-overlap exceeding 0.8 of the LOWER box
+    * (_is_overlaps_y_exceeds_threshold, ocr_utils.py:40-52). */
+  @inline private def yOverlapExceeds(a: Det, b: Det): Boolean = {
+    val overlap = math.min(a.y1, b.y1) - math.max(a.y0, b.y0)
+    val minH = math.min(a.h, b.h)
+    minH > 0 && overlap / minH > 0.8
+  }
+
+  /** Formula-mask det-box update (update_det_boxes, ocr_utils.py:193-217;
+    * the txt-route call site this ports is span_pre_proc.py:172): a
+    * PRE-recognition text-line detection (empty text — its content comes
+    * from the char fill) whose y-range coincides with a formula detection
+    * is split around the formula's x-interval(s) (remove_intervals via
+    * [[Geo.subtractIntervals]]) so recognition reads only text pixels. A
+    * labeled inline-equation det that cut a line is that line's in-line
+    * span carrier (pipeline_magic_model's InlineEquation spans live INSIDE
+    * the line) — it reclasses to a recognized text span here and
+    * [[joinSplitLines]] splices the line back together after the fill.
+    * Post-rec (non-empty) dets arrive already split inside the kernel
+    * (the ocr-route call, rapid_ocr.py:277) and pass through untouched.
+    * Page-local O(n·m) like the reference's own loop. */
+  def updateDetBoxes(dets: Vector[Det]): Vector[Det] = {
+    val n = dets.length
+    var anyMask = false; var anyEmpty = false
+    var i = 0
+    while (i < n) {
+      val c = dets(i).cat
+      if (c == Kinds.Formula || c == Kinds.InlineFormula) anyMask = true
+      else if (c == Kinds.Text && dets(i).text.isEmpty) anyEmpty = true
+      i += 1
+    }
+    if (!anyMask || !anyEmpty) return dets
+    val isMask = new Array[Boolean](n)
+    i = 0
+    while (i < n) {
+      val c = dets(i).cat
+      isMask(i) = c == Kinds.Formula || c == Kinds.InlineFormula
+      i += 1
+    }
+    val used = new Array[Boolean](n)
+    val pieces = new Array[Vector[(Double, Double)]](n)
+    i = 0
+    while (i < n) {
+      val d = dets(i)
+      if (d.cat == Kinds.Text && d.text.isEmpty) {
+        var cuts: List[(Double, Double)] = Nil
+        var j = 0
+        while (j < n) {
+          if (isMask(j)) {
+            val m = dets(j)
+            if (m.x1 > d.x0 && m.x0 < d.x1 && yOverlapExceeds(d, m)) {
+              cuts = (m.x0, m.x1) :: cuts
+              used(j) = true
+            }
+          }
+          j += 1
+        }
+        if (cuts.nonEmpty) pieces(i) = Geo.subtractIntervals(d.x0, d.x1, cuts)
+      }
+      i += 1
+    }
+    val out = Vector.newBuilder[Det]
+    i = 0
+    while (i < n) {
+      val d = dets(i)
+      if (pieces(i) != null)
+        pieces(i).foreach { case (a, b) => out += d.copy(x0 = a, x1 = b) }
+      else if (used(i) && d.cat == Kinds.InlineFormula)
+        out += d.copy(cat = Kinds.Text)
+      else out += d
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Exact-abutment x-junction tolerance for [[joinSplitLines]]: split
+    * pieces and their mask tile the parent det with the SAME doubles, so
+    * real junctions are exact; the smallest authored inter-det gap is 2.0. */
+  private val JoinEps = 1e-6
+
+  /** Rejoin the x-split spans of one text line after the char fill
+    * (merge_spans_to_line, ocr_utils.py:20-37: spans sharing a line join in
+    * x order; the recognized pieces and the inline-equation span become one
+    * line). A chain = text dets with IDENTICAL y-extent abutting exactly in
+    * x — the signature only det splitting produces (authored layouts keep
+    * >=2.0 gaps between distinct dets). Text concatenates bare: the char
+    * layer carries the spacing, the equation span its latex. */
+  def joinSplitLines(dets: Vector[Det]): Vector[Det] = {
+    val idx = dets.indices.filter(i => dets(i).cat == Kinds.Text)
+    if (idx.length < 2) return dets
+    val order = idx.sortBy { i => val d = dets(i); (d.y0, d.y1, d.x0, i) }.toArray
+    val replacement = new Array[Det](dets.length) // at chain head
+    val consumed = new Array[Boolean](dets.length)
+    var k = 0
+    while (k < order.length) {
+      var end = k
+      while (end + 1 < order.length && {
+        val c = dets(order(end)); val nx = dets(order(end + 1))
+        nx.y0 == c.y0 && nx.y1 == c.y1 && math.abs(nx.x0 - c.x1) <= JoinEps
+      }) end += 1
+      if (end > k) {
+        val members = (k to end).map(m => dets(order(m)))
+        val sb = new java.lang.StringBuilder()
+        members.foreach(m => sb.append(m.text))
+        val head = members.head
+        replacement(order(k)) = head.copy(x1 = members.last.x1,
+          score = members.map(_.score).max, text = sb.toString,
+          order = members.map(_.order).max, nLines = 1)
+        var m = k + 1
+        while (m <= end) { consumed(order(m)) = true; m += 1 }
+      }
+      k = end + 1
+    }
+    val out = Vector.newBuilder[Det]
+    var i = 0
+    while (i < dets.length) {
+      if (replacement(i) != null) out += replacement(i)
+      else if (!consumed(i)) out += dets(i)
+      i += 1
+    }
+    out.result()
+  }
+
   /** Full port of the reference's tie-up matching,
     * tie_up_category_by_distance_v3 (magic_model_utils.py:30-169), over
     * indices into `blocks`:
@@ -477,9 +600,15 @@ object PageOps {
 
     // 0.5 formula-level filter: drop labeled inline-equation dets when the
     //     config says not to recognize them (batch_analyze.py:182-187)
-    val updets =
+    val updets1 =
       if (formulaLevel == 1) updets0.filter(_.cat != Kinds.InlineFormula)
       else updets0
+
+    // 0.7 formula-mask det-box update (update_det_boxes — txt-route call,
+    //     span_pre_proc.py:172): pre-recognition empty line dets split
+    //     around y-coinciding formula dets; the inline-equation carriers
+    //     reclass to in-line text spans, rejoined at 3.7 after the fill
+    val updets = updateDetBoxes(updets1)
 
     // Steps 1-3 as flag passes over one array (this loop runs for every
     // page in the fleet — per-step Vector rebuilds here are measurable
@@ -496,8 +625,10 @@ object PageOps {
       alive(i) = d.score > LowConf && !(d.cat == Kinds.Text && d.score < RecMinConf)
       i += 1
     }
-    // 1.5 inline-formula fold: a LABELED inline-equation det always folds
-    //     into its text span (its content lives there,
+    // 1.5 inline-formula fold: a LABELED inline-equation det reaching this
+    //     point is the ocr-route whole-line kind (0.7 already reclassed the
+    //     txt-route line-splitting carriers) — it folds into its text span
+    //     (its content lives there,
     //     pipeline_magic_model.py InlineEquation spans); an unlabeled
     //     formula det overlapping a TEXT detection at IoU >= 0.9 folds by
     //     the geometric check (check_inline_formula, rapid_layout.py:
@@ -563,7 +694,10 @@ object PageOps {
     // 3.5 char->span fill: txt-route line detections arrive with empty text
     //     and are reconstructed from the page's pdf text layer
     //     (span_pre_proc.py:365-436)
-    val live = fillChars(survivors.result(), upchars)
+    // 3.7 line rejoin: spans the 0.7 formula-mask update split (plus the
+    //     equation carrier between them) merge back into their line
+    //     (merge_spans_to_line, ocr_utils.py:20-37)
+    val live = joinSplitLines(fillChars(survivors.result(), upchars))
 
     // 4. page-number fence: a small isolated box in the bottom margin is
     //    boilerplate even when the model mislabeled it as text. The O(n)
