@@ -220,6 +220,30 @@ object Oracles {
         |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp_int
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // GPT-style concat-and-chunk packing: the plain global prefix sum —
+    // the Spark side's two-phase range rollup must agree with it exactly
+    "seq_pack" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' '))::INT AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+        |  FROM d)
+        |SELECT doc_id, n_tok, tok_start,
+        |  (tok_start // 256)::BIGINT AS chunk_first,
+        |  ((tok_start + n_tok - 1) // 256)::BIGINT AS chunk_last
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "stratified_sample" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  len(string_split(text, ' '))::INT AS ntok FROM documents),
+        |b AS (SELECT doc_id, text,
+        |  CASE WHEN ntok >= 40 THEN 'long' WHEN ntok >= 30 THEN 'mid' ELSE 'short' END AS band
+        |  FROM d),
+        |g AS (SELECT doc_id, band,
+        |  CASE band WHEN 'long' THEN 100 WHEN 'mid' THEN 40 ELSE 15 END AS rate,
+        |  (('0x' || substr(md5(text), 1, 8))::BIGINT % 100)::INT AS gate FROM b)
+        |SELECT doc_id, band, gate FROM g WHERE gate < rate ORDER BY doc_id""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id,

@@ -296,6 +296,58 @@ object Queries {
       .select(col("doc_id"), col("n_bpe"), col("n_word"))
       .orderBy("doc_id")
 
+  /** GPT-style sequence packing (concat-and-chunk): documents concatenate
+    * in doc_id order into one token stream cut every [[SeqPackBudget]]
+    * tokens; each doc reports its stream offset and the first/last training
+    * chunk it lands in. The prefix sum is the DISTRIBUTED two-phase shape —
+    * per-range partial sums roll up over the (tiny) range table, never a
+    * global single-partition window: the in-range cumsum windows partition
+    * by range, and only the #ranges-row offset table sees an unpartitioned
+    * window (at 10^12 docs, make the range a million docs and recurse —
+    * the pattern, not the constant, is the contract). */
+  val SeqPackBudget = 256
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("rng", expr("doc_id div 100"))
+    val inRange = Window.partitionBy(col("rng")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rangeTotals = docs.groupBy(col("rng")).agg(sum(col("n_tok")).as("rtot"))
+    val overRanges = Window.orderBy(col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rangeTotals
+      .withColumn("roff", coalesce(sum(col("rtot")).over(overRanges), lit(0L)))
+      .select(col("rng"), col("roff"))
+    docs
+      .withColumn("incum", coalesce(sum(col("n_tok")).over(inRange), lit(0L)))
+      .join(broadcast(offsets), "rng")
+      .withColumn("tok_start", col("roff") + col("incum"))
+      .select(col("doc_id"), col("n_tok"), col("tok_start"),
+        expr(s"tok_start div $SeqPackBudget").as("chunk_first"),
+        expr(s"(tok_start + n_tok - 1) div $SeqPackBudget").as("chunk_last"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified downsampling — the corpus-rebalancing pass a
+    * training pipeline runs before mixing (keep rates per stratum, membership
+    * by content hash so the sample is reproducible and shard-free): strata =
+    * token-count bands, keep when the doc fingerprint's first 8 hex digits
+    * mod 100 fall under the band's rate (long docs kept whole, short ones
+    * thinned hard). Hash-gate sampling is embarrassingly parallel — no
+    * shuffle at all until a downstream consumer asks for one. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .withColumn("ntok", size(split(col("text"), " ")))
+      .withColumn("band", expr(
+        "CASE WHEN ntok >= 40 THEN 'long' WHEN ntok >= 30 THEN 'mid' ELSE 'short' END"))
+      .withColumn("rate", expr(
+        "CASE band WHEN 'long' THEN 100 WHEN 'mid' THEN 40 ELSE 15 END"))
+      .withColumn("gate", expr(
+        "CAST(conv(substring(md5(text), 1, 8), 16, 10) % 100 AS INT)"))
+      .filter(col("gate") < col("rate"))
+      .select(col("doc_id"), col("band"), col("gate"))
+      .orderBy("doc_id")
+
   /** Heuristic document quality score: token count, stopword ratio and
     * average token length folded into [0,1]. Raw double output — identical
     * operation order on both sides makes it bit-exact. */
@@ -700,6 +752,8 @@ object Queries {
     "footnote_reclass" -> footnoteReclass _,
     "det_min_width_filter" -> detMinWidthFilter _,
     "dedup_exact" -> dedupExact _,
+    "seq_pack" -> seqPack _,
+    "stratified_sample" -> stratifiedSample _,
     "token_count" -> tokenCount _,
     "token_count_bpe" -> tokenCountBpe _,
     "quality_score" -> qualityScore _,

@@ -98,6 +98,23 @@ object ScaleOracles {
       s"""$minhashCtes
          |SELECT doc_id, b_id, nbands FROM cand ORDER BY doc_id, b_id""".stripMargin,
 
+    // exact-Jaccard verification of the capped candidates: shared-shingle
+    // count per pair on the 8-byte shingle hash, integer threshold test
+    // 3*inter >= |A|+|B|  <=>  Jaccard >= 1/2
+    "minhash_verify" ->
+      s"""$minhashCtes,
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM sh GROUP BY doc_id),
+         |iv AS (SELECT c.doc_id AS a_id, c.b_id, count(*)::BIGINT AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.g32 = sa.g32
+         |  GROUP BY c.doc_id, c.b_id)
+         |SELECT a_id AS doc_id, b_id, inter,
+         |  (za.nsh + zb.nsh - inter)::BIGINT AS uni
+         |FROM iv JOIN sz za ON za.doc_id = a_id JOIN sz zb ON zb.doc_id = b_id
+         |WHERE 3 * inter >= za.nsh + zb.nsh
+         |ORDER BY doc_id, b_id""".stripMargin,
+
     // connected components over the candidate graph: transitive closure by
     // recursive CTE (small candidate graph), min-reachable-id per node;
     // singletons map to themselves

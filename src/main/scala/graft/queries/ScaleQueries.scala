@@ -135,6 +135,32 @@ object ScaleQueries {
       .orderBy("doc_id", "b_id")
   }
 
+  /** Exact-Jaccard verification of the MinHash candidates — the VERIFY
+    * stage of the canonical candidates -> verify -> groups dedup chain
+    * (LSH recalls a superset; only candidate pairs pay the exact set
+    * comparison, O(candidates × shingles/doc) — never n²). Each pair joins
+    * back to its two distinct-shingle sets on the 8-byte shingle hash (the
+    * same join-key discipline as dedup_ngram_jaccard) and survives when
+    * exact Jaccard >= 1/2, tested INTEGER-exactly:
+    * inter/(|A|+|B|-inter) >= 1/2  <=>  3*inter >= |A|+|B|. */
+  def minhashVerify(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).select(col("doc_id"), col("g32"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val cand = minhashLshPairs(spark, dir).select(col("doc_id").as("a_id"), col("b_id"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("g32")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("g32")), Seq("b_id", "g32"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("nsh").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("nsh").as("nb")), "b_id")
+      .filter(lit(3) * col("inter") >= col("na") + col("nb"))
+      .select(col("a_id").as("doc_id"), col("b_id"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+      .orderBy("doc_id", "b_id")
+  }
+
   /** 64-bit SimHash over distinct tokens, carried as two 32-bit halves so
     * neither side can overflow a signed 64-bit shift-accumulate. */
   def simhash64(spark: SparkSession, dir: String): DataFrame = {
@@ -357,6 +383,7 @@ object ScaleQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "minhash_lsh_pairs" -> minhashLshPairs _,
+    "minhash_verify" -> minhashVerify _,
     "simhash64" -> simhash64 _,
     "cos_neardup_pairs" -> cosNeardupPairs _,
     "dedup_groups" -> dedupGroups _,
