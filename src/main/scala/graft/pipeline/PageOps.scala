@@ -263,6 +263,10 @@ object PageOps {
       }
       i += 1
     }
+    var changed = false
+    i = 0
+    while (i < n && !changed) { changed = pieces(i) != null || used(i); i += 1 }
+    if (!changed) return dets // referential no-op: lets the caller skip the rejoin
     val out = Vector.newBuilder[Det]
     i = 0
     while (i < n) {
@@ -696,8 +700,11 @@ object PageOps {
     //     (span_pre_proc.py:365-436)
     // 3.7 line rejoin: spans the 0.7 formula-mask update split (plus the
     //     equation carrier between them) merge back into their line
-    //     (merge_spans_to_line, ocr_utils.py:20-37)
-    val live = joinSplitLines(fillChars(survivors.result(), upchars))
+    //     (merge_spans_to_line, ocr_utils.py:20-37) — only pages where 0.7
+    //     actually split anything pay the rejoin sort (referential no-op
+    //     check; most pages have no formula-cut line)
+    val filled = fillChars(survivors.result(), upchars)
+    val live = if (updets eq updets1) filled else joinSplitLines(filled)
 
     // 4. page-number fence: a small isolated box in the bottom margin is
     //    boilerplate even when the model mislabeled it as text. The O(n)
