@@ -1,0 +1,104 @@
+package graft.html
+
+import graft.office.Ooxml
+import graft.pipeline.TableMerge
+import graft.schema.{Kinds, OutSpan}
+import org.w3c.dom.Element
+
+/** HTML main-content extraction: DOM walk + boilerplate strip into the
+  * engine's (kind, text, media_ref, order) span contract — the north
+  * rule's "HTML boilerplate strip, DOM heuristics" tier.
+  *
+  * Two independent strip rules, both load-bearing on the corpus:
+  *  1. TAG rule — script/style/nav/header/footer/aside/form and the
+  *    document head never carry main content (the semantic-boilerplate
+  *    element classes).
+  *  2. LINK-DENSITY rule — a leaf block whose anchor text exceeds HALF its
+  *    text (2·anchorChars > chars) is navigation in content clothing
+  *    (promo rows, related-article lists, read-more stubs). This is the
+  *    jusText / readability-family density heuristic; the corpus authors
+  *    the traps with plain div/ul/p markup so only this rule can separate
+  *    them, and a content paragraph with an inline anchor plus a plain
+  *    list must SURVIVE it.
+  *
+  * Input is the corpus' well-formed XHTML via the shared JDK DOM parser;
+  * a real crawl needs a lenient HTML5 parser in front (tag-soup repair is
+  * a parsing concern, not an extraction one — the walk is parser-
+  * agnostic). */
+object HtmlConvert {
+
+  private val StripTags = Set("script", "style", "nav", "form", "noscript",
+    "iframe", "header", "footer", "aside", "head")
+  private val ContainerTags = Set("body", "main", "article", "section", "div")
+  private val BlockTags = ContainerTags ++ Set("p", "h1", "h2", "h3", "h4",
+    "h5", "h6", "figure", "table", "pre", "ul", "ol")
+
+  private def anchorChars(e: Element): Int = {
+    var n = 0
+    Ooxml.descendants(e, "a").foreach(a => n += a.getTextContent.length)
+    n
+  }
+
+  /** 2·anchorChars > chars — anchor text dominates the block. */
+  private def linkDense(e: Element): Boolean = {
+    val total = e.getTextContent.length
+    total > 0 && 2 * anchorChars(e) > total
+  }
+
+  def convert(docId: String, bytes: Array[Byte]): Vector[OutSpan] = {
+    val root = Ooxml.parseXml(new String(bytes, "UTF-8"))
+    val body = Ooxml.children(root).find(_.getTagName == "body")
+      .getOrElse(return Vector.empty)
+    val out = Vector.newBuilder[(String, String, String)]
+
+    def emitTable(e: Element): Unit = {
+      val rows = Ooxml.descendants(e, "tr").map { tr =>
+        Ooxml.children(tr)
+          .filter(c => c.getTagName == "td" || c.getTagName == "th")
+          .map { td =>
+            def span(attr: String) =
+              Option(td.getAttribute(attr)).filter(_.nonEmpty)
+                .flatMap(_.toIntOption).getOrElse(1)
+            TableMerge.Cell(td.getTextContent, span("colspan"), span("rowspan"))
+          }
+      }
+      out += ((Kinds.Table, TableMerge.render(rows), ""))
+    }
+
+    def walk(e: Element): Unit = e.getTagName match {
+      case t if StripTags(t) => ()
+      case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+        if (!linkDense(e)) out += ((Kinds.Title, e.getTextContent, ""))
+      case "p" =>
+        if (!linkDense(e)) out += ((Kinds.Text, e.getTextContent, ""))
+      case "ul" | "ol" =>
+        if (!linkDense(e)) {
+          val items = Ooxml.children(e).filter(_.getTagName == "li")
+          val text =
+            if (items.nonEmpty) items.map(_.getTextContent).mkString("\n")
+            else e.getTextContent
+          out += ((Kinds.ListK, text, ""))
+        }
+      case "figure" =>
+        Ooxml.children(e).foreach {
+          case img if img.getTagName == "img" =>
+            out += ((Kinds.Figure, "", img.getAttribute("src")))
+          case cap if cap.getTagName == "figcaption" =>
+            out += ((Kinds.Caption, cap.getTextContent, ""))
+          case _ => ()
+        }
+      case "img" => out += ((Kinds.Figure, "", e.getAttribute("src")))
+      case "table" => emitTable(e)
+      case "pre" => out += ((Kinds.Algorithm, e.getTextContent, ""))
+      case t if ContainerTags(t) =>
+        val kids = Ooxml.children(e)
+        if (kids.exists(k => BlockTags(k.getTagName))) kids.foreach(walk)
+        else if (e.getTextContent.nonEmpty && !linkDense(e))
+          out += ((Kinds.Text, e.getTextContent, "")) // leaf div = paragraph
+      case _ => () // stray inline element at block level carries no block
+    }
+
+    walk(body)
+    out.result().zipWithIndex.map { case ((k, t, m), ord) => OutSpan(k, t, m, ord) }
+  }
+}

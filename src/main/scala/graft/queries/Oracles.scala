@@ -360,6 +360,13 @@ object Oracles {
         |JOIN ids ON g.doc_id = ids.did
         |ORDER BY g.doc_id, g.ord""".stripMargin,
 
+    "html_extract" ->
+      """WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents)
+        |SELECT g.doc_id, g.ord, g.kind, g.media_ref, g.text
+        |FROM read_parquet('/root/repo/src/test/resources/golden/html_golden.parquet') g
+        |JOIN ids ON g.doc_id = ids.did
+        |ORDER BY g.doc_id, g.ord""".stripMargin,
+
     // block-aware chunk packing replayed as a sequential walk (recursive
     // CTE advances every doc by one span per step) over the committed
     // golden spans — an independent implementation of the same splitter

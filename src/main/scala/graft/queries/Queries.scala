@@ -658,6 +658,24 @@ object Queries {
       .orderBy("doc_id", "ord")
   }
 
+  /** HTML main-content extraction (the north rule's "HTML boilerplate
+    * strip + DOM heuristics" input tier): the engine generates each page's
+    * XHTML live and runs the real DOM walk + tag/link-density strip
+    * in-partition; DuckDB replays from the committed html_golden.parquet —
+    * the compare covers generation determinism + the strip heuristics. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents")
+      .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
+    ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val spans = graft.html.HtmlConvert.convert(id, graft.corpus.HtmlGen.bytes(id))
+        spans.map(s => (id, s.order, s.kind, s.media_ref, s.text))
+      }
+    }.toDF("doc_id", "ord", "kind", "media_ref", "text")
+      .orderBy("doc_id", "ord")
+  }
+
   // ---------------------------------------------------------------------
   // Relational headliners over the TPC-H-ish tables
   // ---------------------------------------------------------------------
@@ -772,6 +790,7 @@ object Queries {
     "seal_texts" -> sealTexts _,
     "chunk_blocks" -> chunkBlocks _,
     "office_extract" -> officeExtract _,
+    "html_extract" -> htmlExtract _,
     "q1_agg" -> q1Agg _,
     "q2_join_topk" -> q2JoinTopK _,
     "events_hourly" -> eventsHourly _,
