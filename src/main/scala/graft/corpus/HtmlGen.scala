@@ -29,12 +29,21 @@ object HtmlGen {
   private case class HTable(cells: Vector[Vector[String]]) extends HBlock
   private case class HCode(text: String) extends HBlock
   private case class HList(items: Vector[String]) extends HBlock
+  private case class HQuote(text: String) extends HBlock
 
   private case class Page(title: String, blocks: Vector[HBlock],
       navLinks: Vector[String], promo: Option[Vector[String]],
       /** trap positions: after block i insert a read-more p / related ul */
       readMoreAfter: Map[Int, String], relatedAfter: Map[Int, Vector[String]],
-      siteName: String, asideLinks: Vector[String], footerLinks: Vector[String])
+      siteName: String, asideLinks: Vector[String], footerLinks: Vector[String],
+      /** ad-marker trap positions (SHORT-CAPS rule) */
+      adAfter: Set[Int],
+      /** share-bar trap: plain div, lowercase text, no links — only the
+        * UNLIKELY-CLASS rule separates it */
+      share: Option[Vector[String]],
+      /** comment-section trap: id="comments" div whose paragraphs read
+        * exactly like content */
+      comments: Option[Vector[String]])
 
   private def page(docId: String): Page = {
     val r = Rng.stream("html", docId)
@@ -66,8 +75,10 @@ object HtmlGen {
         tabK += 1
         HTable(Vector.fill(2 + r.nextInt(2))(Vector.fill(2 + r.nextInt(2))(
           if (r.chance(0.4)) (100 + r.nextInt(900)).toString else DocGen.word(r))))
-      } else if (roll < 0.93)
+      } else if (roll < 0.91)
         HCode(s"for i in range(${1 + r.nextInt(20)}):\n    acc += ${DocGen.word(r)}[i]")
+      else if (roll < 0.95)
+        HQuote(DocGen.paragraphOnce(r))
       else HList(Vector.fill(3 + r.nextInt(3))(
         DocGen.cap(DocGen.word(r)) + " " + DocGen.word(r) + " " + DocGen.word(r)))
     }
@@ -78,7 +89,15 @@ object HtmlGen {
         DocGen.word(r) + " " + DocGen.word(r))).toMap
     val aside = Vector.fill(2 + r.nextInt(2))(DocGen.cap(DocGen.word(r)))
     val footer = Vector.fill(3)(DocGen.cap(DocGen.word(r)))
-    Page(title, blocks, nav, promo, readMore, related, siteName, aside, footer)
+    val adAfter = blocks.indices.filter(_ => r.chance(0.12)).toSet
+    val share =
+      if (r.chance(0.5)) Some(Vector.fill(3)(DocGen.cap(DocGen.word(r))))
+      else None
+    val comments =
+      if (r.chance(0.4)) Some(Vector.fill(2 + r.nextInt(2))(DocGen.paragraphOnce(r)))
+      else None
+    Page(title, blocks, nav, promo, readMore, related, siteName, aside, footer,
+      adAfter, share, comments)
   }
 
   /** The XHTML page bytes. Block elements carry their text with no inner
@@ -117,6 +136,7 @@ object HtmlGen {
             row.map(c => s"<td>${xmlEsc(c)}</td>").mkString("<tr>", "", "</tr>"))
             .mkString("<table>", "", "</table>") + "\n"
         case HCode(t) => sb ++= s"<pre>${xmlEsc(t)}</pre>\n"
+        case HQuote(t) => sb ++= s"<blockquote>${xmlEsc(t)}</blockquote>\n"
         case HList(items) =>
           sb ++= items.map(it => s"<li>${xmlEsc(it)}</li>")
             .mkString("<ul>", "", "</ul>") + "\n"
@@ -128,6 +148,17 @@ object HtmlGen {
         sb ++= links.map(l => s"""<li><a href="/r">${xmlEsc(l)}</a></li>""")
           .mkString("<ul>", "", "</ul>") + "\n" // link-farm ul trap
       }
+      if (p.adAfter(i)) // short-caps trap: no tag/class/link marks it
+        sb ++= (if (i % 2 == 0) "<p>ADVERTISEMENT</p>\n"
+                else "<div>SPONSORED CONTENT</div>\n")
+    }
+    p.share.foreach { names => // unlikely-CLASS trap: lowercase, link-free
+      sb ++= s"""<div class="share-tools">Share this with ${names.map(xmlEsc).mkString(", ")} readers</div>""" + "\n"
+    }
+    p.comments.foreach { paras => // unlikely-ID trap: content-like paragraphs
+      sb ++= "<div id=\"comments\"><h3>Comments</h3>"
+      paras.foreach(t => sb ++= s"<p>${xmlEsc(t)}</p>")
+      sb ++= "</div>\n"
     }
     sb ++= "</main>\n"
     sb ++= p.asideLinks.map(l => s"""<a href="/s">${xmlEsc(l)}</a>""")
@@ -152,6 +183,7 @@ object HtmlGen {
         cap.foreach(c => out += ((Kinds.Caption, c, "")))
       case HTable(cells) => out += ((Kinds.Table, DocxGen.tableHtmlOf(cells), ""))
       case HCode(t) => out += ((Kinds.Algorithm, t, ""))
+      case HQuote(t) => out += ((Kinds.Text, t, ""))
       case HList(items) => out += ((Kinds.ListK, items.mkString("\n"), ""))
     }
     out.result().zipWithIndex.map { case ((k, t, m), ord) => OutSpan(k, t, m, ord) }

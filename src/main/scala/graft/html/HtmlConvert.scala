@@ -9,7 +9,8 @@ import org.w3c.dom.Element
   * engine's (kind, text, media_ref, order) span contract — the north
   * rule's "HTML boilerplate strip, DOM heuristics" tier.
   *
-  * Two independent strip rules, both load-bearing on the corpus:
+  * Four independent strip rules, each load-bearing on the corpus (each
+  * has an authored trap only it can catch):
   *  1. TAG rule — script/style/nav/header/footer/aside/form and the
   *    document head never carry main content (the semantic-boilerplate
   *    element classes).
@@ -20,6 +21,15 @@ import org.w3c.dom.Element
   *    the traps with plain div/ul/p markup so only this rule can separate
   *    them, and a content paragraph with an inline anchor plus a plain
   *    list must SURVIVE it.
+  *  3. UNLIKELY-CLASS rule — readability's unlikelyCandidates family: an
+  *    element whose class/id names a share bar, comment section, sponsor
+  *    slot, breadcrumb, … is dropped with its subtree. Catches chrome
+  *    that is neither semantically tagged nor link-dense (share buttons,
+  *    user-comment paragraphs that read like content).
+  *  4. SHORT-CAPS rule — a short leaf block with letters but no lowercase
+  *    ("ADVERTISEMENT", "SPONSORED CONTENT") is an ad/section marker, the
+  *    jusText low-stopword "bad" class at its extreme; no tag, class, or
+  *    link separates these.
   *
   * Input is the corpus' well-formed XHTML via the shared JDK DOM parser;
   * a real crawl needs a lenient HTML5 parser in front (tag-soup repair is
@@ -31,7 +41,26 @@ object HtmlConvert {
     "iframe", "header", "footer", "aside", "head")
   private val ContainerTags = Set("body", "main", "article", "section", "div")
   private val BlockTags = ContainerTags ++ Set("p", "h1", "h2", "h3", "h4",
-    "h5", "h6", "figure", "table", "pre", "ul", "ol")
+    "h5", "h6", "figure", "table", "pre", "ul", "ol", "blockquote")
+
+  /** readability's unlikelyCandidates class/id vocabulary (the stable
+    * cross-site subset). */
+  private val UnlikelyRe = java.util.regex.Pattern.compile(
+    "(?i)comment|share|social|sidebar|sponsor|promo|banner|advert|" +
+      "breadcrumb|disqus|shoutbox|pager|popup|masthead|related")
+
+  private def unlikely(e: Element): Boolean = {
+    val cls = e.getAttribute("class")
+    val id = e.getAttribute("id")
+    (cls.nonEmpty && UnlikelyRe.matcher(cls).find()) ||
+      (id.nonEmpty && UnlikelyRe.matcher(id).find())
+  }
+
+  /** Letters but no lowercase, short: an ad/section marker. */
+  private def capsBoiler(text: String): Boolean = {
+    val s = text.trim
+    s.nonEmpty && s.length <= 60 && s.exists(_.isLetter) && !s.exists(_.isLower)
+  }
 
   private def anchorChars(e: Element): Int = {
     var n = 0
@@ -66,10 +95,13 @@ object HtmlConvert {
     }
 
     def walk(e: Element): Unit = e.getTagName match {
-      case t if StripTags(t) => ()
+      case t if StripTags(t) || unlikely(e) => ()
       case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
         if (!linkDense(e)) out += ((Kinds.Title, e.getTextContent, ""))
       case "p" =>
+        if (!linkDense(e) && !capsBoiler(e.getTextContent))
+          out += ((Kinds.Text, e.getTextContent, ""))
+      case "blockquote" =>
         if (!linkDense(e)) out += ((Kinds.Text, e.getTextContent, ""))
       case "ul" | "ol" =>
         if (!linkDense(e)) {
@@ -93,7 +125,8 @@ object HtmlConvert {
       case t if ContainerTags(t) =>
         val kids = Ooxml.children(e)
         if (kids.exists(k => BlockTags(k.getTagName))) kids.foreach(walk)
-        else if (e.getTextContent.nonEmpty && !linkDense(e))
+        else if (e.getTextContent.nonEmpty && !linkDense(e) &&
+            !capsBoiler(e.getTextContent))
           out += ((Kinds.Text, e.getTextContent, "")) // leaf div = paragraph
       case _ => () // stray inline element at block level carries no block
     }

@@ -39,6 +39,11 @@ class HtmlSpec extends AnyFunSuite {
     assert(pages.exists(_.contains("<div>Hot: ")), "promo trap authored")
     assert(pages.exists(_.contains("""<p><a href="/more">""")), "read-more trap authored")
     assert(pages.exists(_.contains("""<li><a href="/r">""")), "related-list trap authored")
+    assert(pages.exists(_.contains("<p>ADVERTISEMENT</p>")), "caps-ad trap authored")
+    assert(pages.exists(_.contains("<div>SPONSORED CONTENT</div>")), "caps-div trap authored")
+    assert(pages.exists(_.contains("""class="share-tools"""")), "share-bar trap authored")
+    assert(pages.exists(_.contains("""id="comments"""")), "comments trap authored")
+    assert(pages.exists(_.contains("<blockquote>")), "blockquote authored")
     val goldens = (0 until 300).flatMap(i => HtmlGen.golden(id(i)))
     assert(goldens.exists(s => s.kind == Kinds.ListK), "plain content list survives")
     assert(goldens.exists(s => s.kind == Kinds.Table), "table survives")
@@ -68,5 +73,24 @@ class HtmlSpec extends AnyFunSuite {
     assert(spans.map(_.kind) == Vector(Kinds.Text, Kinds.ListK))
     assert(spans.head.text.contains("tiny link"))
     assert(spans(1).text == "Alpha beta gamma\nDelta epsilon zeta")
+  }
+
+  test("hand case: unlikely-class and short-caps rules") {
+    val html =
+      """<html><head><title>t</title></head><body>
+        |<main>
+        |<p>ADVERTISEMENT</p>
+        |<p>A real paragraph of readable content words here.</p>
+        |<div>SPONSORED CONTENT</div>
+        |<blockquote>A quoted passage kept as content text.</blockquote>
+        |<div class="share-tools">Share this with your friends today</div>
+        |<div id="comments"><h3>Comments</h3><p>A comment that reads like content.</p></div>
+        |</main></body></html>""".stripMargin.getBytes("UTF-8")
+    val spans = HtmlConvert.convert("t", html)
+    assert(spans.map(_.kind) == Vector(Kinds.Text, Kinds.Text))
+    assert(spans.head.text == "A real paragraph of readable content words here.")
+    assert(spans(1).text == "A quoted passage kept as content text.")
+    // the comments h3 must not leak as a title
+    assert(!spans.exists(_.text == "Comments"))
   }
 }
