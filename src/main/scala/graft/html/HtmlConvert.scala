@@ -2,7 +2,7 @@ package graft.html
 
 import graft.office.Ooxml
 import graft.pipeline.TableMerge
-import graft.schema.{Kinds, OutSpan}
+import graft.schema.{DocResult, Kinds, OrderedBlock, OutSpan}
 import org.w3c.dom.Element
 
 /** HTML main-content extraction: DOM walk + boilerplate strip into the
@@ -74,11 +74,28 @@ object HtmlConvert {
     total > 0 && 2 * anchorChars(e) > total
   }
 
-  def convert(docId: String, bytes: Array[Byte]): Vector[OutSpan] = {
+  def convert(docId: String, bytes: Array[Byte]): Vector[OutSpan] =
+    blocks(bytes).zipWithIndex.map { case ((k, t, m, _), ord) =>
+      OutSpan(k, t, m, ord)
+    }
+
+  /** The full result contract (spans + rendered markdown), heading levels
+    * carried from the hN tags. */
+  def result(docId: String, bytes: Array[Byte]): DocResult = {
+    val ordered = blocks(bytes).zipWithIndex.map { case ((k, t, m, lvl), ord) =>
+      OrderedBlock(k, t, m, 0, ord, lvl)
+    }
+    DocResult(docId,
+      ordered.map(b => OutSpan(b.kind, b.text, b.media_ref, b.index)),
+      graft.pipeline.Assemble.renderMarkdown(ordered))
+  }
+
+  /** (kind, text, media_ref, headingLevel) in document order. */
+  private def blocks(bytes: Array[Byte]): Vector[(String, String, String, Int)] = {
     val root = Ooxml.parseXml(new String(bytes, "UTF-8"))
     val body = Ooxml.children(root).find(_.getTagName == "body")
       .getOrElse(return Vector.empty)
-    val out = Vector.newBuilder[(String, String, String)]
+    val out = Vector.newBuilder[(String, String, String, Int)]
 
     def emitTable(e: Element): Unit = {
       val rows = Ooxml.descendants(e, "tr").map { tr =>
@@ -91,47 +108,48 @@ object HtmlConvert {
             TableMerge.Cell(td.getTextContent, span("colspan"), span("rowspan"))
           }
       }
-      out += ((Kinds.Table, TableMerge.render(rows), ""))
+      out += ((Kinds.Table, TableMerge.render(rows), "", 0))
     }
 
     def walk(e: Element): Unit = e.getTagName match {
       case t if StripTags(t) || unlikely(e) => ()
-      case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
-        if (!linkDense(e)) out += ((Kinds.Title, e.getTextContent, ""))
+      case t @ ("h1" | "h2" | "h3" | "h4" | "h5" | "h6") =>
+        if (!linkDense(e))
+          out += ((Kinds.Title, e.getTextContent, "", t.charAt(1) - '0'))
       case "p" =>
         if (!linkDense(e) && !capsBoiler(e.getTextContent))
-          out += ((Kinds.Text, e.getTextContent, ""))
+          out += ((Kinds.Text, e.getTextContent, "", 0))
       case "blockquote" =>
-        if (!linkDense(e)) out += ((Kinds.Text, e.getTextContent, ""))
+        if (!linkDense(e)) out += ((Kinds.Text, e.getTextContent, "", 0))
       case "ul" | "ol" =>
         if (!linkDense(e)) {
           val items = Ooxml.children(e).filter(_.getTagName == "li")
           val text =
             if (items.nonEmpty) items.map(_.getTextContent).mkString("\n")
             else e.getTextContent
-          out += ((Kinds.ListK, text, ""))
+          out += ((Kinds.ListK, text, "", 0))
         }
       case "figure" =>
         Ooxml.children(e).foreach {
           case img if img.getTagName == "img" =>
-            out += ((Kinds.Figure, "", img.getAttribute("src")))
+            out += ((Kinds.Figure, "", img.getAttribute("src"), 0))
           case cap if cap.getTagName == "figcaption" =>
-            out += ((Kinds.Caption, cap.getTextContent, ""))
+            out += ((Kinds.Caption, cap.getTextContent, "", 0))
           case _ => ()
         }
-      case "img" => out += ((Kinds.Figure, "", e.getAttribute("src")))
+      case "img" => out += ((Kinds.Figure, "", e.getAttribute("src"), 0))
       case "table" => emitTable(e)
-      case "pre" => out += ((Kinds.Algorithm, e.getTextContent, ""))
+      case "pre" => out += ((Kinds.Algorithm, e.getTextContent, "", 0))
       case t if ContainerTags(t) =>
         val kids = Ooxml.children(e)
         if (kids.exists(k => BlockTags(k.getTagName))) kids.foreach(walk)
         else if (e.getTextContent.nonEmpty && !linkDense(e) &&
             !capsBoiler(e.getTextContent))
-          out += ((Kinds.Text, e.getTextContent, "")) // leaf div = paragraph
+          out += ((Kinds.Text, e.getTextContent, "", 0)) // leaf div = paragraph
       case _ => () // stray inline element at block level carries no block
     }
 
     walk(body)
-    out.result().zipWithIndex.map { case ((k, t, m), ord) => OutSpan(k, t, m, ord) }
+    out.result()
   }
 }

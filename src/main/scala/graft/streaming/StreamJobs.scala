@@ -36,6 +36,33 @@ object StreamJobs {
       }
   }
 
+  /** Continuous HTML ingestion over a binary landing directory: landed
+    * .html pages stream in via the binaryFile source and the DOM walk +
+    * boilerplate strip runs inside the partition (the same per-document
+    * function as the batch html_extract), emitting the full DocResult
+    * contract (spans + markdown). Stateless, exactly-once with a
+    * replayable source/sink. */
+  def htmlStream(spark: SparkSession, landingDir: String): Dataset[DocResult] = {
+    import spark.implicits._
+    spark.readStream
+      .format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("pathGlobFilter", "*.html")
+      .load(landingDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (path, bytes) =>
+          val id = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".html")
+          graft.html.HtmlConvert.result(id, bytes)
+        }
+      }
+  }
+
   /** Continuous OFFICE ingestion over a binary landing directory: newly
     * landed .docx/.xlsx/.pptx packages stream in via the binaryFile source
     * and convert inside the partition (zip + DOM + rels — the same

@@ -61,6 +61,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming html ingestion strips boilerplate to golden spans") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft_html_landing").toString
+    def drop(ids: Range): Unit = ids.foreach { i =>
+      val id = f"doc-$i%012d"
+      Files.write(java.nio.file.Paths.get(s"$landing/$id.html"),
+        graft.corpus.HtmlGen.bytes(id))
+    }
+    drop(0 until 15)
+    drop(15 until 30)
+    val q = StreamJobs.htmlStream(spark, landing)
+      .writeStream.format("memory").queryName("html_stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("html_stream_out")
+      .as[graft.schema.DocResult].collect()
+      .map(r => r.doc_id -> (r.spans, r.markdown)).toMap
+    assert(got.size == 30)
+    (0 until 30).foreach { i =>
+      val id = f"doc-$i%012d"
+      val (spans, md) = got(id)
+      assert(spans == graft.corpus.HtmlGen.golden(id), s"html stream mismatch for $id")
+      // the h1 renders as a level-1 heading; article h2s as level 2
+      assert(md.startsWith("# "), s"markdown heading missing for $id")
+    }
+  }
+
   test("stateful sessionization stitches sessions across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
