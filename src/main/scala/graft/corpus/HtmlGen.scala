@@ -43,7 +43,13 @@ object HtmlGen {
       share: Option[Vector[String]],
       /** comment-section trap: id="comments" div whose paragraphs read
         * exactly like content */
-      comments: Option[Vector[String]])
+      comments: Option[Vector[String]],
+      /** short content sentence after block i — kept only by the CONTEXT
+        * rule (good neighbor) */
+      shortGoodAfter: Map[Int, String],
+      /** short teaser sandwiched between two link farms after block i —
+        * dropped only by the CONTEXT rule (both neighbors bad) */
+      chromeShortAfter: Set[Int])
 
   private def page(docId: String): Page = {
     val r = Rng.stream("html", docId)
@@ -96,8 +102,12 @@ object HtmlGen {
     val comments =
       if (r.chance(0.4)) Some(Vector.fill(2 + r.nextInt(2))(DocGen.paragraphOnce(r)))
       else None
+    val shortGood = blocks.indices.filter(_ => r.chance(0.15))
+      .map(i => i -> (DocGen.cap(DocGen.word(r).take(8)) + " holds."))
+      .toMap
+    val chromeShort = blocks.indices.filter(_ => r.chance(0.12)).toSet
     Page(title, blocks, nav, promo, readMore, related, siteName, aside, footer,
-      adAfter, share, comments)
+      adAfter, share, comments, shortGood, chromeShort)
   }
 
   /** The XHTML page bytes. Block elements carry their text with no inner
@@ -141,6 +151,11 @@ object HtmlGen {
           sb ++= items.map(it => s"<li>${xmlEsc(it)}</li>")
             .mkString("<ul>", "", "</ul>") + "\n"
       }
+      p.shortGoodAfter.get(i).foreach { t =>
+        // short content sentence directly after its (good) paragraph — the
+        // CONTEXT rule must keep it
+        sb ++= s"<p>${xmlEsc(t)}</p>\n"
+      }
       p.readMoreAfter.get(i).foreach { t =>
         sb ++= s"""<p><a href="/more">${xmlEsc(t)}</a></p>""" + "\n" // pure-link trap
       }
@@ -151,6 +166,11 @@ object HtmlGen {
       if (p.adAfter(i)) // short-caps trap: no tag/class/link marks it
         sb ++= (if (i % 2 == 0) "<p>ADVERTISEMENT</p>\n"
                 else "<div>SPONSORED CONTENT</div>\n")
+      if (p.chromeShortAfter(i)) // short teaser between two link farms:
+        // per-block rules all pass it; only the CONTEXT rule drops it
+        sb ++= ("""<ul><li><a href="/r2">more here</a></li><li><a href="/r2">and here</a></li></ul>""" +
+          "<p>More stories below.</p>" +
+          """<p><a href="/more2">Next page</a></p>""" + "\n")
     }
     p.share.foreach { names => // unlikely-CLASS trap: lowercase, link-free
       sb ++= s"""<div class="share-tools">Share this with ${names.map(xmlEsc).mkString(", ")} readers</div>""" + "\n"
@@ -175,16 +195,19 @@ object HtmlGen {
     val p = page(docId)
     val out = Vector.newBuilder[(String, String, String)]
     out += ((Kinds.Title, p.title, ""))
-    p.blocks.foreach {
-      case HPara(pre, a, suf) => out += ((Kinds.Text, pre + a + suf, ""))
-      case HHead(t) => out += ((Kinds.Title, t, ""))
-      case HFigure(ref, cap) =>
-        out += ((Kinds.Figure, "", ref))
-        cap.foreach(c => out += ((Kinds.Caption, c, "")))
-      case HTable(cells) => out += ((Kinds.Table, DocxGen.tableHtmlOf(cells), ""))
-      case HCode(t) => out += ((Kinds.Algorithm, t, ""))
-      case HQuote(t) => out += ((Kinds.Text, t, ""))
-      case HList(items) => out += ((Kinds.ListK, items.mkString("\n"), ""))
+    p.blocks.zipWithIndex.foreach { case (b, i) =>
+      b match {
+        case HPara(pre, a, suf) => out += ((Kinds.Text, pre + a + suf, ""))
+        case HHead(t) => out += ((Kinds.Title, t, ""))
+        case HFigure(ref, cap) =>
+          out += ((Kinds.Figure, "", ref))
+          cap.foreach(c => out += ((Kinds.Caption, c, "")))
+        case HTable(cells) => out += ((Kinds.Table, DocxGen.tableHtmlOf(cells), ""))
+        case HCode(t) => out += ((Kinds.Algorithm, t, ""))
+        case HQuote(t) => out += ((Kinds.Text, t, ""))
+        case HList(items) => out += ((Kinds.ListK, items.mkString("\n"), ""))
+      }
+      p.shortGoodAfter.get(i).foreach(t => out += ((Kinds.Text, t, "")))
     }
     out.result().zipWithIndex.map { case ((k, t, m), ord) => OutSpan(k, t, m, ord) }
   }

@@ -9,7 +9,7 @@ import org.w3c.dom.Element
   * engine's (kind, text, media_ref, order) span contract — the north
   * rule's "HTML boilerplate strip, DOM heuristics" tier.
   *
-  * Four independent strip rules, each load-bearing on the corpus (each
+  * Five independent strip rules, each load-bearing on the corpus (each
   * has an authored trap only it can catch):
   *  1. TAG rule — script/style/nav/header/footer/aside/form and the
   *    document head never carry main content (the semantic-boilerplate
@@ -30,6 +30,14 @@ import org.w3c.dom.Element
   *    ("ADVERTISEMENT", "SPONSORED CONTENT") is an ad/section marker, the
   *    jusText low-stopword "bad" class at its extreme; no tag, class, or
   *    link separates these.
+  *  5. CONTEXT rule (jusText's context-sensitive pass): a SHORT text block
+  *    (< 25 chars) carries too little signal to classify alone, so it
+  *    inherits from its neighbors — classification runs in two phases
+  *    (context-free classes good/bad/short, then a revision sweep) and a
+  *    short block is dropped iff its nearest non-short neighbors on BOTH
+  *    sides are bad (page edges count as bad). A terse content sentence
+  *    amid paragraphs survives; the same-length teaser between two link
+  *    farms does not — no per-block rule can tell them apart.
   *
   * Input is the corpus' well-formed XHTML via the shared JDK DOM parser;
   * a real crawl needs a lenient HTML5 parser in front (tag-soup repair is
@@ -74,6 +82,14 @@ object HtmlConvert {
     total > 0 && 2 * anchorChars(e) > total
   }
 
+  /** Context-free class of a text-bearing block (p/blockquote/leaf div). */
+  private def textClass(e: Element): Int = {
+    val t = e.getTextContent
+    if (linkDense(e) || capsBoiler(t)) Bad
+    else if (t.trim.length < ShortLen) Short
+    else Good
+  }
+
   def convert(docId: String, bytes: Array[Byte]): Vector[OutSpan] =
     blocks(bytes).zipWithIndex.map { case ((k, t, m, _), ord) =>
       OutSpan(k, t, m, ord)
@@ -90,12 +106,55 @@ object HtmlConvert {
       graft.pipeline.Assemble.renderMarkdown(ordered))
   }
 
+  /** Context-free classes (jusText shape, density-based classifiers). */
+  private final val Good = 0
+  private final val Bad = 1
+  private final val Short = 2
+
+  /** Below this a text block cannot be classified alone. */
+  private final val ShortLen = 25
+
   /** (kind, text, media_ref, headingLevel) in document order. */
   private def blocks(bytes: Array[Byte]): Vector[(String, String, String, Int)] = {
+    val cand = candidates(bytes)
+    // context revision sweep: shorts inherit from nearest non-short
+    // neighbors, edges are bad
+    val n = cand.length
+    val keep = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      cand(i)._5 match {
+        case Good => keep(i) = true
+        case Bad => ()
+        case _ =>
+          var p = i - 1
+          while (p >= 0 && cand(p)._5 == Short) p -= 1
+          var q = i + 1
+          while (q < n && cand(q)._5 == Short) q += 1
+          val prevBad = p < 0 || cand(p)._5 == Bad
+          val nextBad = q >= n || cand(q)._5 == Bad
+          keep(i) = !(prevBad && nextBad)
+      }
+      i += 1
+    }
+    val out = Vector.newBuilder[(String, String, String, Int)]
+    i = 0
+    while (i < n) {
+      if (keep(i)) out += ((cand(i)._1, cand(i)._2, cand(i)._3, cand(i)._4))
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Phase 1: every block-level element in document order with its
+    * context-free class. Tag/unlikely-class subtrees never enter the
+    * stream (removed pre-classification, as jusText removes boilerplate
+    * markup before segmenting). */
+  private def candidates(bytes: Array[Byte]): Vector[(String, String, String, Int, Int)] = {
     val root = Ooxml.parseXml(new String(bytes, "UTF-8"))
     val body = Ooxml.children(root).find(_.getTagName == "body")
       .getOrElse(return Vector.empty)
-    val out = Vector.newBuilder[(String, String, String, Int)]
+    val out = Vector.newBuilder[(String, String, String, Int, Int)]
 
     def emitTable(e: Element): Unit = {
       val rows = Ooxml.descendants(e, "tr").map { tr =>
@@ -108,44 +167,41 @@ object HtmlConvert {
             TableMerge.Cell(td.getTextContent, span("colspan"), span("rowspan"))
           }
       }
-      out += ((Kinds.Table, TableMerge.render(rows), "", 0))
+      out += ((Kinds.Table, TableMerge.render(rows), "", 0, Good))
     }
 
     def walk(e: Element): Unit = e.getTagName match {
       case t if StripTags(t) || unlikely(e) => ()
       case t @ ("h1" | "h2" | "h3" | "h4" | "h5" | "h6") =>
-        if (!linkDense(e))
-          out += ((Kinds.Title, e.getTextContent, "", t.charAt(1) - '0'))
-      case "p" =>
-        if (!linkDense(e) && !capsBoiler(e.getTextContent))
-          out += ((Kinds.Text, e.getTextContent, "", 0))
-      case "blockquote" =>
-        if (!linkDense(e)) out += ((Kinds.Text, e.getTextContent, "", 0))
+        out += ((Kinds.Title, e.getTextContent, "", t.charAt(1) - '0',
+          if (linkDense(e)) Bad else Good))
+      case "p" | "blockquote" =>
+        out += ((Kinds.Text, e.getTextContent, "", 0, textClass(e)))
       case "ul" | "ol" =>
-        if (!linkDense(e)) {
+        if (linkDense(e)) out += (("", "", "", 0, Bad)) // link farm: bad context
+        else {
           val items = Ooxml.children(e).filter(_.getTagName == "li")
           val text =
             if (items.nonEmpty) items.map(_.getTextContent).mkString("\n")
             else e.getTextContent
-          out += ((Kinds.ListK, text, "", 0))
+          out += ((Kinds.ListK, text, "", 0, Good))
         }
       case "figure" =>
         Ooxml.children(e).foreach {
           case img if img.getTagName == "img" =>
-            out += ((Kinds.Figure, "", img.getAttribute("src"), 0))
+            out += ((Kinds.Figure, "", img.getAttribute("src"), 0, Good))
           case cap if cap.getTagName == "figcaption" =>
-            out += ((Kinds.Caption, cap.getTextContent, "", 0))
+            out += ((Kinds.Caption, cap.getTextContent, "", 0, Good))
           case _ => ()
         }
-      case "img" => out += ((Kinds.Figure, "", e.getAttribute("src"), 0))
+      case "img" => out += ((Kinds.Figure, "", e.getAttribute("src"), 0, Good))
       case "table" => emitTable(e)
-      case "pre" => out += ((Kinds.Algorithm, e.getTextContent, "", 0))
+      case "pre" => out += ((Kinds.Algorithm, e.getTextContent, "", 0, Good))
       case t if ContainerTags(t) =>
         val kids = Ooxml.children(e)
         if (kids.exists(k => BlockTags(k.getTagName))) kids.foreach(walk)
-        else if (e.getTextContent.nonEmpty && !linkDense(e) &&
-            !capsBoiler(e.getTextContent))
-          out += ((Kinds.Text, e.getTextContent, "", 0)) // leaf div = paragraph
+        else if (e.getTextContent.nonEmpty) // leaf div = paragraph
+          out += ((Kinds.Text, e.getTextContent, "", 0, textClass(e)))
       case _ => () // stray inline element at block level carries no block
     }
 

@@ -44,6 +44,16 @@ class HtmlSpec extends AnyFunSuite {
     assert(pages.exists(_.contains("""class="share-tools"""")), "share-bar trap authored")
     assert(pages.exists(_.contains("""id="comments"""")), "comments trap authored")
     assert(pages.exists(_.contains("<blockquote>")), "blockquote authored")
+    assert(pages.exists(_.contains("<p>More stories below.</p>")), "chrome-short trap authored")
+    val shortDocs = (0 until 300).filter(i =>
+      HtmlGen.golden(id(i)).exists(s => s.kind == Kinds.Text && s.text.endsWith(" holds.")))
+    assert(shortDocs.nonEmpty, "short content sentence authored")
+    shortDocs.take(5).foreach { i =>
+      val got = HtmlConvert.convert(id(i), HtmlGen.bytes(id(i)))
+      assert(got.exists(s => s.text.endsWith(" holds.")),
+        s"short content sentence kept by context in ${id(i)}")
+      assert(!got.exists(_.text == "More stories below."), s"chrome short leaked in ${id(i)}")
+    }
     val goldens = (0 until 300).flatMap(i => HtmlGen.golden(id(i)))
     assert(goldens.exists(s => s.kind == Kinds.ListK), "plain content list survives")
     assert(goldens.exists(s => s.kind == Kinds.Table), "table survives")
@@ -92,5 +102,24 @@ class HtmlSpec extends AnyFunSuite {
     assert(spans(1).text == "A quoted passage kept as content text.")
     // the comments h3 must not leak as a title
     assert(!spans.exists(_.text == "Comments"))
+  }
+
+  test("hand case: context separates identical short paragraphs") {
+    def page(body: String) =
+      s"<html><head><title>t</title></head><body><main>$body</main></body></html>"
+        .getBytes("UTF-8")
+    val shortP = "<p>It simply holds.</p>" // 16 chars: short either way
+    val goodCtx = page(
+      "<p>A first real paragraph with plenty of readable words.</p>" +
+        shortP +
+        "<p>A second real paragraph with plenty of readable words.</p>")
+    val badCtx = page(
+      """<ul><li><a href="/1">one</a></li><li><a href="/2">two</a></li></ul>""" +
+        shortP +
+        """<p><a href="/3">all link</a></p>""")
+    val kept = HtmlConvert.convert("t", goodCtx)
+    assert(kept.exists(_.text == "It simply holds."), "short kept in good context")
+    val dropped = HtmlConvert.convert("t", badCtx)
+    assert(dropped.isEmpty, s"short dropped between link farms, got $dropped")
   }
 }
