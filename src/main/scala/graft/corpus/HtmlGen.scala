@@ -187,7 +187,28 @@ object HtmlGen {
       p.footerLinks.map(l => s"""<li><a href="/f">${xmlEsc(l)}</a></li>""").mkString +
       "</ul></footer>\n")
     sb ++= "</body>\n</html>\n"
-    sb.toString.getBytes("UTF-8")
+    soupify(sb.toString, docId).getBytes("UTF-8")
+  }
+
+  /** Degrade the well-formed page into crawl-grade tag soup for ~half the
+    * corpus. Draws come from a SEPARATE "soup" stream so the page-content
+    * draws (and therefore the frozen golden) are untouched: every quirk
+    * preserves the authored text, it only breaks the markup in ways
+    * SoupParser must repair — implied `</p>`/`</li>`, uppercase tags,
+    * slash-less void `<img>`, doctype, an entity in chrome text, an
+    * unquoted attribute. */
+  private def soupify(html: String, docId: String): String = {
+    val r = Rng.stream("soup", docId)
+    if (!r.chance(0.5)) return html
+    var s = html
+    if (r.chance(0.7)) s = s.replace("</p>", "")
+    if (r.chance(0.7)) s = s.replace("</li>", "")
+    if (r.chance(0.5)) s = s.replace("<h2>", "<H2>").replace("</h2>", "</H2>")
+    if (r.chance(0.5)) s = s.replace("\"/>", "\">")
+    if (r.chance(0.5)) s = "<!DOCTYPE html>" + s.replace("<html>", "<html lang=en>")
+    if (r.chance(0.4)) s = s.replace("Hot: ", "Hot:&nbsp;")
+    if (r.chance(0.4)) s = s.replace("href=\"/more\"", "href=/more")
+    s
   }
 
   /** Expected main-content span sequence (the article alone). */

@@ -39,10 +39,11 @@ import org.w3c.dom.Element
   *    amid paragraphs survives; the same-length teaser between two link
   *    farms does not — no per-block rule can tell them apart.
   *
-  * Input is the corpus' well-formed XHTML via the shared JDK DOM parser;
-  * a real crawl needs a lenient HTML5 parser in front (tag-soup repair is
-  * a parsing concern, not an extraction one — the walk is parser-
-  * agnostic). */
+  * Input parses through [[SoupParser]], a lenient HTML5-lite tag-soup
+  * parser (implied end tags, case-insensitive names, unquoted attributes,
+  * entities, void elements) — the corpus degrades half its pages into
+  * soup so the walk is exercised over both well-formed XHTML and crawl-
+  * grade markup; the walk itself is parser-agnostic. */
 object HtmlConvert {
 
   private val StripTags = Set("script", "style", "nav", "form", "noscript",
@@ -151,7 +152,7 @@ object HtmlConvert {
     * stream (removed pre-classification, as jusText removes boilerplate
     * markup before segmenting). */
   private def candidates(bytes: Array[Byte]): Vector[(String, String, String, Int, Int)] = {
-    val root = Ooxml.parseXml(new String(bytes, "UTF-8"))
+    val root = SoupParser.parse(new String(bytes, "UTF-8"))
     val body = Ooxml.children(root).find(_.getTagName == "body")
       .getOrElse(return Vector.empty)
     val out = Vector.newBuilder[(String, String, String, Int, Int)]
@@ -164,7 +165,7 @@ object HtmlConvert {
             def span(attr: String) =
               Option(td.getAttribute(attr)).filter(_.nonEmpty)
                 .flatMap(_.toIntOption).getOrElse(1)
-            TableMerge.Cell(td.getTextContent, span("colspan"), span("rowspan"))
+            TableMerge.Cell(td.getTextContent.trim, span("colspan"), span("rowspan"))
           }
       }
       out += ((Kinds.Table, TableMerge.render(rows), "", 0, Good))
@@ -173,17 +174,17 @@ object HtmlConvert {
     def walk(e: Element): Unit = e.getTagName match {
       case t if StripTags(t) || unlikely(e) => ()
       case t @ ("h1" | "h2" | "h3" | "h4" | "h5" | "h6") =>
-        out += ((Kinds.Title, e.getTextContent, "", t.charAt(1) - '0',
+        out += ((Kinds.Title, e.getTextContent.trim, "", t.charAt(1) - '0',
           if (linkDense(e)) Bad else Good))
       case "p" | "blockquote" =>
-        out += ((Kinds.Text, e.getTextContent, "", 0, textClass(e)))
+        out += ((Kinds.Text, e.getTextContent.trim, "", 0, textClass(e)))
       case "ul" | "ol" =>
         if (linkDense(e)) out += (("", "", "", 0, Bad)) // link farm: bad context
         else {
           val items = Ooxml.children(e).filter(_.getTagName == "li")
           val text =
-            if (items.nonEmpty) items.map(_.getTextContent).mkString("\n")
-            else e.getTextContent
+            if (items.nonEmpty) items.map(_.getTextContent.trim).mkString("\n")
+            else e.getTextContent.trim
           out += ((Kinds.ListK, text, "", 0, Good))
         }
       case "figure" =>
@@ -191,17 +192,17 @@ object HtmlConvert {
           case img if img.getTagName == "img" =>
             out += ((Kinds.Figure, "", img.getAttribute("src"), 0, Good))
           case cap if cap.getTagName == "figcaption" =>
-            out += ((Kinds.Caption, cap.getTextContent, "", 0, Good))
+            out += ((Kinds.Caption, cap.getTextContent.trim, "", 0, Good))
           case _ => ()
         }
       case "img" => out += ((Kinds.Figure, "", e.getAttribute("src"), 0, Good))
       case "table" => emitTable(e)
-      case "pre" => out += ((Kinds.Algorithm, e.getTextContent, "", 0, Good))
+      case "pre" => out += ((Kinds.Algorithm, e.getTextContent.trim, "", 0, Good))
       case t if ContainerTags(t) =>
         val kids = Ooxml.children(e)
         if (kids.exists(k => BlockTags(k.getTagName))) kids.foreach(walk)
-        else if (e.getTextContent.nonEmpty) // leaf div = paragraph
-          out += ((Kinds.Text, e.getTextContent, "", 0, textClass(e)))
+        else if (e.getTextContent.trim.nonEmpty) // leaf div = paragraph
+          out += ((Kinds.Text, e.getTextContent.trim, "", 0, textClass(e)))
       case _ => () // stray inline element at block level carries no block
     }
 
