@@ -29,7 +29,43 @@ object ExtractJob {
 
   def run(spark: SparkSession, docs: Dataset[DocRow], outDir: String,
       buckets: Int = 64, groups: Int = 8, runId: String = "run-1",
-      partitions: Int = 32, failAfterGroups: Int = Int.MaxValue): JobReport = {
+      partitions: Int = 32, failAfterGroups: Int = Int.MaxValue): JobReport =
+    runWith[DocRow](spark, docs, d => Extract.run(d, partitions).toDF(),
+      outDir, buckets, groups, runId, failAfterGroups)
+
+  /** Raw-blob ingestion under the SAME commit protocol: a (doc_id,
+    * content) table of office packages and HTML pages interleaved — the
+    * per-partition sniff routes each blob (zip magic → OOXML converter,
+    * markup → soup parse + boilerplate strip) and the bucket checkpoint /
+    * lineage / resume semantics are shared with the PDF path. This is the
+    * ingestion shape for a mixed crawl store: one resumable job over every
+    * input tier. */
+  def runRaw(spark: SparkSession, blobs: org.apache.spark.sql.DataFrame,
+      outDir: String, buckets: Int = 64, groups: Int = 8,
+      runId: String = "run-1", failAfterGroups: Int = Int.MaxValue): JobReport = {
+    import spark.implicits._
+    runWith[org.apache.spark.sql.Row](spark, blobs,
+      in => in.select(col("doc_id"), col("content")).as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val res =
+              if (bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == 'K'.toByte)
+                graft.office.OfficeConvert.convert(id, bytes)
+              else graft.html.HtmlConvert.result(id, bytes)
+            (id, res.spans)
+          }
+        }.toDF("doc_id", "spans"),
+      outDir, buckets, groups, runId, failAfterGroups)
+  }
+
+  /** The commit-protocol core, generic over the per-unit extraction:
+    * `extract` maps a bucket-filtered slice of the input to a
+    * (doc_id, spans) frame. The input dataset must carry a `doc_id`
+    * column — bucketing hashes it without ever deserializing T. */
+  def runWith[T](spark: SparkSession, input: Dataset[T],
+      extract: Dataset[T] => org.apache.spark.sql.DataFrame, outDir: String,
+      buckets: Int, groups: Int, runId: String,
+      failAfterGroups: Int): JobReport = {
     import spark.implicits._
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val ckptPath = s"$outDir/_checkpoint"
@@ -50,11 +86,9 @@ object ExtractJob {
     val t0 = System.nanoTime()
 
     units.zipWithIndex.takeWhile(_._2 < failAfterGroups).foreach { case (unit, _) =>
-      val in = docs
-        .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int"))
-        .filter(col("bucket").isin(unit: _*))
-        .select(col("doc_id"), col("spans")).as[DocRow]
-      val res = Extract.run(in, partitions)
+      val in = input.filter(
+        pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int").isin(unit: _*))
+      val res = extract(in)
         .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int"))
         .persist()
       val tU = System.nanoTime()

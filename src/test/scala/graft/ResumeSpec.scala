@@ -58,4 +58,37 @@ class ResumeSpec extends AnyFunSuite {
     assert(ckpt.count() == 16)
     assert(ckpt.agg(org.apache.spark.sql.functions.sum("docs")).as[Long].head() == n)
   }
+
+  test("raw-blob ingestion (office + html interleaved) under the same protocol") {
+    import spark.implicits._
+    val n = 120
+    // even ids land office packages, odd ids html pages — one mixed table
+    val blobs = spark.range(n).map { i =>
+      val id = f"doc-$i%012d"
+      val bytes =
+        if (i % 2 == 0) graft.corpus.OfficeGen.bytes(id)
+        else graft.corpus.HtmlGen.bytes(id)
+      (id, bytes)
+    }.toDF("doc_id", "content")
+
+    val out = Files.createTempDirectory("graft_raw").toString
+    val r1 = ExtractJob.runRaw(spark, blobs, out, buckets = 8, groups = 4,
+      runId = "raw-1", failAfterGroups = 2)
+    assert(r1.processed == 4 && r1.skipped == 0)
+    val r2 = ExtractJob.runRaw(spark, blobs, out, buckets = 8, groups = 4,
+      runId = "raw-2")
+    assert(r2.skipped == 4 && r2.processed == 4)
+
+    val got = collectOut(out)
+    assert(got.size == n)
+    (0 until n).foreach { i =>
+      val id = f"doc-$i%012d"
+      val want =
+        if (i % 2 == 0) graft.corpus.OfficeGen.golden(id)
+          .map(s => (s.kind, s.text, s.media_ref, s.order))
+        else graft.corpus.HtmlGen.golden(id)
+          .map(s => (s.kind, s.text, s.media_ref, s.order))
+      assert(got(id) == want, s"raw ingest mismatch for $id")
+    }
+  }
 }
