@@ -676,6 +676,31 @@ object Queries {
       .orderBy("doc_id", "ord")
   }
 
+  /** Mixed raw-blob ingestion: one table interleaving office packages
+    * (even doc index) and HTML pages (odd), routed per partition by the
+    * REAL byte sniff (zip magic vs markup) — the `ExtractJob.runRaw`
+    * router on the driver board. The oracle unions the two committed
+    * goldens by index parity, so a routing mistake (either direction)
+    * breaks the compare. */
+  def ingestRaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.flatMap { i =>
+        val id = f"doc-$i%012d"
+        val bytes =
+          if (i % 2 == 0) graft.corpus.OfficeGen.bytes(id)
+          else graft.corpus.HtmlGen.bytes(id)
+        val res =
+          if (bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == 'K'.toByte)
+            graft.office.OfficeConvert.convert(id, bytes)
+          else graft.html.HtmlConvert.result(id, bytes)
+        res.spans.map(s => (id, s.order, s.kind, s.media_ref, s.text))
+      }
+    }.toDF("doc_id", "ord", "kind", "media_ref", "text")
+      .orderBy("doc_id", "ord")
+  }
+
   // ---------------------------------------------------------------------
   // Relational headliners over the TPC-H-ish tables
   // ---------------------------------------------------------------------
@@ -791,6 +816,7 @@ object Queries {
     "chunk_blocks" -> chunkBlocks _,
     "office_extract" -> officeExtract _,
     "html_extract" -> htmlExtract _,
+    "ingest_raw" -> ingestRaw _,
     "q1_agg" -> q1Agg _,
     "q2_join_topk" -> q2JoinTopK _,
     "events_hourly" -> eventsHourly _,
