@@ -30,6 +30,8 @@ object HtmlGen {
   private case class HCode(text: String) extends HBlock
   private case class HList(items: Vector[String]) extends HBlock
   private case class HQuote(text: String) extends HBlock
+  /** paragraph with an internal `<br/>` line break (kept as '\n') */
+  private case class HBr(a: String, b: String) extends HBlock
 
   private case class Page(title: String, blocks: Vector[HBlock],
       navLinks: Vector[String], promo: Option[Vector[String]],
@@ -71,7 +73,9 @@ object HtmlGen {
           HPara(DocGen.paragraphOnce(r) + " See ",
             DocGen.word(r) + " " + DocGen.word(r),
             " there. " + DocGen.paragraphOnce(r))
-        } else HPara(DocGen.paragraphOnce(r), "", "")
+        } else if (r.chance(0.2))
+          HBr(DocGen.paragraphOnce(r), DocGen.paragraphOnce(r))
+        else HPara(DocGen.paragraphOnce(r), "", "")
       } else if (roll < 0.58) HHead(DocGen.titleText(r))
       else if (roll < 0.72) {
         figK += 1
@@ -147,6 +151,7 @@ object HtmlGen {
             .mkString("<table>", "", "</table>") + "\n"
         case HCode(t) => sb ++= s"<pre>${xmlEsc(t)}</pre>\n"
         case HQuote(t) => sb ++= s"<blockquote>${xmlEsc(t)}</blockquote>\n"
+        case HBr(a, b) => sb ++= s"<p>${xmlEsc(a)}<br/>${xmlEsc(b)}</p>\n"
         case HList(items) =>
           sb ++= items.map(it => s"<li>${xmlEsc(it)}</li>")
             .mkString("<ul>", "", "</ul>") + "\n"
@@ -226,6 +231,7 @@ object HtmlGen {
         case HTable(cells) => out += ((Kinds.Table, DocxGen.tableHtmlOf(cells), ""))
         case HCode(t) => out += ((Kinds.Algorithm, t, ""))
         case HQuote(t) => out += ((Kinds.Text, t, ""))
+        case HBr(a, b) => out += ((Kinds.Text, a + "\n" + b, ""))
         case HList(items) => out += ((Kinds.ListK, items.mkString("\n"), ""))
       }
       p.shortGoodAfter.get(i).foreach(t => out += ((Kinds.Text, t, "")))

@@ -94,6 +94,10 @@ object SoupParser {
         case "body" =>
           seenBody = true
           stack = body :: List(root)
+        case "br" =>
+          // line break normalizes to a newline text node — getTextContent
+          // then carries the break, the way extraction engines read <br>
+          top.appendChild(doc.createTextNode("\n"))
         case _ =>
           if ((top eq head) && seenBody) stack = body :: List(root)
           if (ClosesP(name) && top.getTagName == "p") stack = stack.tail

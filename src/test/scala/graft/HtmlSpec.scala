@@ -44,6 +44,15 @@ class HtmlSpec extends AnyFunSuite {
     assert(pages.exists(_.contains("""class="share-tools"""")), "share-bar trap authored")
     assert(pages.exists(_.contains("""id="comments"""")), "comments trap authored")
     assert(pages.exists(_.contains("<blockquote>")), "blockquote authored")
+    assert(pages.exists(_.contains("<br/>")), "br paragraph authored")
+    val brDocs = (0 until 300).filter(i =>
+      HtmlGen.golden(id(i)).exists(s => s.kind == Kinds.Text && s.text.contains("\n")))
+    assert(brDocs.nonEmpty, "br paragraph reaches golden")
+    brDocs.take(3).foreach { i =>
+      val got = HtmlConvert.convert(id(i), HtmlGen.bytes(id(i)))
+      assert(got.exists(s => s.kind == Kinds.Text && s.text.contains("\n")),
+        s"br newline lost in ${id(i)}")
+    }
     assert(pages.exists(_.contains("<p>More stories below.</p>")), "chrome-short trap authored")
     val shortDocs = (0 until 300).filter(i =>
       HtmlGen.golden(id(i)).exists(s => s.kind == Kinds.Text && s.text.endsWith(" holds.")))
