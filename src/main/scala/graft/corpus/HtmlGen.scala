@@ -213,6 +213,9 @@ object HtmlGen {
     if (r.chance(0.5)) s = "<!DOCTYPE html>" + s.replace("<html>", "<html lang=en>")
     if (r.chance(0.4)) s = s.replace("Hot: ", "Hot:&nbsp;")
     if (r.chance(0.4)) s = s.replace("href=\"/more\"", "href=/more")
+    if (r.chance(0.3)) s = s.replace("<ul>", "<ul compact>") // valueless attr
+    if (r.chance(0.3)) // single-quoted attr
+      s = s.replace("class=\"share-tools\"", "class='share-tools'")
     s
   }
 

@@ -95,5 +95,7 @@ class SoupSpec extends AnyFunSuite {
     assert(pages.exists(_.contains("<!DOCTYPE html>")), "doctype page authored")
     assert(pages.exists(_.contains("&nbsp;")), "entity page authored")
     assert(pages.exists(_.contains("href=/more")), "unquoted-attr page authored")
+    assert(pages.exists(_.contains("<ul compact>")), "valueless-attr page authored")
+    assert(pages.exists(_.contains("class='share-tools'")), "single-quote-attr page authored")
   }
 }
