@@ -29,9 +29,29 @@ object ExtractJob {
 
   def run(spark: SparkSession, docs: Dataset[DocRow], outDir: String,
       buckets: Int = 64, groups: Int = 8, runId: String = "run-1",
-      partitions: Int = 32, failAfterGroups: Int = Int.MaxValue): JobReport =
-    runWith[DocRow](spark, docs, d => Extract.run(d, partitions).toDF(),
+      partitions: Int = 32, failAfterGroups: Int = Int.MaxValue): JobReport = {
+    // layout-validation counters as Spark accumulators: the only channel
+    // that reaches the driver on a multi-executor cluster. Their merged
+    // values land in `_metrics` below, making "no silently-authored-away
+    // layouts" a monitorable job invariant instead of a JVM-local probe.
+    val sc = spark.sparkContext
+    val sink = graft.kernel.LayoutTelemetry.Sink(
+      sc.longAccumulator("graft.layout.authored_away"),
+      sc.longAccumulator("graft.layout.unsolvable"),
+      sc.longAccumulator("graft.layout.insert_pages"))
+    val report = runWith[DocRow](spark, docs,
+      d => Extract.run(d, partitions, telemetry = Some(sink)).toDF(),
       outDir, buckets, groups, runId, failAfterGroups)
+    import spark.implicits._
+    val rows = Seq(
+      ("layout", "authored_away_pages", sink.authoredAway.value.toDouble),
+      ("layout", "unsolvable_pages", sink.unsolvable.value.toDouble),
+      ("layout", "insert_pages", sink.insertPages.value.toDouble))
+      .map { case (stage, key, value) => (runId, stage, key, value) }
+    spark.createDataset(rows).toDF("run_id", "stage", "key", "value")
+      .write.mode(SaveMode.Append).parquet(s"$outDir/_metrics")
+    report
+  }
 
   /** Raw-blob ingestion under the SAME commit protocol: a (doc_id,
     * content) table of office packages and HTML pages interleaved — the

@@ -262,16 +262,18 @@ object StubModel extends DocModel {
     got == placed.map(_._1.offset).sorted
   }
 
-  // -- layout telemetry (dev counters; local-mode JVM-wide) -----------------
+  // -- layout telemetry (see LayoutTelemetry: JVM counters + per-task
+  // Spark accumulator sink; these aliases keep the probes/specs reading
+  // the same names) ---------------------------------------------------------
   /** Pages where every HARD candidate layout failed validation and the
     * plain single column was used instead — the "authored away" event the
     * sweep drives to ~0. */
-  val authoredAwayCount = new java.util.concurrent.atomic.AtomicLong
+  val authoredAwayCount = LayoutTelemetry.authoredAway
   /** Pages where even the single-column layout failed validation (never
     * expected; the golden suite would also catch it). */
-  val unsolvableCount = new java.util.concurrent.atomic.AtomicLong
+  val unsolvableCount = LayoutTelemetry.unsolvable
   /** Pages accepted with a nested-insert region layout. */
-  val insertPageCount = new java.util.concurrent.atomic.AtomicLong
+  val insertPageCount = LayoutTelemetry.insertPages
 
   /** Pull far-flagged BELOW-captions (authored after their body — figure
     * captions) out of body units and re-append them as standalone trailing
@@ -449,7 +451,7 @@ object StubModel extends DocModel {
     }
     chosen match {
       case Some((p, rs, _, isIns)) =>
-        if (isIns) insertPageCount.incrementAndGet()
+        if (isIns) LayoutTelemetry.bumpInsertPages()
         (p, rs)
       case None =>
         val s = single(baseUnits)
@@ -462,8 +464,8 @@ object StubModel extends DocModel {
           // the authored-away event; validate the single it degrades to
           // (plain single-column pages skip this: the 20k golden sweep
           // already proves their ordering end to end)
-          authoredAwayCount.incrementAndGet()
-          if (!orderSafe(s, emitsOrd)) unsolvableCount.incrementAndGet()
+          LayoutTelemetry.bumpAuthoredAway()
+          if (!orderSafe(s, emitsOrd)) LayoutTelemetry.bumpUnsolvable()
         }
         (s, Vector.empty)
     }

@@ -65,13 +65,18 @@ object Extract {
   }
 
   /** The extraction job. `model` defaults to the deterministic stub; a real
-    * deployment swaps in an ONNX-backed DocModel with the same contract. */
+    * deployment swaps in an ONNX-backed DocModel with the same contract.
+    * `telemetry`: driver-registered layout-validation accumulators,
+    * installed per partition (task threads) so the counters reach the
+    * driver on a real cluster (see [[graft.kernel.LayoutTelemetry]]). */
   def run(docs: Dataset[DocRow], partitions: Int = 32,
-      model: DocModel = StubModel): Dataset[DocResult] = {
+      model: DocModel = StubModel,
+      telemetry: Option[graft.kernel.LayoutTelemetry.Sink] = None): Dataset[DocResult] = {
     import docs.sparkSession.implicits._
     saltRepartition(docs, partitions).mapPartitions { it =>
       // per-partition model scope: a real model would lazily create its
       // ONNX session here and reuse it across the iterator
+      telemetry.foreach(graft.kernel.LayoutTelemetry.install)
       val m = model
       it.map(d => extractDoc(d, m))
     }

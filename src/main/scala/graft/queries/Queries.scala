@@ -778,8 +778,10 @@ object Queries {
 
   /** Registry consumed by SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // full extraction pipeline (rows-only check: not SQL-expressible; its
-    // exact-match gate is the golden-fixture ScalaTest suite)
+    // full extraction pipeline — FULL value oracle since r2: DuckDB replays
+    // the committed extract_golden.parquet (generation determinism + the
+    // whole pipeline inside the compare); the golden ScalaTest suite
+    // additionally pins span equality per document
     "extract_pipeline" -> ((s: SparkSession, d: String) =>
       graft.pipeline.Extract.extractSpans(s, d)),
     "det_low_conf_filter" -> detLowConfFilter _,

@@ -57,6 +57,16 @@ class ResumeSpec extends AnyFunSuite {
     val ckpt = spark.read.parquet(s"$warm/_checkpoint")
     assert(ckpt.count() == 16)
     assert(ckpt.agg(org.apache.spark.sql.functions.sum("docs")).as[Long].head() == n)
+
+    // layout-validation invariant rides the _metrics table (accumulator
+    // channel): rows exist for every run and are ZERO on the clean corpus
+    val m = spark.read.parquet(s"$cold/_metrics")
+      .filter(org.apache.spark.sql.functions.col("stage") === "layout")
+      .select("key", "value").as[(String, Double)].collect().toMap
+    assert(m.contains("authored_away_pages") && m.contains("unsolvable_pages"),
+      s"layout metric rows missing: $m")
+    assert(m("authored_away_pages") == 0.0 && m("unsolvable_pages") == 0.0,
+      s"layout invariant violated: $m")
   }
 
   test("raw-blob ingestion (office + html interleaved) under the same protocol") {
