@@ -1,0 +1,391 @@
+package graft.corpus
+
+import graft.schema.{Kinds, OutSpan}
+import graft.util.Rng
+import java.io.ByteArrayOutputStream
+
+/** PDF corpus for the raw-blob ingestion router: every doc id maps to one
+  * deterministic, REAL PDF file — header + binary comment line, indirect
+  * objects, page tree, Helvetica Type1 fonts, text-positioning content
+  * streams (`Tf, Td, TD, Tm, TL, T*, Tj, TJ, '`), image XObjects drawn via
+  * `cm … Do`, cross-reference table with free entries, trailer +
+  * `startxref` — that [[graft.pdf.PdfConvert]] must parse back from bytes
+  * alone. This is the reference's PRIMARY input tier
+  * (`rapid_doc/main.py:604-636` normalizes path/bytes/URL and routes
+  * `%PDF` blobs — `utils/guess_suffix_or_lang.py:12` PDF_SIG_BYTES — into
+  * the pdfium parse).
+  *
+  * Two independent rng streams:
+  *   - "pdfc" draws the CONTENT (title, blocks, figure refs) — the golden
+  *     span sequence derives from these draws alone;
+  *   - "pdfq" draws byte-level QUIRKS (Flate vs plain streams, TJ kerning
+  *     splits, hex strings, octal escapes, indirect /Length, split
+  *     /Contents arrays, shuffled object order, xref subsection split,
+  *     free xref entries, EOL style) — each quirk preserves the authored
+  *     text exactly and only varies the byte encoding the parser must
+  *     handle, so half the corpus exercising a quirk pins that parser
+  *     path without touching the frozen golden. */
+object PdfGen {
+
+  // ---- content model ------------------------------------------------------
+
+  private sealed trait PBlock
+  private case class PPara(text: String) extends PBlock
+  private case class PHead(text: String) extends PBlock
+  private case class PList(items: Vector[String]) extends PBlock
+  private case class PFigure(k: Int, caption: Option[String]) extends PBlock
+
+  private case class PDoc(title: String, blocks: Vector[PBlock])
+
+  private def doc(docId: String): PDoc = {
+    val r = Rng.stream("pdfc", docId)
+    val title = DocGen.titleText(r)
+    var figK = 0
+    val blocks = Vector.fill(3 + r.nextInt(6)) {
+      val roll = r.nextDouble()
+      if (roll < 0.5) {
+        val p = DocGen.paragraphOnce(r)
+        // paren trap: literal-string escaping (\( \)) must round-trip
+        if (r.chance(0.25)) PPara(p + " (see the appendix for details).")
+        else PPara(p)
+      } else if (roll < 0.65) PHead(DocGen.titleText(r))
+      else if (roll < 0.82) {
+        figK += 1
+        PFigure(figK,
+          if (r.chance(0.75)) Some(s"Figure $figK: " + DocGen.cap(DocGen.word(r)))
+          else None)
+      } else
+        PList(Vector.fill(3 + r.nextInt(3))(
+          DocGen.cap(DocGen.word(r)) + " " + DocGen.word(r)))
+    }
+    PDoc(title, blocks)
+  }
+
+  /** Deterministic fake image payload for figure `k` — the XObject stream
+    * bytes; `media_ref` on BOTH sides is the sha-256 of these bytes, so
+    * the converter must actually read the embedded stream. */
+  def imageBytes(docId: String, k: Int): Array[Byte] =
+    s"pdfimg:$docId:$k".getBytes("UTF-8")
+
+  def imageRef(docId: String, k: Int): String =
+    "img://" + DocGen.sha256Hex(s"pdfimg:$docId:$k")
+
+  // ---- layout (shared between bytes and golden ORDER semantics) -----------
+
+  private val PageW = 612
+  private val PageH = 792
+  private val MarginX = 72
+  private val TopY = 720.0
+  private val BottomY = 72.0
+  private val Leading = 14.0
+  private val BlockGap = 10.0 // extra beyond Leading between blocks
+  private val ImgW = 180.0
+  private val ImgH = 120.0
+
+  val BodySize = 11
+  val HeadSize = 16
+  val TitleSize = 22
+  val CaptionSize = 9
+
+  /** Wrap on spaces at ~64 chars; joining the lines back with single
+    * spaces restores the authored text exactly. */
+  private def wrap(text: String, max: Int = 64): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val sb = new StringBuilder
+    text.split(' ').foreach { w =>
+      if (sb.nonEmpty && sb.length + 1 + w.length > max) {
+        out += sb.toString; sb.clear()
+      }
+      if (sb.nonEmpty) sb.append(' ')
+      sb.append(w)
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.result()
+  }
+
+  /** One positioned page element. */
+  private sealed trait Elem
+  /** `lines` share one BT with relative moves; baseline of line i is
+    * `y - i*Leading`. */
+  private case class TextElem(font: String, size: Int, x: Double, y: Double,
+      lines: Vector[String]) extends Elem
+  private case class ImageElem(k: Int, x: Double, y: Double) extends Elem
+
+  /** Flow the doc into pages of positioned elements. */
+  private def layout(d: PDoc): Vector[Vector[Elem]] = {
+    val pages = Vector.newBuilder[Vector[Elem]]
+    var cur = Vector.newBuilder[Elem]
+    var y = TopY
+    var curEmpty = true
+    def ensure(need: Double): Unit =
+      if (!curEmpty && y - need < BottomY) {
+        pages += cur.result(); cur = Vector.newBuilder[Elem]
+        y = TopY; curEmpty = true
+      }
+    def textBlock(font: String, size: Int, lines: Vector[String]): Unit = {
+      ensure(lines.length * Leading)
+      y -= Leading
+      cur += TextElem(font, size, MarginX, y, lines)
+      y -= (lines.length - 1) * Leading + BlockGap
+      curEmpty = false
+    }
+    textBlock("F2", TitleSize, Vector(d.title))
+    d.blocks.foreach {
+      case PPara(t) => textBlock("F1", BodySize, wrap(t))
+      case PHead(t) => textBlock("F2", HeadSize, Vector(t))
+      case PList(items) => textBlock("F1", BodySize, items.map("- " + _))
+      case PFigure(k, cap) =>
+        ensure(ImgH + cap.map(_ => Leading + 4).getOrElse(0.0))
+        cur += ImageElem(k, MarginX, y - ImgH)
+        y -= ImgH
+        cap.foreach { c =>
+          y -= Leading
+          cur += TextElem("F3", CaptionSize, MarginX, y, Vector(c))
+          y -= BlockGap
+        }
+        if (cap.isEmpty) y -= BlockGap
+        curEmpty = false
+    }
+    pages += cur.result()
+    pages.result()
+  }
+
+  // ---- PDF byte writer ----------------------------------------------------
+
+  private def escLiteral(s: String, octalEvery: Int): String = {
+    val sb = new StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(' || c == ')' || c == '\\') { sb.append('\\').append(c) }
+      else if (octalEvery > 0 && i % octalEvery == octalEvery - 1 && c < 128)
+        // always 3 octal digits: "\40" before a literal digit would swallow
+        // it into the escape ("\407"), so pad to the unambiguous form
+        sb.append('\\').append(f"${c.toInt}%03o")
+      else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def hexString(s: String): String =
+    s.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString("<", "", ">")
+
+  /** Encode one show-string with the doc's quirk draws. */
+  private def showOp(line: String, r: graft.util.SplitMix64): String = {
+    val roll = r.nextDouble()
+    if (roll < 0.15) hexString(line) + " Tj"
+    else if (roll < 0.40 && line.length > 8) {
+      // TJ with small kerning adjustments between chunks (small enough
+      // that no extractor would insert a space: |adj| << 180)
+      val cut1 = 2 + r.nextInt(line.length - 4)
+      val cut2 = cut1 + 1 + r.nextInt(line.length - cut1 - 1)
+      val parts = Vector(line.substring(0, cut1), line.substring(cut1, cut2),
+        line.substring(cut2)).filter(_.nonEmpty)
+      parts.map(p => "(" + escLiteral(p, 0) + ")")
+        .mkString("[", s" -${10 + r.nextInt(50)} ", "] TJ")
+    } else if (roll < 0.5)
+      "(" + escLiteral(line, 7) + ") Tj" // octal escapes sprinkled in
+    else "(" + escLiteral(line, 0) + ") Tj"
+  }
+
+  /** Content-stream ops for one element. */
+  private def elemOps(e: Elem, imgName: Int => String,
+      r: graft.util.SplitMix64): String = e match {
+    case TextElem(font, size, x, y, lines) =>
+      val sb = new StringBuilder
+      sb.append("BT /").append(font).append(' ').append(size).append(" Tf ")
+      val posRoll = r.nextDouble()
+      if (posRoll < 0.4) sb.append(s"1 0 0 1 $x $y Tm ")
+      else sb.append(s"$x $y Td ")
+      if (lines.length > 1 && r.chance(0.5)) {
+        // TL + T*/' form
+        sb.append(s"$Leading TL ")
+        sb.append(showOp(lines.head, r))
+        lines.tail.foreach { l =>
+          if (r.chance(0.5)) sb.append(" T* ").append(showOp(l, r))
+          else {
+            // ' = next-line-and-show; only valid with a literal operand
+            sb.append(" (").append(escLiteral(l, 0)).append(") '")
+          }
+        }
+      } else {
+        sb.append(showOp(lines.head, r))
+        lines.tail.foreach { l =>
+          // TD sets the leading negative; subsequent moves could use T*,
+          // but the plain relative-Td chain is the common emitter form
+          sb.append(s" 0 -$Leading Td ").append(showOp(l, r))
+        }
+      }
+      sb.append(" ET")
+      sb.toString
+    case ImageElem(k, x, y) =>
+      s"q $ImgW 0 0 $ImgH $x $y cm /${imgName(k)} Do Q"
+  }
+
+  private case class Obj(num: Int, body: Array[Byte])
+
+  private def dictObj(num: Int, dict: String): Obj =
+    Obj(num, s"$num 0 obj\n$dict\nendobj\n".getBytes("ISO-8859-1"))
+
+  private def streamObj(num: Int, extraDict: String, data: Array[Byte],
+      lengthRef: Option[Int], crlf: Boolean): Obj = {
+    val lenPart = lengthRef.map(n => s"/Length $n 0 R").getOrElse(s"/Length ${data.length}")
+    val eol = if (crlf) "\r\n" else "\n"
+    val head = s"$num 0 obj\n<< $lenPart$extraDict >>\nstream$eol".getBytes("ISO-8859-1")
+    val tail = "\nendstream\nendobj\n".getBytes("ISO-8859-1")
+    val out = new ByteArrayOutputStream(head.length + data.length + tail.length)
+    out.write(head); out.write(data); out.write(tail)
+    Obj(num, out.toByteArray)
+  }
+
+  private def flate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream(data.length / 2 + 16)
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** The PDF file bytes. */
+  def bytes(docId: String): Array[Byte] = {
+    val q = Rng.stream("pdfq", docId)
+    val pages = layout(doc(docId))
+
+    // object numbering: 1 catalog, 2 pages, then per page (page obj,
+    // content obj(s), maybe length obj), then fonts, then images, with an
+    // optionally reserved FREE number in the middle of the range
+    var next = 3
+    def alloc(): Int = { val n = next; next += 1; n }
+
+    val objs = Vector.newBuilder[Obj]
+    val freeNums = Vector.newBuilder[Int]
+
+    val fontNums = Map("F1" -> alloc(), "F2" -> alloc(), "F3" -> alloc())
+    if (q.chance(0.3)) freeNums += alloc() // deleted-object gap in the xref
+
+    // image objects: one per distinct figure across the doc
+    val figKs = pages.flatten.collect { case ImageElem(k, _, _) => k }.distinct
+    val imgNums = figKs.map(k => k -> alloc()).toMap
+    def imgName(k: Int): String = s"Im$k"
+
+    val crlf = q.chance(0.4)
+    val pageEntries = pages.map { elems =>
+      val pageNum = alloc()
+      val opsList = elems.map(e => elemOps(e, imgName, q))
+      // split-contents quirk: the page's ops across TWO streams joined by
+      // the reader with intervening whitespace (PDF 32000 §7.8.2)
+      val chunks: Vector[String] =
+        if (opsList.length >= 2 && q.chance(0.3)) {
+          val cut = 1 + q.nextInt(opsList.length - 1)
+          Vector(opsList.take(cut).mkString("\n"), opsList.drop(cut).mkString("\n"))
+        } else Vector(opsList.mkString("\n"))
+      val contentNums = chunks.map { ops =>
+        val num = alloc()
+        val raw = ops.getBytes("ISO-8859-1")
+        val (data, filter) =
+          if (q.chance(0.5)) (flate(raw), " /Filter /FlateDecode") else (raw, "")
+        if (q.chance(0.25)) {
+          // indirect /Length written AFTER the stream (one-pass-writer form)
+          val lenNum = alloc()
+          objs += streamObj(num, filter, data, Some(lenNum), crlf)
+          objs += dictObj(lenNum, data.length.toString)
+        } else objs += streamObj(num, filter, data, None, crlf)
+        num
+      }
+      val contents =
+        if (contentNums.length == 1) s"${contentNums.head} 0 R"
+        else contentNums.map(n => s"$n 0 R").mkString("[", " ", "]")
+      val fontRes = fontNums.map { case (n, o) => s"/$n $o 0 R" }.mkString(" ")
+      val imgsHere = elems.collect { case ImageElem(k, _, _) => k }.distinct
+      val xobjRes =
+        if (imgsHere.isEmpty) ""
+        else imgsHere.map(k => s"/${imgName(k)} ${imgNums(k)} 0 R")
+          .mkString(" /XObject << ", " ", " >>")
+      objs += dictObj(pageNum,
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $PageW $PageH] " +
+          s"/Contents $contents /Resources << /Font << $fontRes >>$xobjRes >> >>")
+      pageNum
+    }
+
+    objs += dictObj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    objs += dictObj(2,
+      s"<< /Type /Pages /Kids [${pageEntries.map(n => s"$n 0 R").mkString(" ")}] " +
+        s"/Count ${pageEntries.length} >>")
+    Seq(("F1", "Helvetica"), ("F2", "Helvetica-Bold"), ("F3", "Helvetica-Oblique"))
+      .foreach { case (n, base) =>
+        objs += dictObj(fontNums(n),
+          s"<< /Type /Font /Subtype /Type1 /BaseFont /$base >>")
+      }
+    figKs.foreach { k =>
+      val data = imageBytes(docId, k)
+      objs += streamObj(imgNums(k),
+        s" /Type /XObject /Subtype /Image /Width 180 /Height 120 " +
+          s"/ColorSpace /DeviceRGB /BitsPerComponent 8", data, None, crlf)
+    }
+
+    // write order quirk: reversed or rotated object order in the FILE —
+    // the xref table, not file position, locates objects
+    var all = objs.result()
+    val orderRoll = q.nextDouble()
+    if (orderRoll < 0.3) all = all.reverse
+    else if (orderRoll < 0.5) {
+      val cut = 1 + q.nextInt(all.length - 1)
+      all = all.drop(cut) ++ all.take(cut)
+    }
+
+    val out = new ByteArrayOutputStream(8192)
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    out.write(Array[Byte]('%'.toByte, 0xe2.toByte, 0xe3.toByte, 0xcf.toByte, 0xd3.toByte, '\n'.toByte))
+    val offsets = scala.collection.mutable.Map[Int, Int]()
+    all.foreach { o =>
+      if (q.chance(0.15)) w(s"% object ${o.num} follows\n")
+      offsets(o.num) = out.size()
+      out.write(o.body)
+    }
+    val xrefPos = out.size()
+    val size = next
+    val entries = (0 until size).map { n =>
+      if (n == 0) "0000000000 65535 f \n"
+      else offsets.get(n) match {
+        case Some(off) => f"$off%010d 00000 n \n"
+        case None => "0000000000 00001 f \n" // the reserved free number
+      }
+    }
+    w("xref\n")
+    if (size > 4 && q.chance(0.35)) {
+      // two cross-reference subsections (PDF 32000 §7.5.4 allows any split)
+      val cut = 2 + q.nextInt(size - 3)
+      w(s"0 $cut\n"); entries.take(cut).foreach(w)
+      w(s"$cut ${size - cut}\n"); entries.drop(cut).foreach(w)
+    } else {
+      w(s"0 $size\n"); entries.foreach(w)
+    }
+    w(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
+  // ---- golden -------------------------------------------------------------
+
+  /** Expected span sequence: derived from the authoring structure alone
+    * (content stream "pdfc"); the converter must recover it from the
+    * bytes. Heading levels via the font-size ladder (22 → level 1,
+    * 16 → level 2) mirror the flagship title-leveling semantics. */
+  def golden(docId: String): Vector[OutSpan] = {
+    val d = doc(docId)
+    val out = Vector.newBuilder[(String, String, String)]
+    out += ((Kinds.Title, d.title, ""))
+    d.blocks.foreach {
+      case PPara(t) => out += ((Kinds.Text, t, ""))
+      case PHead(t) => out += ((Kinds.Title, t, ""))
+      case PList(items) => out += ((Kinds.ListK, items.mkString("\n"), ""))
+      case PFigure(k, cap) =>
+        out += ((Kinds.Figure, "", imageRef(docId, k)))
+        cap.foreach(c => out += ((Kinds.Caption, c, "")))
+    }
+    out.result().zipWithIndex.map { case ((k, t, m), ord) => OutSpan(k, t, m, ord) }
+  }
+}

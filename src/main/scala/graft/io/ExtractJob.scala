@@ -54,12 +54,13 @@ object ExtractJob {
   }
 
   /** Raw-blob ingestion under the SAME commit protocol: a (doc_id,
-    * content) table of office packages and HTML pages interleaved — the
-    * per-partition sniff routes each blob (zip magic → OOXML converter,
-    * markup → soup parse + boilerplate strip) and the bucket checkpoint /
-    * lineage / resume semantics are shared with the PDF path. This is the
-    * ingestion shape for a mixed crawl store: one resumable job over every
-    * input tier. */
+    * content) table of PDF files, office packages and HTML pages
+    * interleaved — the per-partition [[Sniff]] routes each blob by magic
+    * bytes (`%PDF` → PDF parser, zip → OOXML converter, markup → soup
+    * parse + boilerplate strip) and the bucket checkpoint / lineage /
+    * resume semantics are shared with the flagship path. This is the
+    * ingestion shape for a mixed crawl store: one resumable job over
+    * every input tier. */
   def runRaw(spark: SparkSession, blobs: org.apache.spark.sql.DataFrame,
       outDir: String, buckets: Int = 64, groups: Int = 8,
       runId: String = "run-1", failAfterGroups: Int = Int.MaxValue): JobReport = {
@@ -67,13 +68,7 @@ object ExtractJob {
     runWith[org.apache.spark.sql.Row](spark, blobs,
       in => in.select(col("doc_id"), col("content")).as[(String, Array[Byte])]
         .mapPartitions { it =>
-          it.map { case (id, bytes) =>
-            val res =
-              if (bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == 'K'.toByte)
-                graft.office.OfficeConvert.convert(id, bytes)
-              else graft.html.HtmlConvert.result(id, bytes)
-            (id, res.spans)
-          }
+          it.map { case (id, bytes) => (id, Sniff.convert(id, bytes).spans) }
         }.toDF("doc_id", "spans"),
       outDir, buckets, groups, runId, failAfterGroups)
   }

@@ -676,26 +676,44 @@ object Queries {
       .orderBy("doc_id", "ord")
   }
 
+  /** PDF byte-parse extraction (the reference's PRIMARY input tier,
+    * main.py:604-636): the engine authors each doc's REAL PDF file live
+    * (xref, page tree, Flate streams, text operators, image XObjects) and
+    * parses it back from bytes in-partition; DuckDB replays from the
+    * committed pdf_golden.parquet. Zero shuffles before the ordered dump
+    * — the same narrow-map plan shape as office/html. */
+  def pdfExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents")
+      .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
+    ids.mapPartitions { it =>
+      it.flatMap { id =>
+        graft.pdf.PdfConvert.spans(id, graft.corpus.PdfGen.bytes(id))
+          .map(s => (id, s.order, s.kind, s.media_ref, s.text))
+      }
+    }.toDF("doc_id", "ord", "kind", "media_ref", "text")
+      .orderBy("doc_id", "ord")
+  }
+
   /** Mixed raw-blob ingestion: one table interleaving office packages
-    * (even doc index) and HTML pages (odd), routed per partition by the
-    * REAL byte sniff (zip magic vs markup) — the `ExtractJob.runRaw`
-    * router on the driver board. The oracle unions the two committed
-    * goldens by index parity, so a routing mistake (either direction)
-    * breaks the compare. */
+    * (doc index ≡ 0 mod 3), HTML pages (≡ 1) and PDF files (≡ 2), routed
+    * per partition by the SHARED magic-byte sniffer (`io.Sniff` — the
+    * single router `ExtractJob.runRaw` also uses). The oracle unions the
+    * three committed goldens by index mod 3, so a routing mistake in any
+    * direction breaks the compare. */
   def ingestRaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ids = tbl(spark, dir, "documents").select(col("doc_id")).as[Long]
     ids.mapPartitions { it =>
       it.flatMap { i =>
         val id = f"doc-$i%012d"
-        val bytes =
-          if (i % 2 == 0) graft.corpus.OfficeGen.bytes(id)
-          else graft.corpus.HtmlGen.bytes(id)
-        val res =
-          if (bytes.length >= 2 && bytes(0) == 'P'.toByte && bytes(1) == 'K'.toByte)
-            graft.office.OfficeConvert.convert(id, bytes)
-          else graft.html.HtmlConvert.result(id, bytes)
-        res.spans.map(s => (id, s.order, s.kind, s.media_ref, s.text))
+        val bytes = (i % 3) match {
+          case 0 => graft.corpus.OfficeGen.bytes(id)
+          case 1 => graft.corpus.HtmlGen.bytes(id)
+          case _ => graft.corpus.PdfGen.bytes(id)
+        }
+        graft.io.Sniff.convert(id, bytes)
+          .spans.map(s => (id, s.order, s.kind, s.media_ref, s.text))
       }
     }.toDF("doc_id", "ord", "kind", "media_ref", "text")
       .orderBy("doc_id", "ord")
@@ -818,6 +836,7 @@ object Queries {
     "chunk_blocks" -> chunkBlocks _,
     "office_extract" -> officeExtract _,
     "html_extract" -> htmlExtract _,
+    "pdf_extract" -> pdfExtract _,
     "ingest_raw" -> ingestRaw _,
     "q1_agg" -> q1Agg _,
     "q2_join_topk" -> q2JoinTopK _,

@@ -69,15 +69,17 @@ class ResumeSpec extends AnyFunSuite {
       s"layout invariant violated: $m")
   }
 
-  test("raw-blob ingestion (office + html interleaved) under the same protocol") {
+  test("raw-blob ingestion (office + html + pdf interleaved) under the same protocol") {
     import spark.implicits._
     val n = 120
-    // even ids land office packages, odd ids html pages — one mixed table
+    // doc index mod 3 routes office / html / pdf — one mixed table
     val blobs = spark.range(n).map { i =>
       val id = f"doc-$i%012d"
-      val bytes =
-        if (i % 2 == 0) graft.corpus.OfficeGen.bytes(id)
-        else graft.corpus.HtmlGen.bytes(id)
+      val bytes = (i % 3) match {
+        case 0 => graft.corpus.OfficeGen.bytes(id)
+        case 1 => graft.corpus.HtmlGen.bytes(id)
+        case _ => graft.corpus.PdfGen.bytes(id)
+      }
       (id, bytes)
     }.toDF("doc_id", "content")
 
@@ -93,11 +95,12 @@ class ResumeSpec extends AnyFunSuite {
     assert(got.size == n)
     (0 until n).foreach { i =>
       val id = f"doc-$i%012d"
-      val want =
-        if (i % 2 == 0) graft.corpus.OfficeGen.golden(id)
-          .map(s => (s.kind, s.text, s.media_ref, s.order))
-        else graft.corpus.HtmlGen.golden(id)
-          .map(s => (s.kind, s.text, s.media_ref, s.order))
+      val spans = (i % 3) match {
+        case 0 => graft.corpus.OfficeGen.golden(id)
+        case 1 => graft.corpus.HtmlGen.golden(id)
+        case _ => graft.corpus.PdfGen.golden(id)
+      }
+      val want = spans.map(s => (s.kind, s.text, s.media_ref, s.order))
       assert(got(id) == want, s"raw ingest mismatch for $id")
     }
   }
