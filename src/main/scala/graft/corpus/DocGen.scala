@@ -505,8 +505,33 @@ object DocGen {
     * continuations merged, list blocks kept as 'list'. */
   def golden(docId: String): DocResult = {
     val doc = authored(docId)
+    // v3 OCR-match docs (the reference's get_layout_parsing_res path,
+    // xycut_plus_v3.py): the standardization pass fixes labels before
+    // ordering — mirror it from the authoring structure (exact because
+    // match docs are single-column: placement is strictly top-down):
+    //   - a footnote with body text BELOW it on the page is body text,
+    //     not a footnote (:117-123; list/index blocks count — the model
+    //     sees their lines as 'text' labels);
+    //   - a lone sub-level title whose area clears 0.3× the largest
+    //     block's area IS the doc title (:126-139) — level 1.
+    val matchDoc = graft.kernel.StubModel.usesOcrMatch(docId)
+    val pages0 =
+      if (!matchDoc) doc.pages
+      else doc.pages.map { pg =>
+        val textish = pg.blocks.map(b =>
+          b.kind == Kinds.Text || b.kind == Kinds.ListK || b.kind == Kinds.Index)
+        val laterText = textish.scanRight(false)(_ || _).drop(1)
+        val promoted = graft.kernel.StubModel.ocrMatchPromotesTitle(
+          pg.blocks.map(b => (b.kind, b.text)))
+        APage(pg.blocks.zipWithIndex.map { case (b, i) =>
+          if ((b.kind == Kinds.Footnote || b.kind == Kinds.ImageFootnote) && laterText(i))
+            b.copy(kind = Kinds.Text)
+          else if (promoted && b.kind == Kinds.Title) b.copy(level = 1)
+          else b
+        })
+      }
     // flatten with page indices
-    var flat = doc.pages.zipWithIndex.flatMap { case (pg, p) =>
+    var flat = pages0.zipWithIndex.flatMap { case (pg, p) =>
       pg.blocks.map(b => (p, b))
     }
     // formula-number attach (reference: model_json_to_middle_json.py:256-292)

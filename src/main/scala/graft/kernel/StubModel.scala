@@ -113,27 +113,57 @@ object StubModel extends DocModel {
     * a deterministic content-keyed decision shared by placement and
     * emission — short paragraphs only. */
   def isVertical(docId: String, s: InSpan): Boolean =
-    s.kind == Kinds.Text && s.text.length < 60 &&
+    s.kind == Kinds.Text && s.text.length < 60 && !usesOcrMatch(docId) &&
       Math.floorMod(graft.util.Rng.fnv64(docId + "|v|" + s.offset), 10L) == 0L
 
   private val VertColPitch = 14.0
   private val VertHeight = 150.0
 
-  private def blockHeight(s: InSpan, colWidth: Double): Double = s.kind match {
+  private def blockHeight(s: InSpan, colWidth: Double): Double =
+    blockHeightKT(s.kind, s.text, colWidth)
+
+  private[graft] def blockHeightKT(kind: String, text: String,
+      colWidth: Double): Double = kind match {
     case Kinds.Figure => 120.0
     case Kinds.Table => 90.0
     case Kinds.Formula => 36.0
-    case Kinds.Title => titleHeight(titleLevelOf(s.text))
+    case Kinds.Title => titleHeight(titleLevelOf(text))
     case Kinds.Caption => 18.0
     case Kinds.Footnote | Kinds.ImageFootnote => 16.0
     case Kinds.FormulaNumber => 0.0 // rendered beside the formula
     // box bottom == union of its line boxes (14px pitch, 12px glyphs), so
     // the placement simulation sees exactly the pipeline's post-merge box
-    case Kinds.Text => lineSplit(s.text, cplOf(colWidth)).length * 14.0 - 2.0
+    case Kinds.Text => lineSplit(text, cplOf(colWidth)).length * 14.0 - 2.0
     case _ => // list/index blocks keep their authored line structure
-      val lines = math.max(1, s.text.count(_ == '\n') + 1)
+      val lines = math.max(1, text.count(_ == '\n') + 1)
       lines * 14.0 + 8.0
   }
+
+  /** Golden-side mirror of the v3 single-title promotion
+    * (xycut_plus_v3.py:126-139) for OCR-match docs: exactly one title on
+    * the page, authored at a sub-doc level, whose box area exceeds 0.3 ×
+    * the largest block's area ⇒ the pipeline promotes it to level 1. Match
+    * docs are single-column by construction, so the det areas replay
+    * exactly from the shared layout constants (same widths placeColumn
+    * assigns, per-line boxes for list/index — the shape the kernel emits). */
+  def ocrMatchPromotesTitle(blocks: Seq[(String, String)]): Boolean = {
+    val width = PageW - 2 * MarginX
+    val titles = blocks.filter(_._1 == Kinds.Title)
+    if (titles.length != 1) return false
+    val lvl = titleLevelOf(titles.head._2)
+    if (lvl <= 1) return false
+    def areaOf(kind: String, text: String): Double = kind match {
+      case Kinds.ListK | Kinds.Index => width * 12.0 // per-line det boxes
+      case Kinds.Formula => (width - 70.0) * 36.0
+      case Kinds.Caption | Kinds.Footnote => (width - 40.0) * blockHeightKT(kind, text, width)
+      case Kinds.FormulaNumber => 30.0 * 20.0
+      case _ => width * blockHeightKT(kind, text, width)
+    }
+    val maxArea = blocks.map { case (k, t) => areaOf(k, t) }.max
+    width * titleHeight(lvl) > TitlePromotionRatio * maxArea
+  }
+
+  private val TitlePromotionRatio = 0.3
 
   /** Stack units into one column starting at (x0, yStart); returns placed
     * (span, bbox) plus the running bottom y. */
@@ -219,8 +249,21 @@ object StubModel extends DocModel {
     * pipeline's char->span fill must reconstruct the text exactly.
     * Content-keyed, draws nothing. */
   def usesCharLayer(docId: String, s: InSpan): Boolean =
-    s.kind == Kinds.Text &&
+    s.kind == Kinds.Text && !usesOcrMatch(docId) &&
       Math.floorMod(Rng.fnv64(docId + "|ch|" + s.offset), 5L) == 0L
+
+  /** OCR-match doc flag (~15% of the no-model-order docs): the layout
+    * model emits BLOCK boxes with empty content and the OCR lines arrive
+    * as a SEPARATE stream — the reference's v3 OCR-text-matching path
+    * (get_layout_parsing_res, xycut_plus_v3.py:459-524), its primary
+    * sorter when `original_order` is absent. Match docs stay single-column
+    * / no-insert / no-vertical / no-char-layer / no-body-splits so the
+    * golden mirror (footnote fix + title promotion, [[ocrMatchPromotesTitle]]
+    * and DocGen's later-text scan) is EXACT against the placed geometry.
+    * Keyed off the doc id alone, draws nothing. */
+  def usesOcrMatch(docId: String): Boolean =
+    !emitsOrder(docId) &&
+      Math.floorMod(Rng.fnv64(docId + "|ocrm"), 20L) < 3
 
   /** Far-attachment flag: ~10% of body-unit captions are DEFERRED to the
     * end of their column, far from their body — the tie-up's unconditional
@@ -235,7 +278,8 @@ object StubModel extends DocModel {
     * accepted only when the page has enough units and the region-aware
     * orderer validates). Content-keyed, draws nothing. */
   def usesInsert(docId: String, pageIdx: Int): Boolean =
-    Math.floorMod(Rng.fnv64(docId + "|ins|" + pageIdx), 10L) == 0L
+    !usesOcrMatch(docId) &&
+      Math.floorMod(Rng.fnv64(docId + "|ins|" + pageIdx), 10L) == 0L
 
   /** Layout validation: replay the pipeline's OWN tie-up + ordering core
     * (PageOps.orderBlocks — the single shared implementation) over the
@@ -492,9 +536,14 @@ object StubModel extends DocModel {
 
     val emitsOrd = emitsOrder(doc.doc_id)
     val far = (sp: InSpan) => isFarCaption(doc.doc_id, sp)
+    // v3 OCR-match docs: layout boxes arrive EMPTY and the lines as a
+    // separate OCR stream (get_layout_parsing_res input shape); forced
+    // single-column so the golden's footnote-fix/promotion mirror is
+    // exact against the placed geometry
+    val isMatch = usesOcrMatch(doc.doc_id)
 
     pages.toVector.zipWithIndex.map { case (pageSpans, p) =>
-      val twoCol = kr.chance(0.3)
+      val twoCol = kr.chance(0.3) && !isMatch
       val mains = pageSpans.filter(s => !Kinds.discarded(s.kind))
       val vert = (sp: InSpan) => isVertical(doc.doc_id, sp)
       val (placed, regionBoxes) =
@@ -506,6 +555,7 @@ object StubModel extends DocModel {
       val dets = ArrayBuffer.empty[Det]
       val chars = ArrayBuffer.empty[CharDet] // text layer: deterministic order, never scrambled
       val oriImgs = ArrayBuffer.empty[Det]   // embedded original images (pdf layer)
+      val ocrLines = ArrayBuffer.empty[Det]  // the v3 separate OCR stream (match docs)
       var charIdx = 0
       // main dets, authoring order (scores drawn in this fixed order).
       // Paragraph text is emitted as PER-LINE detections (justified to the
@@ -531,6 +581,19 @@ object StubModel extends DocModel {
               dets += Det(Kinds.Text, xHi - 12.0, y0, xHi, y0 + VertHeight,
                 score, chunks(i), "", ord)
               i += 1
+            }
+          case Kinds.Text if isMatch =>
+            // ONE empty paragraph box + its lines on the separate OCR
+            // stream: OcrMatch must bind them back (content grouping via
+            // the 0.8 line-band, layout_objects.py:640-643). Inline
+            // equations stay inside the recognized line text on this path.
+            dets += Det(Kinds.Text, x0, y0, x1, y1, score, "", "", ord)
+            val mLines = lineSplit(s.text, cplOf(x1 - x0))
+            var mi = 0
+            while (mi < mLines.length) {
+              val ly0 = y0 + 14.0 * mi
+              ocrLines += Det(Kinds.Text, x0, ly0, x1, ly0 + 12.0, score, mLines(mi), "")
+              mi += 1
             }
           case Kinds.Text =>
             val lines = lineSplit(s.text, cplOf(x1 - x0))
@@ -587,12 +650,18 @@ object StubModel extends DocModel {
           case Kinds.ListK | Kinds.Index =>
             // the model can't see list/TOC-ness: items arrive as plain
             // justified text lines; the pipeline's geometric ladder
-            // (para_split.py:73-270) must recover the block type
+            // (para_split.py:73-270) must recover the block type. On
+            // match docs each item line is an empty box + an OCR line —
+            // per-line binding feeds the same ladder.
             val items = s.text.split("\n", -1)
             var i = 0
             while (i < items.length) {
-              dets += Det(Kinds.Text, x0, y0 + 14.0 * i, x1, y0 + 14.0 * i + 12.0,
-                score, items(i), "", ord)
+              val ly0 = y0 + 14.0 * i
+              if (isMatch) {
+                dets += Det(Kinds.Text, x0, ly0, x1, ly0 + 12.0, score, "", "", ord)
+                ocrLines += Det(Kinds.Text, x0, ly0, x1, ly0 + 12.0, score, items(i), "")
+              } else
+                dets += Det(Kinds.Text, x0, ly0, x1, ly0 + 12.0, score, items(i), "", ord)
               i += 1
             }
           case Kinds.Table if s.text.contains("<img ") =>
@@ -618,7 +687,15 @@ object StubModel extends DocModel {
             // the model has no image_footnote category — it emits a plain
             // footnote det; the pipeline's nearest-body re-class must
             // recover the kind (__fix_footnote)
-            dets += Det(Kinds.Footnote, x0, y0, x1, y1, score, s.text, s.media_ref, ord)
+            if (isMatch) {
+              dets += Det(Kinds.Footnote, x0, y0, x1, y1, score, "", s.media_ref, ord)
+              ocrLines += Det(Kinds.Text, x0, y0, x1, y1, score, s.text, "")
+            } else
+              dets += Det(Kinds.Footnote, x0, y0, x1, y1, score, s.text, s.media_ref, ord)
+          case k @ (Kinds.Title | Kinds.Caption | Kinds.Footnote) if isMatch =>
+            // eligible single-line labels: empty box + one OCR line
+            dets += Det(k, x0, y0, x1, y1, score, "", s.media_ref, ord)
+            ocrLines += Det(Kinds.Text, x0, y0, x1, y1, score, s.text, "")
           case k =>
             dets += Det(k, x0, y0, x1, y1, score, s.text, s.media_ref, ord)
         }
@@ -683,9 +760,12 @@ object StubModel extends DocModel {
       // 85%-height boxes overlapping 70% — the pipeline's body-overlap
       // union must reassemble the full box
       // (pipeline_magic_model.py:164-204 __fix_by_remove_overlap_image_table_body)
+      // (match docs keep whole-body boxes: the promotion mirror compares
+      // areas against the authored geometry, and a split's 0.85-height
+      // halves would shift max_block_area until the 4.6 union restores it)
       val splits = ArrayBuffer.empty[(Int, Det, Det)]
       dets.zipWithIndex.foreach { case (d, i) =>
-        if (Kinds.bodies(d.cat) && kr.chance(0.2)) {
+        if (Kinds.bodies(d.cat) && kr.chance(0.2) && !isMatch) {
           val h = d.y1 - d.y0
           splits += ((i,
             d.copy(y1 = d.y0 + 0.85 * h),
@@ -709,6 +789,17 @@ object StubModel extends DocModel {
         val t = arr(j); arr(j) = arr(k); arr(k) = t
         j -= 1
       }
+      // the OCR stream arrives in its own (scrambled) order too — the
+      // matching layer may not rely on emission order
+      val ocrArr = ocrLines.toArray
+      if (isMatch) {
+        var oj = ocrArr.length - 1
+        while (oj > 0) {
+          val k = kr.nextInt(oj + 1)
+          val t = ocrArr(oj); ocrArr(oj) = ocrArr(k); ocrArr(k) = t
+          oj -= 1
+        }
+      }
       // ~15% of pages arrive as rotated scans (90/180/270 cw): every box —
       // dets AND text layer — is emitted in the rotated image frame with
       // swapped page dims; the pipeline's orientation restore must map
@@ -719,7 +810,7 @@ object StubModel extends DocModel {
         else if (rotKey == 2L) 270 else 0
       if (rotation == 0)
         PageModel(doc.doc_id, p, PageW, PageH, arr.toVector, chars.toVector,
-          0, oriImgs.toVector, regionDets)
+          0, oriImgs.toVector, regionDets, ocrArr.toVector)
       else {
         @inline def fwd(x0: Double, y0: Double, x1: Double, y1: Double) = rotation match {
           case 90 => (PageH - y1, x0, PageH - y0, x1)
@@ -737,7 +828,8 @@ object StubModel extends DocModel {
         }
         val (w, h) = if (rotation == 180) (PageW, PageH) else (PageH, PageW)
         PageModel(doc.doc_id, p, w, h, rdets, rchars, rotation,
-          oriImgs.toVector.map(rotDet), regionDets.map(rotDet))
+          oriImgs.toVector.map(rotDet), regionDets.map(rotDet),
+          ocrArr.toVector.map(rotDet))
       }
     }
   }

@@ -568,11 +568,11 @@ object PageOps {
     * boxes from the rotated scan frame back to upright page coordinates.
     * Returns (upright width, upright height, dets, chars). */
   def restoreOrientation(pm: PageModel)
-      : (Double, Double, Vector[Det], Vector[CharDet], Vector[Det], Vector[Det]) = {
+      : (Double, Double, Vector[Det], Vector[CharDet], Vector[Det], Vector[Det], Vector[Det]) = {
     val rot = ((pm.rotation % 360) + 360) % 360
     if (rot == 0)
       return (pm.width, pm.height, pm.dets.toVector, pm.chars.toVector,
-        pm.oriImages.toVector, pm.regions.toVector)
+        pm.oriImages.toVector, pm.regions.toVector, pm.ocrLines.toVector)
     @inline def box(a0: Double, b0: Double, a1: Double, b1: Double) = rot match {
       case 90 => (b0, pm.width - a1, b1, pm.width - a0)
       case 180 => (pm.width - a1, pm.height - b1, pm.width - a0, pm.height - b0)
@@ -589,8 +589,9 @@ object PageOps {
     }
     val ori = pm.oriImages.toVector.map(restDet)
     val regs = pm.regions.toVector.map(restDet)
-    if (rot == 180) (pm.width, pm.height, dets, chars, ori, regs)
-    else (pm.height, pm.width, dets, chars, ori, regs)
+    val ocr = pm.ocrLines.toVector.map(restDet)
+    if (rot == 180) (pm.width, pm.height, dets, chars, ori, regs, ocr)
+    else (pm.height, pm.width, dets, chars, ori, regs, ocr)
   }
 
   /** `formulaLevel` mirrors the reference's formula config
@@ -600,7 +601,8 @@ object PageOps {
     * inline dets into their text span (their content already lives there). */
   def process(pm: PageModel, formulaLevel: Int = 0): Vector[OrderedBlock] = {
     // 0. orientation restore: boxes arrive in the rotated scan frame
-    val (pageW, pageH, updets0, upchars, oriImages, upregions) = restoreOrientation(pm)
+    val (pageW, pageH, updets0, upchars, oriImages, upregions, upocr) =
+      restoreOrientation(pm)
 
     // 0.5 formula-level filter: drop labeled inline-equation dets when the
     //     config says not to recognize them (batch_analyze.py:182-187)
@@ -709,12 +711,23 @@ object PageOps {
     // 4. page-number fence: a small isolated box in the bottom margin is
     //    boilerplate even when the model mislabeled it as text. The O(n)
     //    isolation scan only runs for the rare small-bottom boxes.
-    val kept = live.filter { d =>
+    val fenced = live.filter { d =>
       val smallBottom = d.w <= PageNumMaxW && d.h <= PageNumMaxH &&
         d.y0 > BottomFenceFrac * pageH
       !smallBottom || live.exists(o =>
         (o ne d) && Geo.interLen(o.y0, o.y1, d.y0, d.y1) > 0)
     }
+
+    // 4.4 v3 OCR-text-matching (xycut_plus_v3.py get_layout_parsing_res):
+    //     when the OCR lines arrive as a separate stream, eligible layout
+    //     boxes bind their content from them (hurdle split, footnote fix,
+    //     single-title promotion — see OcrMatch); runs after the fence so
+    //     a mislabeled page number can't leak into bottom_text_y_max
+    val (kept, promoteTitle) =
+      if (upocr.nonEmpty) {
+        val b = OcrMatch.bind(fenced, upocr, pageW)
+        (b.dets, b.promoteTitle)
+      } else (fenced, false)
 
     // 4.5 line merge + block classification: consecutive text-line
     //     detections sharing a left edge and stacked at line pitch group
@@ -870,7 +883,11 @@ object PageOps {
       val d = blocks(bi)
       val level =
         if (kind == Kinds.Title) {
-          if (d.h >= 30) 1 else if (d.h >= 20) 2 else if (d.h >= 16) 3 else 4
+          // the v3 single-title doc_title promotion overrides the height
+          // ladder (xycut_plus_v3.py:126-139; at most one title exists
+          // when the flag is set)
+          if (promoteTitle) 1
+          else if (d.h >= 30) 1 else if (d.h >= 20) 2 else if (d.h >= 16) 3 else 4
         } else 0
       OrderedBlock(kind, d.text, d.media_ref, pm.page_idx, idx, level, d.nLines)
     }

@@ -124,7 +124,15 @@ case class PageModel(
       * xycut_plus_v3.py:441-456): LAYOUT REGIONS the v3 orderer groups
       * blocks by before the two-level enhanced cut — a nested boxed
       * insert, a sidebar. Empty = the whole page is one region. */
-    regions: Seq[Det] = Nil)
+    regions: Seq[Det] = Nil,
+    /** OCR text-line stream arriving SEPARATELY from the layout boxes
+      * (the reference's overall_ocr_res rec boxes+texts,
+      * xycut_plus_v3.py:459-524): non-empty ⇒ the page takes the v3
+      * OCR-text-matching path ([[graft.pipeline.OcrMatch]]) — eligible
+      * layout dets carry empty text and their content binds from these
+      * lines. Empty = the model already bound text (char layer or
+      * per-line text dets). */
+    ocrLines: Seq[Det] = Nil)
 
 /** An ordered block after page-level processing, pre doc-assembly.
   * `nLines` carries the block's text-line count into the doc-level

@@ -27,7 +27,7 @@ class OrientationSpec extends AnyFunSuite {
       val pm = PageModel("d", 0, w, h,
         Vector(up.copy(x0 = dx0, y0 = dy0, x1 = dx1, y1 = dy1)),
         Vector(upChar.copy(x0 = cx0, y0 = cy0, x1 = cx1, y1 = cy1)), rot)
-      val (rw, rh, dets, chars, _, _) = PageOps.restoreOrientation(pm)
+      val (rw, rh, dets, chars, _, _, _) = PageOps.restoreOrientation(pm)
       assert((rw, rh) == (W, H), s"dims rot=$rot")
       assert(dets.head == up, s"det rot=$rot")
       assert(chars.head == upChar, s"char rot=$rot")

@@ -115,4 +115,47 @@ class XYCutV3Spec extends AnyFunSuite with TableDrivenPropertyChecks {
     assert(got.sorted == Vector(0, 1, 2), "a permutation (totality)")
     assert(got.indexOf(1) < got.indexOf(2), "left column top-down")
   }
+
+  test("OCR-text-matching changes the ORDER: the footnote fix turns a " +
+    "mis-attachable note into a correctly-placed anchor") {
+    import graft.schema.{Det, Kinds, PageModel}
+    import graft.pipeline.PageOps
+    // a note sits between a text block and tableB, geometrically CLOSER
+    // to tableB than to its own context; body text continues below it
+    def det(cat: String, y0: Double, y1: Double, text: String = "",
+        x1: Double = 540): Det = Det(cat, 72, y0, x1, y1, 0.9, text, "")
+    val layout = Vector(
+      det(Kinds.Table, 100, 190, "<table><tr><td>a</td></tr></table>"),
+      det(Kinds.Text, 220, 246),
+      det(Kinds.Footnote, 300, 316, x1 = 500),
+      det(Kinds.Text, 330, 356),
+      det(Kinds.Table, 380, 470, "<table><tr><td>b</td></tr></table>"))
+    val ocr = Vector(
+      Det(Kinds.Text, 72, 220, 540, 232, 0.9, "first body paragraph", ""),
+      Det(Kinds.Text, 72, 234, 540, 246, 0.9, "continues here", ""),
+      Det(Kinds.Text, 72, 300, 500, 316, 0.9, "Note between the tables.", ""),
+      Det(Kinds.Text, 72, 330, 540, 342, 0.9, "second body paragraph", ""),
+      Det(Kinds.Text, 72, 344, 540, 356, 0.9, "closes the page", ""))
+    // v3 matching path: the footnote has body text BELOW it -> relabeled
+    // to text -> stays at its authored position as an ordering anchor
+    val matched = PageOps.process(PageModel("d", 0, 612, 792, layout, ocrLines = ocr))
+    assert(matched.map(_.kind) == Vector(Kinds.Table, Kinds.Text, Kinds.Text,
+      Kinds.Text, Kinds.Table))
+    assert(matched(2).text == "Note between the tables.")
+    // legacy path (text already bound, no separate OCR stream): the
+    // tie-up's greedy origin sweep hands the note to tableA as its
+    // footnote, so it renders DISPLACED — directly after tableA, two
+    // slots before its authored position
+    val bound = Vector(
+      layout(0),
+      layout(1).copy(text = "first body paragraph continues here", nLines = 2),
+      layout(2).copy(text = "Note between the tables."),
+      layout(3).copy(text = "second body paragraph closes the page", nLines = 2),
+      layout(4))
+    val legacy = PageOps.process(PageModel("d", 0, 612, 792, bound))
+    assert(legacy.map(_.kind) == Vector(Kinds.Table, Kinds.Footnote, Kinds.Text,
+      Kinds.Text, Kinds.Table))
+    assert(legacy(1).text == "Note between the tables.",
+      "without the matching layer the note is dragged to tableA")
+  }
 }
