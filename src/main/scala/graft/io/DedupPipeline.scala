@@ -1,0 +1,117 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.ScaleQueries
+
+/** Materialized MinHash-dedup chain under the SAME commit protocol as
+  * extraction: candidates → verified → groups → keep, each stage a
+  * bucket-partitioned parquet table written through [[ExtractJob.runWith]]
+  * (checkpoint + lineage + idempotent resume). This is the production
+  * shape at 100 TB — the chain is computed ONCE and every consumer reads
+  * views, instead of each query re-deriving shingles → signatures →
+  * candidates from scratch (the 4× recompute the r3 bench paid).
+  *
+  * Stage granularity:
+  *   - CANDIDATES and GROUPS are corpus-global (LSH banding and component
+  *     propagation shuffle across every document) — one commit unit each;
+  *   - VERIFIED and KEEP are per-pair / per-row — bucket-incremental on
+  *     the hash of the left id, so a crashed verify resumes at the bucket
+  *     grain like extraction does.
+  *
+  * [[ensure]] memoizes per (corpus dir, doc count): the first caller pays
+  * the chain, later callers (and later JVMs — the checkpoint protocol is
+  * on disk) read the finished tables. A real deployment keys the cache by
+  * the input table's snapshot id. */
+object DedupPipeline {
+
+  /** Run the four stages into `outDir` (resumable: finished stages and
+    * buckets are skipped on re-run). `failAfterStages` stops the job after
+    * N completed stages — the resume spec's crash hook. Returns the
+    * per-stage job reports for the stages that ran. */
+  def run(spark: SparkSession, dir: String, outDir: String,
+      buckets: Int = 8,
+      failAfterStages: Int = Int.MaxValue): Vector[(String, ExtractJob.JobReport)] = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = Vector.newBuilder[(String, ExtractJob.JobReport)]
+
+    // stage 1 — CANDIDATES (global: banding shuffles the whole corpus)
+    out += "candidates" -> ExtractJob.runWith[org.apache.spark.sql.Row](
+      spark, docs.toDF(),
+      slice => ScaleQueries.minhashLshPairsFrom(slice),
+      s"$outDir/candidates", buckets = 1, groups = 1, runId = "candidates",
+      failAfterGroups = Int.MaxValue)
+    if (failAfterStages <= 1) return out.result()
+    def candTable = spark.read.parquet(s"$outDir/candidates/data")
+      .select(col("doc_id"), col("b_id"), col("nbands"))
+
+    // stage 2 — VERIFIED (bucket-incremental over the candidate table)
+    out += "verified" -> ExtractJob.runWith[org.apache.spark.sql.Row](
+      spark, candTable,
+      slice => ScaleQueries.minhashVerifyFrom(slice, docs.toDF()),
+      s"$outDir/verified", buckets = buckets, groups = math.min(4, buckets),
+      runId = "verified", failAfterGroups = Int.MaxValue)
+    if (failAfterStages <= 2) return out.result()
+
+    // stage 3 — GROUPS (global: min-label propagation to convergence)
+    out += "groups" -> ExtractJob.runWith[org.apache.spark.sql.Row](
+      spark, docs.toDF(),
+      slice => ScaleQueries.dedupGroupsFrom(candTable,
+        slice.select(col("doc_id"))),
+      s"$outDir/groups", buckets = 1, groups = 1, runId = "groups",
+      failAfterGroups = Int.MaxValue)
+    if (failAfterStages <= 3) return out.result()
+    def grpTable = spark.read.parquet(s"$outDir/groups/data")
+      .select(col("doc_id"), col("group_id"))
+
+    // stage 4 — KEEP (per-row decision over the groups table)
+    out += "keep" -> ExtractJob.runWith[org.apache.spark.sql.Row](
+      spark, grpTable,
+      slice => ScaleQueries.dedupKeepFrom(slice),
+      s"$outDir/keep", buckets = buckets, groups = math.min(4, buckets),
+      runId = "keep", failAfterGroups = Int.MaxValue)
+    out.result()
+  }
+
+  // ---- session-shared materialization ------------------------------------
+
+  /** Materialize (or reuse) the chain for `dir`; returns the chain root.
+    * Keyed by (dir, doc count) — the sandbox analogue of an input-table
+    * snapshot id. */
+  def ensure(spark: SparkSession, dir: String): String = synchronized {
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$dir|$n") & 0xffffffffL)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_$key"
+    run(spark, dir, out)
+    out
+  }
+
+  def candidatesView(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, dir)}/candidates/data")
+      .select(col("doc_id"), col("b_id"), col("nbands"))
+
+  def verifiedView(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, dir)}/verified/data")
+      .select(col("doc_id"), col("b_id"), col("inter"), col("uni"))
+
+  def groupsView(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, dir)}/groups/data")
+      .select(col("doc_id"), col("group_id"))
+
+  def keepView(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, dir)}/keep/data")
+      .select(col("doc_id"), col("group_id"), col("keep"))
+
+  /** The end-to-end chain as ONE driver query: a FRESH materialization
+    * (unique run dir) so its timing is the real four-stage cost, returning
+    * the final keep table — the row the whole chain exists to produce.
+    * Output values are deterministic; only the scratch dir varies. */
+  def pipelineQuery(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_dedup_run").toString
+    run(spark, dir, out)
+    spark.read.parquet(s"$out/keep/data")
+      .select(col("doc_id"), col("group_id"), col("keep"))
+      .orderBy("doc_id")
+  }
+}

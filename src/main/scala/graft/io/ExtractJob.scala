@@ -110,9 +110,13 @@ object ExtractJob {
       res.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dataPath)
       val wallMs = (System.nanoTime() - tU) / 1000000
       // per-bucket lineage from the persisted result (an Iceberg deployment
-      // reads these from commit metrics instead)
+      // reads these from commit metrics instead); non-span stages (the
+      // dedup chain's pair/label tables) record rows only
+      val spanStat =
+        if (res.columns.contains("spans")) sum(size(col("spans")))
+        else sum(lit(0L))
       val stats = res.groupBy(col("bucket"))
-        .agg(count(lit(1)).as("docs"), sum(size(col("spans"))).as("spans"))
+        .agg(count(lit(1)).as("docs"), spanStat.as("spans"))
         .collect()
       val rows = unit.map { b =>
         val st = stats.find(_.getInt(0) == b)

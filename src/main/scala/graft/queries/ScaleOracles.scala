@@ -142,6 +142,21 @@ object ScaleOracles {
          |  (CASE WHEN doc_id = group_id THEN 1 ELSE 0 END)::INT AS keep
          |FROM grp ORDER BY doc_id""".stripMargin,
 
+    // the materialized chain's final table must equal the same transitive
+    // closure dedup_keep's oracle computes — one SQL, two Spark paths
+    "dedup_pipeline" ->
+      s"""WITH RECURSIVE ${minhashCtes.stripPrefix("WITH ")},
+         |e AS (SELECT doc_id AS v, b_id AS u FROM cand
+         |      UNION SELECT b_id, doc_id FROM cand),
+         |reach AS (SELECT v, u FROM e
+         |          UNION SELECT reach.v, e.u FROM reach JOIN e ON reach.u = e.v),
+         |m AS (SELECT v, min(u) AS mn FROM reach GROUP BY v),
+         |grp AS (SELECT d.doc_id, least(d.doc_id, coalesce(m.mn, d.doc_id))::BIGINT AS group_id
+         |      FROM documents d LEFT JOIN m ON m.v = d.doc_id)
+         |SELECT doc_id, group_id,
+         |  (CASE WHEN doc_id = group_id THEN 1 ELSE 0 END)::INT AS keep
+         |FROM grp ORDER BY doc_id""".stripMargin,
+
     "simhash64" ->
       """WITH toks AS (SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
         |  FROM documents),

@@ -78,7 +78,12 @@ object ScaleQueries {
 
   /** Distinct word-3-gram shingles with a 32-bit integer hash per shingle. */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    tbl(spark, dir, "documents")
+    shinglesFrom(tbl(spark, dir, "documents"))
+
+  /** Shingles from an explicit documents frame (the materialized-chain
+    * stages slice their own inputs). */
+  def shinglesFrom(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .withColumn("grams", expr(
@@ -113,8 +118,15 @@ object ScaleQueries {
     * share ALL bands; uncapped they are an m²-per-band hot key — the
     * star fallback keeps them one connected component at O(m) candidates).
     * The scalable counterpart of the exact dedup_ngram_jaccard. */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.io.DedupPipeline.candidatesView(spark, dir)
+      .orderBy("doc_id", "b_id")
+
+  /** The live candidate computation from a documents slice (the
+    * materialized chain's CANDIDATES stage body; the view above reads its
+    * output). */
+  def minhashLshPairsFrom(docs: DataFrame): DataFrame = {
+    val sh = shinglesFrom(docs)
     // all 16 minima as aggregate columns in ONE pass over the shingles —
     // no 16x row explosion, a single map-side-combinable shuffle on doc_id
     val minCols = (0 until 16).map { i =>
@@ -132,7 +144,6 @@ object ScaleQueries {
     cappedBucketPairs(bands, Seq("band", "key"), "doc_id", MinhashBucketCap)
       .groupBy(col("a_id").as("doc_id"), col("b_id"))
       .agg(count(lit(1)).as("nbands"))
-      .orderBy("doc_id", "b_id")
   }
 
   /** Exact-Jaccard verification of the MinHash candidates — the VERIFY
@@ -143,10 +154,17 @@ object ScaleQueries {
     * same join-key discipline as dedup_ngram_jaccard) and survives when
     * exact Jaccard >= 1/2, tested INTEGER-exactly:
     * inter/(|A|+|B|-inter) >= 1/2  <=>  3*inter >= |A|+|B|. */
-  def minhashVerify(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).select(col("doc_id"), col("g32"))
+  def minhashVerify(spark: SparkSession, dir: String): DataFrame =
+    graft.io.DedupPipeline.verifiedView(spark, dir)
+      .orderBy("doc_id", "b_id")
+
+  /** The live verify computation from materialized candidates + the doc
+    * table (the VERIFIED stage body — bucket-incremental under runWith:
+    * a candidate slice only joins the shingles of ITS docs). */
+  def minhashVerifyFrom(cands: DataFrame, docs: DataFrame): DataFrame = {
+    val sh = shinglesFrom(docs).select(col("doc_id"), col("g32"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val cand = minhashLshPairs(spark, dir).select(col("doc_id").as("a_id"), col("b_id"))
+    val cand = cands.select(col("doc_id").as("a_id"), col("b_id"))
     val inter = cand
       .join(sh.select(col("doc_id").as("a_id"), col("g32")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("g32")), Seq("b_id", "g32"))
@@ -158,7 +176,6 @@ object ScaleQueries {
       .filter(lit(3) * col("inter") >= col("na") + col("nb"))
       .select(col("a_id").as("doc_id"), col("b_id"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"))
-      .orderBy("doc_id", "b_id")
   }
 
   /** 64-bit SimHash over distinct tokens, carried as two 32-bit halves so
@@ -236,13 +253,19 @@ object ScaleQueries {
     * components are tiny cliques in practice). Pairs alone are not a dedup
     * decision — the keeper is the component representative (min doc_id).
     * Every document gets a row; singletons map to themselves. */
-  def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshPairs(spark, dir)
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame =
+    graft.io.DedupPipeline.groupsView(spark, dir)
+      .orderBy("doc_id")
+
+  /** The live component computation from materialized candidates (the
+    * GROUPS stage body). */
+  def dedupGroupsFrom(cands: DataFrame, docs: DataFrame): DataFrame = {
+    val spark = cands.sparkSession
+    val pairs = cands
       .select(col("doc_id"), col("b_id")).persist()
     val edges = pairs.select(col("doc_id").as("v"), col("b_id").as("u"))
       .unionByName(pairs.select(col("b_id").as("v"), col("doc_id").as("u")))
       .persist()
-    val docs = tbl(spark, dir, "documents").select(col("doc_id"))
     var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("lbl")).persist()
     var iter = 0
     var changed = 1L
@@ -271,7 +294,6 @@ object ScaleQueries {
       iter += 1
     }
     val out = labels.select(col("v").as("doc_id"), col("lbl").as("group_id"))
-      .orderBy("doc_id")
     pairs.unpersist(); edges.unpersist()
     out
   }
@@ -281,10 +303,15 @@ object ScaleQueries {
     * doc_id — the reference point the whole candidates→groups chain
     * exists to produce). Downstream training jobs filter `keep`. */
   def dedupKeep(spark: SparkSession, dir: String): DataFrame =
-    dedupGroups(spark, dir)
+    graft.io.DedupPipeline.keepView(spark, dir)
+      .orderBy("doc_id")
+
+  /** The live keep decision from materialized groups (the KEEP stage
+    * body). */
+  def dedupKeepFrom(groups: DataFrame): DataFrame =
+    groups
       .withColumn("keep", (col("doc_id") === col("group_id")).cast("int"))
       .select(col("doc_id"), col("group_id"), col("keep"))
-      .orderBy("doc_id")
 
   /** Hyperplane-LSH bucket id per embedding — the scale path for ANN: a
     * 2^bits-way bucketing turns the brute-force O(n^2) into per-bucket
@@ -388,6 +415,11 @@ object ScaleQueries {
     "cos_neardup_pairs" -> cosNeardupPairs _,
     "dedup_groups" -> dedupGroups _,
     "dedup_keep" -> dedupKeep _,
+    // the end-to-end materialized chain as one resumable job: four stage
+    // tables under the commit protocol, timing = the real chain cost; its
+    // value oracle is the same keep-table closure as dedup_keep
+    "dedup_pipeline" -> ((s: SparkSession, d: String) =>
+      graft.io.DedupPipeline.pipelineQuery(s, d)),
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_lsh_buckets" -> annLshBuckets _,
     "ann_lsh_topk" -> annLshTopK _,
