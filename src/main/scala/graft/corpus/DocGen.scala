@@ -563,13 +563,19 @@ object DocGen {
       t => t._2.kind, t => t._2.text, t => t._1,
       (t, s) => (t._1, t._2.copy(text = s)),
       t => (t._1, t._2.copy(kind = Kinds.Text)))
-    // cross-page paragraph merge
+    // cross-page paragraph merge, gated by the shared column plan: a
+    // boundary whose pages were forced to DIFFERENT widths (the r4
+    // width-ratio negative variant) keeps its parts separate — exactly
+    // what the pipeline's ported para_split.py:292 bound refuses
+    val (_, contAllowed) = graft.kernel.StubModel.contColumnPlan(docId,
+      doc.pages.map(_.blocks.map(b => (b.kind, b.text))))
     val merged = Vector.newBuilder[(Int, ABlock)]
     var j = 0
     while (j < flat.length) {
       var (p, b) = flat(j)
       var k = j
-      while (b.contWith && k + 1 < flat.length) {
+      while (b.contWith && k + 1 < flat.length &&
+          contAllowed(p + (k - j))) {
         val (p2, b2) = flat(k + 1)
         require(p2 == p + (k - j) + 1 && b2.kind == Kinds.Text,
           s"golden continuation invariant broken in $docId")

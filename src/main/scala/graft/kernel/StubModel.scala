@@ -165,10 +165,63 @@ object StubModel extends DocModel {
 
   private val TitlePromotionRatio = 0.3
 
+  /** Column plan for authored paragraph continuations, SHARED by the
+    * kernel's layout draw and the golden generator (so the para-merge
+    * width-ratio bound — para_split.py:292, ported r4 — can be exercised
+    * without the two sides drifting). A page boundary is "mergeable" when
+    * its adjacent blocks satisfy the reference's text-side merge predicate
+    * (only authored continuations do — normal paragraphs end with stop
+    * flags). For each mergeable boundary, both pages get FORCED column
+    * modes: usually single/single (widths equal ⇒ the merge proceeds);
+    * ~20% of boundaries author the NEGATIVE case single/two-column (the
+    * part-2 width halves ⇒ the pipeline must REFUSE the merge, and the
+    * golden keeps the parts separate). Returns (per-page force:
+    * 0 none / 1 single / 2 two-column, per-boundary merge verdict).
+    * Match docs never force two-column (their mirror requires single). */
+  def contColumnPlan(docId: String, pages: Vector[Vector[(String, String)]])
+      : (Vector[Int], Vector[Boolean]) = {
+    val n = pages.length
+    val force = Array.fill(n)(0)
+    val isM = usesOcrMatch(docId)
+    def mergeable(p: Int): Boolean = {
+      val a = pages(p); val b = pages(p + 1)
+      a.nonEmpty && b.nonEmpty && {
+        val (lk, lt) = a.last; val (fk, ft) = b.head
+        lk == Kinds.Text && fk == Kinds.Text && lt.nonEmpty && ft.nonEmpty &&
+          !graft.pipeline.Assemble.stops(lt.last) &&
+          !ft.head.isDigit && !ft.head.isUpper
+      }
+    }
+    var p = 0
+    while (p < n - 1) {
+      if (mergeable(p)) {
+        val mism = !isM && force(p) == 0 && force(p + 1) == 0 &&
+          Math.floorMod(Rng.fnv64(docId + "|cw|" + p), 5L) == 0L
+        if (mism) { force(p) = 1; force(p + 1) = 2 }
+        else {
+          if (force(p) == 0) force(p) = 1
+          if (force(p + 1) == 0) force(p + 1) = 1
+        }
+      }
+      p += 1
+    }
+    // verdicts derive from the FINAL forced modes. Only the PART-2 side
+    // can be narrow: force=2 narrows a page's FIRST main block (its
+    // incoming continuation part), while a boundary's part-1 is its
+    // page's LAST main block — never the narrowed one (a page whose only
+    // block is a continuation part can't chain: part-2 text always ends
+    // with a stop flag, so such a page is never a mergeable part-1 side).
+    val allowed = Vector.tabulate(math.max(0, n - 1)) { b =>
+      !mergeable(b) || force(b + 1) != 2
+    }
+    (force.toVector, allowed)
+  }
+
   /** Stack units into one column starting at (x0, yStart); returns placed
     * (span, bbox) plus the running bottom y. */
   private def placeColumn(units: Vector[Unit], x0: Double, width: Double,
-      yStart: Double, vert: InSpan => Boolean): (Vector[(InSpan, (Double, Double, Double, Double))], Double) = {
+      yStart: Double, vert: InSpan => Boolean,
+      narrow: InSpan => Boolean = _ => false): (Vector[(InSpan, (Double, Double, Double, Double))], Double) = {
     val out = Vector.newBuilder[(InSpan, (Double, Double, Double, Double))]
     var y = yStart
     units.foreach { u =>
@@ -180,13 +233,14 @@ object StubModel extends DocModel {
         } else {
           if (!first) y += AttachGap
           val vertical = vert(s)
-          val h = if (vertical) VertHeight else blockHeight(s, width)
+          val effW = if (narrow(s)) MismatchW else width
+          val h = if (vertical) VertHeight else blockHeight(s, effW)
           val w =
             if (vertical) lineSplit(s.text, 12).length * VertColPitch - 2.0
             else s.kind match {
-              case Kinds.Formula => width - 70.0 // leave room for the number
-              case Kinds.Caption | Kinds.Footnote => width - 40.0
-              case _ => width
+              case Kinds.Formula => effW - 70.0 // leave room for the number
+              case Kinds.Caption | Kinds.Footnote => effW - 40.0
+              case _ => effW
             }
           out += ((s, (x0, y, x0 + w, y + h)))
           y += h
@@ -358,9 +412,15 @@ object StubModel extends DocModel {
     * (and still places single — the golden suite would surface it).
     * Returns the placed spans plus the page's region-detection boxes
     * (non-empty only for the insert layout). */
+  /** Narrowed width for the para-merge width-ratio NEGATIVE variant
+    * (contColumnPlan force=2): the continuation part renders as a narrow
+    * single-column block, |540 − 240| ≥ 240 ⇒ the ported
+    * para_split.py:292 bound must refuse the merge. */
+  private val MismatchW = 240.0
+
   private def placePage(mains: Vector[InSpan], twoCol: Boolean, insert: Boolean,
       pageIdx: Int, vert: InSpan => Boolean, far: InSpan => Boolean,
-      emitsOrd: Boolean)
+      emitsOrd: Boolean, narrow: InSpan => Boolean = _ => false)
       : (Vector[(InSpan, (Double, Double, Double, Double))],
          Vector[(Double, Double, Double, Double)]) = {
     type Placed = Vector[(InSpan, (Double, Double, Double, Double))]
@@ -383,7 +443,8 @@ object StubModel extends DocModel {
     val baseUnits = toUnits(rest)
 
     def single(units: Vector[Unit]): Placed =
-      titlePlaced ++ placeColumn(units, MarginX, PageW - 2 * MarginX, yStart, vert)._1
+      titlePlaced ++ placeColumn(units, MarginX, PageW - 2 * MarginX, yStart,
+        vert, narrow)._1
 
     def twoColCandidates(units: Vector[Unit]): Iterator[(Placed, Vector[Region])] = {
       if (units.length < 2) return Iterator.empty
@@ -541,13 +602,34 @@ object StubModel extends DocModel {
     // single-column so the golden's footnote-fix/promotion mirror is
     // exact against the placed geometry
     val isMatch = usesOcrMatch(doc.doc_id)
+    // authored-continuation boundaries force their pages' column modes
+    // (contColumnPlan — shared with the golden's merge verdicts)
+    val allPages = pages.toVector
+    val (colForce, _) = contColumnPlan(doc.doc_id,
+      allPages.map(_.filter(s => !Kinds.discarded(s.kind))
+        .map(s => (s.kind, s.text)).toVector))
 
-    pages.toVector.zipWithIndex.map { case (pageSpans, p) =>
-      val twoCol = kr.chance(0.3) && !isMatch
+    allPages.zipWithIndex.map { case (pageSpans, p) =>
+      val colDraw = kr.chance(0.3) // draw consumed on every page
+      // forced boundary pages are ALWAYS single-column (the negative
+      // width variant narrows the continuation block itself instead of
+      // relying on a two-column layout that small pages cannot realize)
+      val twoCol = colForce(p) == 0 && colDraw && !isMatch
       val mains = pageSpans.filter(s => !Kinds.discarded(s.kind))
-      val vert = (sp: InSpan) => isVertical(doc.doc_id, sp)
+      // boundary pages of an authored continuation keep the PLAIN layout:
+      // vertical columns and insert regions would change the parts' block
+      // widths/geometry, and the golden's merge verdict is keyed to the
+      // forced column plan alone
+      val vert = (sp: InSpan) =>
+        isVertical(doc.doc_id, sp) && colForce(p) == 0
+      // the width-ratio negative variant: the page's leading continuation
+      // block renders narrow (MismatchW)
+      val narrow = (sp: InSpan) =>
+        colForce(p) == 2 && mains.nonEmpty && sp.offset == mains.head.offset
       val (placed, regionBoxes) =
-        placePage(mains, twoCol, usesInsert(doc.doc_id, p), p, vert, far, emitsOrd)
+        placePage(mains, twoCol,
+          usesInsert(doc.doc_id, p) && colForce(p) == 0, p, vert, far,
+          emitsOrd, narrow)
       val regionDets = regionBoxes.map { case (x0, y0, x1, y1) =>
         Det("region", x0, y0, x1, y1, 1.0, "", "")
       }

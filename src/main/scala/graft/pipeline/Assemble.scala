@@ -14,20 +14,28 @@ object Assemble {
     * ending with ',' is still a continuation candidate). Neither set holds
     * '-'; our hyphen join merging "wor-"/"d" into the restored word stays
     * the documented divergence (the reference keeps the two blocks). */
-  private val stops = Set('.', '!', '?', '。', '！', '？', ')', '）', '"', '”',
+  private[graft] val stops = Set('.', '!', '?', '。', '！', '？', ')', '）', '"', '”',
     ':', '：', ';', '；')
 
   /** prev/next text-paragraph merge predicate — port of
     * __merge_2_text_blocks (para_split.py:273-314): the earlier block must
-    * not end with a stop flag, the continuation must not start with a
-    * digit or an uppercase letter, and one side must span more than one
-    * text line. Geometric conditions not carried through the flat block
-    * stream (last-line right flush — vacuously true for justified lines;
-    * the 2x width-ratio bound) are documented divergences. */
+    * not end with a stop flag, its LAST line must run to the block's
+    * right edge (right-flush, :287-289 — a short last line means the
+    * paragraph already ended), the two blocks' widths must stay within 2×
+    * of each other (:292 — a full-width paragraph does not continue into
+    * a narrow column), the continuation must not start with a digit or an
+    * uppercase letter, and one side must span more than one text line.
+    * Width 0 marks geometry-free paths (converters) where the ratio bound
+    * is vacuous. The first-line-indent test (:281) stays vacuous for
+    * justified line detections; the '-' hyphen join remains the
+    * documented divergence. */
   private def shouldMerge(prev: OrderedBlock, next: OrderedBlock): Boolean =
     prev.kind == Kinds.Text && next.kind == Kinds.Text &&
       prev.text.nonEmpty && next.text.nonEmpty &&
       !stops(prev.text.last) &&
+      prev.lastFlush &&
+      (prev.width <= 0 || next.width <= 0 ||
+        math.abs(prev.width - next.width) < math.min(prev.width, next.width)) &&
       !next.text.head.isDigit && !next.text.head.isUpper &&
       (prev.nLines > 1 || next.nLines > 1)
 
@@ -76,7 +84,12 @@ object Assemble {
     var cur: OrderedBlock = null
     tagged.result().foreach { b =>
       if (cur == null) cur = b
-      else if (shouldMerge(cur, b)) cur = cur.copy(text = join(cur.text, b.text))
+      else if (shouldMerge(cur, b))
+        // a chained merge continues with the TAIL part's geometry (the
+        // reference extends block2's line list — its bbox follows the
+        // latest lines)
+        cur = cur.copy(text = join(cur.text, b.text),
+          width = b.width, lastFlush = b.lastFlush, nLines = cur.nLines + b.nLines)
       else { merged += cur; cur = b }
     }
     if (cur != null) merged += cur

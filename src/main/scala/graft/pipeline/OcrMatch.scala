@@ -187,14 +187,20 @@ object OcrMatch {
             else { groups += cur; cur = Vector(p) }
           }
           groups += cur
-          val lineTexts = groups.result().map { g =>
+          val gs = groups.result()
+          val lineTexts = gs.map { g =>
             g.sortBy(_.x0).map(_.text)
               .reduce((a, b) => graft.textnorm.TextNorm.joinText(a, b))
           }
           val text =
             if (lineTexts.length == 1) lineTexts.head
             else graft.textnorm.TextNorm.joinAll(lineTexts)
-          d.copy(text = text, nLines = lineTexts.length)
+          // right-flush of the LAST visual line vs the block box (the
+          // same para-merge precondition buildBlock computes)
+          val lastG = gs.last
+          val flush = math.abs(d.x1 - lastG.map(_.x1).max) <
+            math.max(1.0, lastG.head.h)
+          d.copy(text = text, nLines = lineTexts.length, lastFlush = flush)
         }
       }
     }

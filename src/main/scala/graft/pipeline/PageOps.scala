@@ -107,7 +107,11 @@ object PageOps {
       case Kinds.ListK | Kinds.Index => lines.map(_.text).mkString("\n")
       case _ => graft.textnorm.TextNorm.joinAll(lines.map(_.text))
     }
-    Det(cls, x0, y0, x1, y1, score, text, "", lines.head.order, lines.length)
+    // para-merge right-flush precondition (para_split.py:287-289): does
+    // the LAST line reach the block's right edge within one line height?
+    val last = lines.maxBy(l => (l.y0, l.x0))
+    val flush = math.abs(x1 - last.x1) < math.max(1.0, last.h)
+    Det(cls, x0, y0, x1, y1, score, text, "", lines.head.order, lines.length, flush)
   }
 
   // span_pre_proc.py:402-403
@@ -889,7 +893,8 @@ object PageOps {
           if (promoteTitle) 1
           else if (d.h >= 30) 1 else if (d.h >= 20) 2 else if (d.h >= 16) 3 else 4
         } else 0
-      OrderedBlock(kind, d.text, d.media_ref, pm.page_idx, idx, level, d.nLines)
+      OrderedBlock(kind, d.text, d.media_ref, pm.page_idx, idx, level, d.nLines,
+        d.w, d.lastFlush)
     }
   }
 }

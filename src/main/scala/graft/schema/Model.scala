@@ -86,7 +86,12 @@ case class Det(
     text: String,
     media_ref: String,
     order: Int = -1,
-    nLines: Int = 1) {
+    nLines: Int = 1,
+    /** whether the block's LAST text line runs to its right edge (within
+      * one line height) — the para-merge right-flush precondition
+      * (__merge_2_text_blocks, para_split.py:287-289); single-line blocks
+      * are their own last line, hence true. */
+    lastFlush: Boolean = true) {
   def w: Double = x1 - x0
   def h: Double = y1 - y0
   def cx: Double = (x0 + x1) / 2
@@ -145,7 +150,13 @@ case class OrderedBlock(
     page_idx: Int,
     index: Int,
     level: Int = 0,
-    nLines: Int = 1)
+    nLines: Int = 1,
+    /** block box width — the para-merge 2× width-ratio bound
+      * (para_split.py:292); 0 on geometry-free paths (office/html/pdf
+      * converters), where the bound is vacuous. */
+    width: Double = 0.0,
+    /** last text line right-flush (see [[Det.lastFlush]]). */
+    lastFlush: Boolean = true)
 
 /** Checkpoint-table row for resumable partition-grain lineage
   * (FIXTURES.md §4). */

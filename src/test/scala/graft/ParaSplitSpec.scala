@@ -74,4 +74,62 @@ class ParaSplitSpec extends AnyFunSuite {
   test("single line is always text") {
     assert(classify(Vector(line("- one;", 36, 100, 90))) == Kinds.Text)
   }
+
+  // ---- __merge_2_text_blocks geometric conditions (para_split.py:273-314,
+  // ported r4): exercised at the assemble level on hand OrderedBlocks -----
+
+  private def blk(text: String, page: Int, idx: Int, nLines: Int = 2,
+      width: Double = 540.0, flush: Boolean = true) =
+    graft.schema.OrderedBlock(Kinds.Text, text, "", page, idx,
+      nLines = nLines, width = width, lastFlush = flush)
+
+  private def mergedTexts(a: graft.schema.OrderedBlock,
+      b: graft.schema.OrderedBlock): Seq[String] =
+    graft.pipeline.Assemble.assemble("d", Seq(Vector(a), Vector(b)))
+      .spans.map(_.text)
+
+  test("right-flush condition: a short last line ends the paragraph (:287-289)") {
+    val p1 = blk("continuation begins here and", 0, 0)
+    val p2 = blk("finishes on the next page.", 1, 0)
+    assert(mergedTexts(p1, p2) ==
+      Seq("continuation begins here and finishes on the next page."))
+    // same text, but part 1's last line stops short of the right edge:
+    // the paragraph already ended — no merge
+    val ragged = p1.copy(lastFlush = false)
+    assert(mergedTexts(ragged, p2) ==
+      Seq("continuation begins here and", "finishes on the next page."))
+  }
+
+  test("2x width-ratio bound: a full-width paragraph does not continue into a narrow column (:292)") {
+    val p1 = blk("continuation begins here and", 0, 0, width = 540)
+    val within = blk("finishes on the next page.", 1, 0, width = 300)
+    assert(mergedTexts(p1, within).length == 1, "|540-300| < 300: merged")
+    val narrow = blk("finishes on the next page.", 1, 0, width = 230)
+    assert(mergedTexts(p1, narrow).length == 2, "|540-230| >= 230: refused")
+    // geometry-free paths (converters) carry width 0: the bound is vacuous
+    val free = blk("finishes on the next page.", 1, 0, width = 0)
+    assert(mergedTexts(p1.copy(width = 0), free).length == 1)
+  }
+
+  test("corpus authors the width-mismatch negative variant (non-vacuous)") {
+    import graft.corpus.DocGen
+    import graft.kernel.StubModel
+    var refused = 0
+    var allowedCount = 0
+    (0 until 400).foreach { i =>
+      val id = f"doc-$i%012d"
+      val doc = DocGen.authored(id)
+      val (_, allowed) = StubModel.contColumnPlan(id,
+        doc.pages.map(_.blocks.map(b => (b.kind, b.text))))
+      doc.pages.indices.dropRight(1).foreach { p =>
+        val isBoundary = doc.pages(p).blocks.nonEmpty &&
+          doc.pages(p).blocks.last.contWith
+        if (isBoundary) {
+          if (allowed(p)) allowedCount += 1 else refused += 1
+        }
+      }
+    }
+    assert(refused > 0, "no refused continuation boundary in 400 docs")
+    assert(allowedCount > refused, "merges must remain the common case")
+  }
 }
