@@ -412,6 +412,42 @@ object DocGen {
 
   private val U72Whitelist = "犀犁犄犊犒犟犬犯状犷犹狂狄狈狐狗狙狞".toSet
 
+  /** Latin-language word pools for the lang-id corpus classes (r4): each
+    * pool leans on that language's stopwords and diacritics — the signals
+    * the latin discriminator reads (fasttext stand-in breadth,
+    * utils/language.py:22-41). Marker words are pool-unique across the
+    * three languages. */
+  private val frPool = Vector(
+    "le", "la", "les", "des", "une", "est", "dans", "pour", "que", "nous",
+    "avec", "très", "déjà", "être", "côté", "général", "réseau", "modèle",
+    "données", "chaque", "aussi", "leur", "plus", "sans", "sous", "entre",
+    "après", "avant", "donc", "ainsi", "même", "février", "élève", "garçon",
+    "château", "ça")
+  private val dePool = Vector(
+    "der", "die", "das", "und", "ist", "nicht", "mit", "von", "zu", "den",
+    "einem", "über", "für", "größe", "straße", "müssen", "können", "schön",
+    "zwischen", "wieder", "immer", "durch", "nach", "bei", "aus", "wenn",
+    "dann", "also", "doch", "schnell", "grün", "früh", "spät", "haben",
+    "werden", "sein")
+  private val esPool = Vector(
+    "el", "los", "las", "una", "es", "en", "para", "que", "con", "por",
+    "según", "año", "niño", "señal", "más", "sólo", "también", "están",
+    "desde", "hasta", "cuando", "pero", "como", "muy", "sin", "sobre",
+    "había", "través", "número", "página", "tiempo", "puede", "entre",
+    "mismo", "cada", "forma")
+
+  private def latinText(r: SplitMix64, pool: Vector[String], n: Int): String = {
+    val sb = new java.lang.StringBuilder(n * 7)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(if (i % 12 == 0) ". " else " ")
+      sb.append(pool(r.nextInt(pool.size)))
+      i += 1
+    }
+    sb.append('.')
+    sb.toString
+  }
+
   /** U+7280-72DF chars OUTSIDE the reference's common-hanzi whitelist
     * (SUSPICIOUS_CJK_72XX_WHITELIST, pdf_classify.py:30-32). */
   private def u72Text(r: SplitMix64, n: Int): String = {
@@ -436,13 +472,16 @@ object DocGen {
     // 0 normal, 1 aspect, 2 sparse, 3 map-error, 4 cid, 5 abnormal,
     // 6 cross-script, 7 u72xx, 8 punct-garbage, 9 dot-leader TOC (txt),
     // 10 high image coverage (txt), 11 kana-dominant ja (txt),
-    // 12 hangul-dominant ko (txt)
+    // 12 hangul-dominant ko (txt), 13-15 latin fr/de/es (r4: stopword +
+    // diacritic profile classes for the latin discriminator)
     val cls =
       if (roll < 0.02) 1 else if (roll < 0.05) 2 else if (roll < 0.07) 3
       else if (roll < 0.09) 4 else if (roll < 0.11) 5 else if (roll < 0.13) 6
       else if (roll < 0.15) 7 else if (roll < 0.17) 8 else if (roll < 0.20) 9
       else if (roll < 0.25) 10 else if (roll < 0.27) 11
-      else if (roll < 0.29) 12 else 0
+      else if (roll < 0.29) 12
+      else if (roll < 0.31) 13 else if (roll < 0.33) 14
+      else if (roll < 0.35) 15 else 0
     doc.pages.zipWithIndex.map { case (pg, p) =>
       val base = pg.blocks.map(_.text).filter(_.nonEmpty).mkString(" ")
       val nFig = pg.blocks.count(_.kind == Kinds.Figure)
@@ -469,6 +508,9 @@ object DocGen {
           new String(Array.fill(400)((0x3041 + r.nextInt(0xBE)).toChar))
         case 12 => // hangul-syllable-dominant page (lang ko)
           new String(Array.fill(400)((0xAC00 + r.nextInt(0x2BA4)).toChar))
+        case 13 => latinText(r, frPool, 250)
+        case 14 => latinText(r, dePool, 250)
+        case 15 => latinText(r, esPool, 250)
         case _ => base
       }
       val mapErr = if (cls == 3) math.max(8, text.length * 8 / 100) else 0

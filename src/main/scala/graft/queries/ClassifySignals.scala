@@ -30,6 +30,21 @@ object ClassifySignals {
   val CjkRanges: Vector[(Int, Int)] =
     Vector((0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0xF900, 0xFAFF))
 
+  /** Latin-language stopword/diacritic profiles for lang_id_v2's latin
+    * discriminator (r4) — ONE definition feeding both engines. Marker
+    * words are ASCII-only (RE2's `\b` is an ASCII word boundary; a marker
+    * with a diacritic would silently never match on the DuckDB side) and
+    * pool-unique across the three languages; the diacritic classes are
+    * language-unique characters. */
+  val LatinMarkers: Vector[(String, String, String)] = Vector(
+    ("fr", """\b(le|les|des|est|dans|pour|nous|avec|donc|sans)\b""", "[èêçàâô]"),
+    ("de", """\b(der|die|das|und|ist|nicht|mit|von|den|durch)\b""", "[äöüß]"),
+    ("es", """\b(el|los|las|para|con|por|pero|como|desde|hasta)\b""", "[ñáíóú]"))
+
+  /** Minimum per-doc profile score (marker hits + diacritic hits) before a
+    * latin doc leaves 'en'. */
+  val LatinScoreMin = 10
+
   private def hex(cp: Int): String = f"\\x{$cp%04X}"
 
   private def rangeClass(ranges: Seq[(Int, Int)]): String =

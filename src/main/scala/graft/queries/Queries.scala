@@ -392,24 +392,40 @@ object Queries {
     val ids = tbl(spark, dir, "documents")
       .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
     val raw = ids.flatMap(id => graft.corpus.DocGen.rawPages(id)).toDF()
-    raw
-      .withColumn("han", graft.functions.TextFns.countMatches(col("text"), """[\x{4E00}-\x{9FFF}]"""))
-      .withColumn("kana", graft.functions.TextFns.countMatches(col("text"), """[\x{3040}-\x{30FF}]"""))
-      .withColumn("hang", graft.functions.TextFns.countMatches(col("text"), """[\x{AC00}-\x{D7AF}]"""))
-      .withColumn("latin", graft.functions.TextFns.countMatches(col("text"), "[A-Za-z]"))
-      .withColumn("cl", expr("""length(regexp_replace(text, '\\s+', ''))"""))
+    // latin stopword/diacritic profiles (r4): marker + diacritic tallies
+    // per language from the SHARED pattern table
+    val profiled = graft.queries.ClassifySignals.LatinMarkers
+      .foldLeft(raw
+        .withColumn("han", graft.functions.TextFns.countMatches(col("text"), """[\x{4E00}-\x{9FFF}]"""))
+        .withColumn("kana", graft.functions.TextFns.countMatches(col("text"), """[\x{3040}-\x{30FF}]"""))
+        .withColumn("hang", graft.functions.TextFns.countMatches(col("text"), """[\x{AC00}-\x{D7AF}]"""))
+        .withColumn("latin", graft.functions.TextFns.countMatches(col("text"), "[A-Za-z]"))
+        .withColumn("cl", expr("""length(regexp_replace(text, '\\s+', ''))"""))) {
+        case (df, (lang, words, marks)) =>
+          df.withColumn(s"p_$lang",
+            graft.functions.TextFns.countMatches(col("text"), words) +
+              graft.functions.TextFns.countMatches(col("text"), marks))
+      }
+    val t = graft.queries.ClassifySignals.LatinScoreMin
+    profiled
       .groupBy(col("doc_id"))
       .agg(sum(col("han")).as("han"), sum(col("kana")).as("kana"),
         sum(col("hang")).as("hang"), sum(col("latin")).as("latin"),
-        sum(col("cl")).as("cl"))
+        sum(col("cl")).as("cl"),
+        sum(col("p_fr")).as("fr"), sum(col("p_de")).as("de"),
+        sum(col("p_es")).as("es"))
       .withColumn("lang", expr(
-        """CASE
-          |  WHEN 2 * (han + kana + hang) > cl THEN
-          |    CASE WHEN 4 * kana >= han + kana + hang THEN 'ja'
-          |         WHEN 4 * hang >= han + kana + hang THEN 'ko'
-          |         ELSE 'zh' END
-          |  WHEN 2 * latin > cl THEN 'en'
-          |  ELSE 'und' END""".stripMargin))
+        s"""CASE
+           |  WHEN 2 * (han + kana + hang) > cl THEN
+           |    CASE WHEN 4 * kana >= han + kana + hang THEN 'ja'
+           |         WHEN 4 * hang >= han + kana + hang THEN 'ko'
+           |         ELSE 'zh' END
+           |  WHEN 2 * latin > cl THEN
+           |    CASE WHEN fr >= $t AND fr >= de AND fr >= es THEN 'fr'
+           |         WHEN de >= $t AND de >= es THEN 'de'
+           |         WHEN es >= $t THEN 'es'
+           |         ELSE 'en' END
+           |  ELSE 'und' END""".stripMargin))
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
   }
