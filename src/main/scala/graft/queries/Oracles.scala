@@ -330,6 +330,63 @@ object Oracles {
         |FROM c GROUP BY doc_id, (cum_before // 60)
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // the fuzzy chunk->block locator: an independent SQL replay of the
+    // anchor + expansion protocol (get_bbox_page_fast.py:40-120) using
+    // DuckDB's native levenshtein. Candidates per chunk are the blocks at
+    // or after the chunk's first ord (earlier blocks are matched by
+    // earlier chunks — the matched_global invariant over block-partitioned
+    // chunks, which the compare itself verifies: an overspilling Spark
+    // match would break row equality); the early stop keeps candidates up
+    // to the FIRST >0.95 block; expansion is the maximal contiguous
+    // substring-contained run around the anchor (empty texts break it).
+    "chunk_locate_fuzzy" ->
+      """WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents),
+        |g AS (SELECT g.doc_id, g.ord::INT AS ord, g.kind, g.media_ref, g.text
+        |  FROM read_parquet('/root/repo/src/test/resources/golden/extract_golden.parquet') g
+        |  JOIN ids ON g.doc_id = ids.did),
+        |t AS (SELECT doc_id, ord, kind, media_ref, text,
+        |  CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END AS toks FROM g),
+        |c AS (SELECT *, ((sum(toks) OVER (PARTITION BY doc_id ORDER BY ord
+        |     ROWS UNBOUNDED PRECEDING) - toks) // 60)::INT AS chunk_id FROM t),
+        |rendered AS (SELECT *, CASE
+        |    WHEN kind = 'title' THEN '## ' || text
+        |    WHEN kind = 'figure' THEN '![](' || media_ref || ')'
+        |    WHEN kind IN ('caption', 'footnote', 'image_footnote') THEN '*' || text || '*'
+        |    ELSE text END AS rend FROM c),
+        |content AS (SELECT doc_id, chunk_id,
+        |    string_agg(rend, chr(10) || chr(10) ORDER BY ord) AS content,
+        |    min(ord) AS first_ord
+        |  FROM rendered GROUP BY doc_id, chunk_id),
+        |cand AS (SELECT ct.doc_id, ct.chunk_id, ct.content, b.ord,
+        |    (greatest(length(ct.content), length(b.text)) -
+        |     levenshtein(ct.content, b.text))::DOUBLE
+        |      / greatest(length(ct.content), length(b.text)) AS ratio
+        |  FROM content ct JOIN c b
+        |    ON b.doc_id = ct.doc_id AND b.ord >= ct.first_ord AND b.text <> ''),
+        |stop95 AS (SELECT doc_id, chunk_id, min(ord) AS stop_ord
+        |  FROM cand WHERE ratio > 0.95 GROUP BY doc_id, chunk_id),
+        |anchor AS (SELECT doc_id, chunk_id, ord AS a_ord, content FROM (
+        |  SELECT cand.*, row_number() OVER (PARTITION BY cand.doc_id, cand.chunk_id
+        |      ORDER BY cand.ratio DESC, cand.ord) AS rn
+        |  FROM cand LEFT JOIN stop95 USING (doc_id, chunk_id)
+        |  WHERE cand.ord <= coalesce(stop95.stop_ord, 2147483647)
+        |    AND cand.ratio >= 0.1) WHERE rn = 1),
+        |contained AS (SELECT a.doc_id, a.chunk_id, a.a_ord, b.ord,
+        |    (b.text <> '' AND position(b.text IN a.content) > 0) AS ok
+        |  FROM anchor a JOIN c b ON b.doc_id = a.doc_id),
+        |lo AS (SELECT doc_id, chunk_id, a_ord,
+        |    coalesce(max(ord) FILTER (WHERE ord < a_ord AND NOT ok) + 1, 0) AS lo_ord
+        |  FROM contained GROUP BY doc_id, chunk_id, a_ord),
+        |hi AS (SELECT doc_id, chunk_id, a_ord,
+        |    coalesce(min(ord) FILTER (WHERE ord > a_ord AND NOT ok) - 1, 2147483647) AS hi_ord
+        |  FROM contained GROUP BY doc_id, chunk_id, a_ord)
+        |SELECT b.doc_id AS doc_id, a.chunk_id::INT AS chunk_id, b.ord AS ord
+        |FROM anchor a
+        |JOIN lo ON lo.doc_id = a.doc_id AND lo.chunk_id = a.chunk_id
+        |JOIN hi ON hi.doc_id = a.doc_id AND hi.chunk_id = a.chunk_id
+        |JOIN c b ON b.doc_id = a.doc_id AND b.ord BETWEEN lo.lo_ord AND hi.hi_ord
+        |ORDER BY b.doc_id, a.chunk_id, b.ord""".stripMargin,
+
     "table_classify" ->
       """WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents)
         |SELECT g.doc_id, g.ord,

@@ -610,6 +610,111 @@ object Queries {
     val Algorithm = graft.schema.Kinds.Algorithm
   }
 
+  /** Shared lossy chunk-content render for the fuzzy locator (markdown-ish
+    * per-kind decoration — the chunk text a RAG store would hold, NOT the
+    * raw block text, so locating back needs fuzzy matching). */
+  private def lossyRender(kind: String, text: String, ref: String): String =
+    kind match {
+      case graft.schema.Kinds.Title => "## " + text
+      case graft.schema.Kinds.Figure => s"![]($ref)"
+      case graft.schema.Kinds.Caption | graft.schema.Kinds.Footnote |
+           graft.schema.Kinds.ImageFootnote => "*" + text + "*"
+      case _ => text
+    }
+
+  private def lev(a: String, b: String): Int = {
+    val n = a.length; val m = b.length
+    if (n == 0) return m
+    if (m == 0) return n
+    var prev = Array.tabulate(m + 1)(identity)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      val ca = a.charAt(i - 1)
+      var j = 1
+      while (j <= m) {
+        val cost = if (ca == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
+  /** FUZZY chunk→block locator — the reference chunker's RapidFuzz
+    * position pass (chunker/get_bbox_page_fast.py:40-120) against LOSSY
+    * chunk text: per chunk, the most-similar block anchors the match
+    * (normalized levenshtein ratio — the deterministic stand-in for
+    * fuzz.ratio, available natively in BOTH engines — scanned in reading
+    * order with the reference's >0.95 early stop and <0.1 give-up), then
+    * the match expands to the contiguous neighbor blocks whose raw text
+    * is a SUBSTRING of the chunk (empty-text blocks break the run).
+    * Documented adaptation: the reference's mutable
+    * matched_global_indices is replaced by a reading-order candidate
+    * discipline — chunk k's anchor candidates start at its own first
+    * block (earlier blocks belong to earlier chunks) — which has the same
+    * effect on block-partitioned chunks and makes every chunk's
+    * computation independent, so the DuckDB oracle replays it exactly
+    * with windows instead of sequential state. Emits one row per located
+    * block. */
+  def chunkLocateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spans = graft.pipeline.Extract.extractSpans(spark, dir)
+      .select(col("doc_id"), col("ord").cast("int").as("ord"), col("kind"),
+        col("media_ref"), col("text"))
+      .as[(String, Int, String, String, String)]
+    spans.groupByKey(_._1).flatMapGroups { (id: String, it: Iterator[(String, Int, String, String, String)]) =>
+      val blocks = it.toVector.sortBy(_._2)
+      // chunking: the same 60-token cumulative rule as chunk_locate
+      var cum = 0
+      val chunkOf = blocks.map { case (_, _, _, _, text) =>
+        val toks = if (text.isEmpty) 0 else text.split(" ", -1).length
+        val cid = cum / 60
+        cum += toks
+        cid
+      }
+      val chunkIds = chunkOf.distinct.sorted
+      val out = Vector.newBuilder[(String, Int, Int)]
+      chunkIds.foreach { cid =>
+        val first = chunkOf.indexOf(cid)
+        val content = blocks.zip(chunkOf).collect { case ((_, _, k, r, t), c) if c == cid =>
+          lossyRender(k, t, r)
+        }.mkString("\n\n")
+        // anchor: reading-order scan from the chunk's first block,
+        // first-max wins, early stop > 0.95
+        var bestIdx = -1
+        var bestR = 0.0
+        var i = first
+        var stop = false
+        while (i < blocks.length && !stop) {
+          val t = blocks(i)._5
+          if (t.nonEmpty) {
+            val ml = math.max(content.length, t.length)
+            val r = (ml - lev(content, t)).toDouble / ml
+            if (r > bestR) { bestR = r; bestIdx = i; if (r > 0.95) stop = true }
+          }
+          i += 1
+        }
+        if (bestIdx >= 0 && bestR >= 0.1) {
+          var lo = bestIdx
+          while (lo > 0 && {
+            val t = blocks(lo - 1)._5; t.nonEmpty && content.contains(t)
+          }) lo -= 1
+          var hi = bestIdx
+          while (hi + 1 < blocks.length && {
+            val t = blocks(hi + 1)._5; t.nonEmpty && content.contains(t)
+          }) hi += 1
+          (lo to hi).foreach(bi => out += ((id, cid, blocks(bi)._2)))
+        }
+      }
+      out.result()
+    }.toDF("doc_id", "chunk_id", "ord")
+      .orderBy("doc_id", "chunk_id", "ord")
+  }
+
   /** Wired/wireless table classification over the extraction output
     * (rapid_table.py:47-58 TableCls: bordered tables route to the wired
     * structure model, borderless to wireless) — the authored corpus
@@ -845,6 +950,7 @@ object Queries {
     "markdown_escape" -> markdownEscape _,
     "chunk_text" -> chunkText _,
     "chunk_locate" -> chunkLocate _,
+    "chunk_locate_fuzzy" -> chunkLocateFuzzy _,
     "table_classify" -> tableClassify _,
     "checkbox_state" -> checkboxState _,
     "hyperlink_spans" -> hyperlinkSpans _,

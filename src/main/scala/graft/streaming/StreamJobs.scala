@@ -68,6 +68,35 @@ object StreamJobs {
     * and convert inside the partition (zip + DOM + rels — the same
     * per-document function as the batch office_extract). Stateless,
     * exactly-once with a replayable source/sink. */
+  /** Continuous MIXED ingestion: any landed blob (.pdf/.ooxml/.html —
+    * extension-agnostic) routes through the ONE shared magic-byte sniffer
+    * the batch `runRaw` uses ([[graft.io.Sniff]]): %PDF → the byte-level
+    * PDF parser, zip → OOXML, markup → soup + strip. The streaming face
+    * of the crawl-store ingestion shape: one stream, every input tier. */
+  def rawStream(spark: SparkSession, landingDir: String): Dataset[DocResult] = {
+    import spark.implicits._
+    spark.readStream
+      .format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .load(landingDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (path, bytes) =>
+          val base = path.substring(path.lastIndexOf('/') + 1)
+          val id = base.indexOf('.') match {
+            case -1 => base
+            case dot => base.substring(0, dot)
+          }
+          graft.io.Sniff.convert(id, bytes)
+        }
+      }
+  }
+
   def officeStream(spark: SparkSession, landingDir: String): Dataset[DocResult] = {
     import spark.implicits._
     spark.readStream

@@ -88,6 +88,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming mixed-blob ingestion routes pdf/office/html via the shared sniffer") {
+    import spark.implicits._
+    val landing = Files.createTempDirectory("graft_raw_landing").toString
+    (0 until 30).foreach { i =>
+      val id = f"doc-$i%012d"
+      val (bytes, ext) = (i % 3) match {
+        case 0 => (graft.corpus.OfficeGen.bytes(id), "ooxml")
+        case 1 => (graft.corpus.HtmlGen.bytes(id), "html")
+        case _ => (graft.corpus.PdfGen.bytes(id), "pdf")
+      }
+      Files.write(java.nio.file.Paths.get(s"$landing/$id.$ext"), bytes)
+    }
+    val q = StreamJobs.rawStream(spark, landing)
+      .writeStream.format("memory").queryName("raw_stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("raw_stream_out")
+      .as[graft.schema.DocResult].collect()
+      .map(r => r.doc_id -> r.spans).toMap
+    assert(got.size == 30)
+    (0 until 30).foreach { i =>
+      val id = f"doc-$i%012d"
+      val want = (i % 3) match {
+        case 0 => graft.corpus.OfficeGen.golden(id)
+        case 1 => graft.corpus.HtmlGen.golden(id)
+        case _ => graft.corpus.PdfGen.golden(id)
+      }
+      assert(got(id) == want, s"raw stream mismatch for $id")
+    }
+  }
+
   test("stateful sessionization stitches sessions across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
