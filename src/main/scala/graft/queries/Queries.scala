@@ -622,7 +622,12 @@ object Queries {
       case _ => text
     }
 
-  private def lev(a: String, b: String): Int = {
+  /** Levenshtein over UTF-8 BYTES — DuckDB's levenshtein() edits bytes
+    * (levenshtein('☑a','a') = 3), so the Spark side must too or the two
+    * engines' anchor choices drift on non-ASCII content. */
+  private def lev(as: String, bs: String): Int = {
+    val a = as.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = bs.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = a.length; val m = b.length
     if (n == 0) return m
     if (m == 0) return n
@@ -631,10 +636,10 @@ object Queries {
     var i = 1
     while (i <= n) {
       cur(0) = i
-      val ca = a.charAt(i - 1)
+      val ca = a(i - 1)
       var j = 1
       while (j <= m) {
-        val cost = if (ca == b.charAt(j - 1)) 0 else 1
+        val cost = if (ca == b(j - 1)) 0 else 1
         cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
         j += 1
       }
