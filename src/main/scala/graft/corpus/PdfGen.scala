@@ -250,23 +250,36 @@ object PdfGen {
   }
 
   /** The PDF file bytes. */
+  /** The PDF file bytes. Three real file forms, drawn per doc ("pdfq"):
+    *   - CLASSIC (PDF 1.4): xref table (+ subsection split / free-entry /
+    *     comment / object-order quirks), `trailer` dict;
+    *   - MODERN (PDF 1.5, ~30%): every dictionary-only object packed into
+    *     ONE compressed OBJECT STREAM (/Type /ObjStm, §7.5.7) and located
+    *     by a CROSS-REFERENCE STREAM (/Type /XRef, §7.5.8 — binary
+    *     W-encoded columns, FlateDecode, trailer fields in the stream
+    *     dict, no `trailer` keyword) — the dominant form in crawled PDFs;
+    *   - INCREMENTAL (~20%): a classic file whose first revision carries a
+    *     DECOY catalog (empty page tree), then an appended update section
+    *     replaces it — `/Prev` chains the xref tables and the NEWEST
+    *     entry must win (§7.5.6), so a parser ignoring the update reads
+    *     an empty document. */
   def bytes(docId: String): Array[Byte] = {
     val q = Rng.stream("pdfq", docId)
     val pages = layout(doc(docId))
+    // file form FIRST so the remaining quirk draws stay aligned per form
+    val formRoll = q.nextDouble()
+    val form = if (formRoll < 0.30) 1 else if (formRoll < 0.50) 2 else 0
 
-    // object numbering: 1 catalog, 2 pages, then per page (page obj,
-    // content obj(s), maybe length obj), then fonts, then images, with an
-    // optionally reserved FREE number in the middle of the range
     var next = 3
     def alloc(): Int = { val n = next; next += 1; n }
 
-    val objs = Vector.newBuilder[Obj]
-    val freeNums = Vector.newBuilder[Int]
+    // intermediate model: dict-only objects vs stream objects
+    val dicts = Vector.newBuilder[(Int, String)]
+    val streams = Vector.newBuilder[(Int, String, Array[Byte], Option[Int])]
 
     val fontNums = Map("F1" -> alloc(), "F2" -> alloc(), "F3" -> alloc())
-    if (q.chance(0.3)) freeNums += alloc() // deleted-object gap in the xref
+    if (q.chance(0.3)) alloc() // deleted-object gap in the xref
 
-    // image objects: one per distinct figure across the doc
     val figKs = pages.flatten.collect { case ImageElem(k, _, _) => k }.distinct
     val imgNums = figKs.map(k => k -> alloc()).toMap
     def imgName(k: Int): String = s"Im$k"
@@ -288,11 +301,14 @@ object PdfGen {
         val (data, filter) =
           if (q.chance(0.5)) (flate(raw), " /Filter /FlateDecode") else (raw, "")
         if (q.chance(0.25)) {
-          // indirect /Length written AFTER the stream (one-pass-writer form)
+          // indirect /Length written AFTER the stream (one-pass-writer
+          // form); in the modern form the length object lives INSIDE the
+          // object stream — resolving a stream length through an ObjStm
+          // is the adversarial lazy-resolution path
           val lenNum = alloc()
-          objs += streamObj(num, filter, data, Some(lenNum), crlf)
-          objs += dictObj(lenNum, data.length.toString)
-        } else objs += streamObj(num, filter, data, None, crlf)
+          streams += ((num, filter, data, Some(lenNum)))
+          dicts += ((lenNum, data.length.toString))
+        } else streams += ((num, filter, data, None))
         num
       }
       val contents =
@@ -304,43 +320,99 @@ object PdfGen {
         if (imgsHere.isEmpty) ""
         else imgsHere.map(k => s"/${imgName(k)} ${imgNums(k)} 0 R")
           .mkString(" /XObject << ", " ", " >>")
-      objs += dictObj(pageNum,
+      dicts += ((pageNum,
         s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $PageW $PageH] " +
-          s"/Contents $contents /Resources << /Font << $fontRes >>$xobjRes >> >>")
+          s"/Contents $contents /Resources << /Font << $fontRes >>$xobjRes >> >>"))
       pageNum
     }
 
-    objs += dictObj(1, "<< /Type /Catalog /Pages 2 0 R >>")
-    objs += dictObj(2,
+    val realCatalog = "<< /Type /Catalog /Pages 2 0 R >>"
+    // the incremental form's first revision points at a DECOY page tree
+    val decoyPages = if (form == 2) Some(alloc()) else None
+    decoyPages.foreach(d => dicts += ((d, "<< /Type /Pages /Kids [] /Count 0 >>")))
+    dicts += ((1, decoyPages match {
+      case Some(d) => s"<< /Type /Catalog /Pages $d 0 R >>"
+      case None => realCatalog
+    }))
+    dicts += ((2,
       s"<< /Type /Pages /Kids [${pageEntries.map(n => s"$n 0 R").mkString(" ")}] " +
-        s"/Count ${pageEntries.length} >>")
+        s"/Count ${pageEntries.length} >>"))
     Seq(("F1", "Helvetica"), ("F2", "Helvetica-Bold"), ("F3", "Helvetica-Oblique"))
       .foreach { case (n, base) =>
-        objs += dictObj(fontNums(n),
-          s"<< /Type /Font /Subtype /Type1 /BaseFont /$base >>")
+        dicts += ((fontNums(n), s"<< /Type /Font /Subtype /Type1 /BaseFont /$base >>"))
       }
     figKs.foreach { k =>
       val data = imageBytes(docId, k)
-      objs += streamObj(imgNums(k),
+      streams += ((imgNums(k),
         s" /Type /XObject /Subtype /Image /Width 180 /Height 120 " +
-          s"/ColorSpace /DeviceRGB /BitsPerComponent 8", data, None, crlf)
+          s"/ColorSpace /DeviceRGB /BitsPerComponent 8", data, None))
     }
 
-    // write order quirk: reversed or rotated object order in the FILE —
-    // the xref table, not file position, locates objects
-    var all = objs.result()
+    val out = new ByteArrayOutputStream(8192)
+    def w(str: String): Unit = out.write(str.getBytes("ISO-8859-1"))
+    w("%PDF-" + (if (form == 1) "1.5" else "1.4") + "\n")
+    out.write(Array[Byte]('%'.toByte, 0xe2.toByte, 0xe3.toByte, 0xcf.toByte, 0xd3.toByte, '\n'.toByte))
+    val offsets = scala.collection.mutable.Map[Int, Int]()
+
+    if (form == 1) {
+      // ---- MODERN: streams direct, dicts in one ObjStm, xref stream ----
+      var streamObjs = streams.result()
+      if (q.chance(0.4)) streamObjs = streamObjs.reverse // order quirk
+      streamObjs.foreach { case (num, extra, data, lenRef) =>
+        if (q.chance(0.15)) w(s"% object $num follows\n")
+        offsets(num) = out.size()
+        out.write(streamObj(num, extra, data, lenRef, crlf).body)
+      }
+      val packed = dicts.result()
+      val objstmNum = alloc()
+      val xrefNum = alloc()
+      // ObjStm content: "num offset ..." header, then the bare objects
+      val bodies = packed.map(_._2 + "\n")
+      val offs = bodies.scanLeft(0)(_ + _.length).init
+      val head = packed.zip(offs)
+        .map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+      val stmRaw = (head + bodies.mkString).getBytes("ISO-8859-1")
+      val stmData = flate(stmRaw)
+      offsets(objstmNum) = out.size()
+      out.write((s"$objstmNum 0 obj\n<< /Type /ObjStm /N ${packed.length} " +
+        s"/First ${head.length} /Filter /FlateDecode /Length ${stmData.length} >>\nstream\n")
+        .getBytes("ISO-8859-1"))
+      out.write(stmData)
+      w("\nendstream\nendobj\n")
+      val inStm: Map[Int, Int] = packed.map(_._1).zipWithIndex.toMap
+      // xref STREAM: W = [1 3 2] (type, offset/objstm-num, gen/index)
+      val xrefPos = out.size()
+      val size = next
+      val rows = new ByteArrayOutputStream(size * 6)
+      (0 until size).foreach { n =>
+        val (t, f2, f3) =
+          if (n == xrefNum) (1, xrefPos, 0)
+          else offsets.get(n).map(off => (1, off, 0))
+            .orElse(inStm.get(n).map(idx => (2, objstmNum, idx)))
+            .getOrElse((0, 0, 65535))
+        rows.write(t)
+        rows.write((f2 >> 16) & 0xff); rows.write((f2 >> 8) & 0xff); rows.write(f2 & 0xff)
+        rows.write((f3 >> 8) & 0xff); rows.write(f3 & 0xff)
+      }
+      val xrefData = flate(rows.toByteArray)
+      out.write((s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 3 2] " +
+        s"/Root 1 0 R /Filter /FlateDecode /Length ${xrefData.length} >>\nstream\n")
+        .getBytes("ISO-8859-1"))
+      out.write(xrefData)
+      w("\nendstream\nendobj\n")
+      w(s"startxref\n$xrefPos\n%%EOF\n")
+      return out.toByteArray
+    }
+
+    // ---- CLASSIC body (also the incremental form's first revision) ----
+    var all = dicts.result().map { case (n, d) => dictObj(n, d) } ++
+      streams.result().map { case (n, e, d, l) => streamObj(n, e, d, l, crlf) }
     val orderRoll = q.nextDouble()
     if (orderRoll < 0.3) all = all.reverse
     else if (orderRoll < 0.5) {
       val cut = 1 + q.nextInt(all.length - 1)
       all = all.drop(cut) ++ all.take(cut)
     }
-
-    val out = new ByteArrayOutputStream(8192)
-    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
-    w("%PDF-1.4\n")
-    out.write(Array[Byte]('%'.toByte, 0xe2.toByte, 0xe3.toByte, 0xcf.toByte, 0xd3.toByte, '\n'.toByte))
-    val offsets = scala.collection.mutable.Map[Int, Int]()
     all.foreach { o =>
       if (q.chance(0.15)) w(s"% object ${o.num} follows\n")
       offsets(o.num) = out.size()
@@ -365,6 +437,17 @@ object PdfGen {
       w(s"0 $size\n"); entries.foreach(w)
     }
     w(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+
+    if (form == 2) {
+      // ---- INCREMENTAL update: replace the decoy catalog (§7.5.6) ----
+      val catPos = out.size()
+      w(s"1 0 obj\n$realCatalog\nendobj\n")
+      val xref2 = out.size()
+      w("xref\n0 1\n0000000000 65535 f \n")
+      w(f"1 1\n$catPos%010d 00000 n \n")
+      w(s"trailer\n<< /Size $size /Root 1 0 R /Prev $xrefPos >>\n" +
+        s"startxref\n$xref2\n%%EOF\n")
+    }
     out.toByteArray
   }
 

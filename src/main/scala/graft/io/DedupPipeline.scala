@@ -49,7 +49,7 @@ object DedupPipeline {
     out += "verified" -> ExtractJob.runWith[org.apache.spark.sql.Row](
       spark, candTable,
       slice => ScaleQueries.minhashVerifyFrom(slice, docs.toDF()),
-      s"$outDir/verified", buckets = buckets, groups = math.min(4, buckets),
+      s"$outDir/verified", buckets = buckets, groups = math.min(2, buckets),
       runId = "verified", failAfterGroups = Int.MaxValue)
     if (failAfterStages <= 2) return out.result()
 
@@ -68,7 +68,7 @@ object DedupPipeline {
     out += "keep" -> ExtractJob.runWith[org.apache.spark.sql.Row](
       spark, grpTable,
       slice => ScaleQueries.dedupKeepFrom(slice),
-      s"$outDir/keep", buckets = buckets, groups = math.min(4, buckets),
+      s"$outDir/keep", buckets = buckets, groups = math.min(2, buckets),
       runId = "keep", failAfterGroups = Int.MaxValue)
     out.result()
   }

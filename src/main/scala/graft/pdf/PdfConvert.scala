@@ -212,16 +212,18 @@ object PdfConvert {
 
   // ---- document -----------------------------------------------------------
 
-  private final class Pdf(buf: Array[Byte]) {
-    private val offsets: Map[Int, Int] = readXref()
-    private val cache = scala.collection.mutable.Map[Int, PObj]()
+  /** Where an object lives: directly in the file, or inside an object
+    * stream (§7.5.7). */
+  private sealed trait Loc
+  private case class Direct(off: Int) extends Loc
+  private case class InStm(stm: Int, idx: Int) extends Loc
 
-    val trailer: PDict = {
-      // locate the trailer dict after the LAST "trailer" keyword
-      val tPos = lastIndexOf("trailer")
-      val lx = new Lexer(buf, tPos + "trailer".length, buf.length)
-      parseValue(lx, lx.next()).asInstanceOf[PDict]
-    }
+  private final class Pdf(buf: Array[Byte]) {
+    private val (offsets: Map[Int, Loc], trailer0: PDict) = readAllXref()
+    private val cache = scala.collection.mutable.Map[Int, PObj]()
+    private val objstmCache = scala.collection.mutable.Map[Int, Vector[PObj]]()
+
+    def trailer: PDict = trailer0
 
     private def lastIndexOf(s: String): Int = {
       val pat = s.getBytes("ISO-8859-1")
@@ -235,41 +237,106 @@ object PdfConvert {
       sys.error(s"'$s' not found")
     }
 
-    private def readXref(): Map[Int, Int] = {
+    /** Walk the /Prev chain from the LAST startxref: each section is a
+      * classic table + trailer or a cross-reference STREAM (§7.5.8).
+      * Sections are read newest-first and an entry never overrides one
+      * already seen — incremental updates win (§7.5.6). */
+    private def readAllXref(): (Map[Int, Loc], PDict) = {
       val sxPos = lastIndexOf("startxref")
       val lx0 = new Lexer(buf, sxPos + "startxref".length, buf.length)
-      val xrefPos = (lx0.next(): @unchecked) match { case TNum(v) => v.toInt }
-      val lx = new Lexer(buf, xrefPos, buf.length)
-      (lx.next(): @unchecked) match { case TKw("xref") => () }
-      val out = Map.newBuilder[Int, Int]
-      var done = false
-      while (!done) {
-        lx.skipWs()
-        val b = if (lx.pos < lx.end) lx.buf(lx.pos) else -1
-        if (b >= '0' && b <= '9') {
-          val start = (lx.next(): @unchecked) match { case TNum(v) => v.toInt }
-          val count = (lx.next(): @unchecked) match { case TNum(v) => v.toInt }
-          (0 until count).foreach { i =>
-            lx.skipWs()
-            // 20-byte entries: 10-digit offset, 5-digit gen, n/f
-            val off = new String(buf, lx.pos, 10, "ISO-8859-1").toInt
-            val kind = buf(lx.pos + 17).toChar
-            lx.pos += 18
-            if (kind == 'n') out += (start + i) -> off
-          }
-        } else done = true
+      var pos = (lx0.next(): @unchecked) match { case TNum(v) => v.toInt }
+      val out = scala.collection.mutable.Map[Int, Loc]()
+      var trailerAcc: PDict = null
+      while (pos >= 0) {
+        val (entries, tdict) = readSection(pos)
+        entries.foreach { case (n, loc) =>
+          if (!out.contains(n)) out(n) = loc
+        }
+        if (trailerAcc == null) trailerAcc = tdict
+        pos = tdict.m.get("Prev") match {
+          case Some(PNum(p)) => p.toInt
+          case _ => -1
+        }
       }
-      out.result()
+      (out.toMap, trailerAcc)
     }
 
-    def obj(num: Int): PObj = cache.getOrElseUpdate(num, {
-      val off = offsets.getOrElse(num, sys.error(s"object $num not in xref"))
+    private def readSection(xrefPos: Int): (Vector[(Int, Loc)], PDict) = {
+      val lx = new Lexer(buf, xrefPos, buf.length)
+      lx.skipWs()
+      if (buf(lx.pos) == 'x') {
+        // classic table
+        (lx.next(): @unchecked) match { case TKw("xref") => () }
+        val out = Vector.newBuilder[(Int, Loc)]
+        var done = false
+        while (!done) {
+          lx.skipWs()
+          val b = if (lx.pos < lx.end) lx.buf(lx.pos) else -1
+          if (b >= '0' && b <= '9') {
+            val start = (lx.next(): @unchecked) match { case TNum(v) => v.toInt }
+            val count = (lx.next(): @unchecked) match { case TNum(v) => v.toInt }
+            (0 until count).foreach { i =>
+              lx.skipWs()
+              // 20-byte entries: 10-digit offset, 5-digit gen, n/f
+              val off = new String(buf, lx.pos, 10, "ISO-8859-1").toInt
+              val kind = buf(lx.pos + 17).toChar
+              lx.pos += 18
+              if (kind == 'n') out += (start + i) -> Direct(off)
+            }
+          } else done = true
+        }
+        (lx.next(): @unchecked) match { case TKw("trailer") => () }
+        val tdict = parseValue(lx, lx.next()).asInstanceOf[PDict]
+        (out.result(), tdict)
+      } else {
+        // cross-reference STREAM: an indirect stream object whose dict IS
+        // the trailer; /Length must be direct (xref bootstrap)
+        val st = (parseObjectAt(xrefPos, requireDirectLength = true): @unchecked) match {
+          case s: PStream => s
+        }
+        def arr(o: PObj): Vector[PObj] = (o: @unchecked) match { case PArr(v) => v }
+        def n(o: PObj): Int = (o: @unchecked) match { case PNum(v) => v.toInt }
+        val size = n(st.dict.m("Size"))
+        val w = arr(st.dict.m("W")).map(n)
+        require(w.length == 3, s"bad /W $w")
+        val index = st.dict.m.get("Index").map(arr(_).map(n))
+          .getOrElse(Vector(0, size))
+        val data = st.data
+        val rowLen = w.sum
+        val out = Vector.newBuilder[(Int, Loc)]
+        var row = 0
+        index.grouped(2).foreach { case Vector(start, count) =>
+          (0 until count).foreach { i =>
+            val base = row * rowLen
+            var p = base
+            def field(width: Int): Int = {
+              var v = 0
+              (0 until width).foreach { k => v = (v << 8) | (data(p + k) & 0xff) }
+              p += width
+              v
+            }
+            val t = if (w(0) == 0) 1 else field(w(0))
+            val f2 = field(w(1))
+            val f3 = field(w(2))
+            t match {
+              case 1 => out += (start + i) -> Direct(f2)
+              case 2 => out += (start + i) -> InStm(f2, f3)
+              case _ => () // type 0: free
+            }
+            row += 1
+          }
+        }
+        (out.result(), st.dict)
+      }
+    }
+
+    /** Parse `N G obj …` at a byte offset (stream payload included). */
+    private def parseObjectAt(off: Int, requireDirectLength: Boolean = false): PObj = {
       val lx = new Lexer(buf, off, buf.length)
-      (lx.next(): @unchecked) match { case TNum(n) => require(n.toInt == num, s"xref points $num at object ${n.toInt}") }
+      lx.next() // object number (validated by the caller when known)
       lx.next() // generation
       (lx.next(): @unchecked) match { case TKw("obj") => () }
       val v = parseValue(lx, lx.next())
-      // stream?
       lx.skipWs()
       v match {
         case d: PDict if lx.pos + 6 <= lx.end &&
@@ -277,7 +344,11 @@ object PdfConvert {
           lx.pos += 6
           if (buf(lx.pos) == '\r') lx.pos += 1
           if (buf(lx.pos) == '\n') lx.pos += 1
-          val len = numOf(resolve(d.m("Length"))).toInt
+          val len = d.m("Length") match {
+            case PNum(l) => l.toInt
+            case ref if !requireDirectLength => numOf(resolve(ref)).toInt
+            case other => sys.error(s"xref stream needs a direct /Length, got $other")
+          }
           val raw = java.util.Arrays.copyOfRange(buf, lx.pos, lx.pos + len)
           val data = d.m.get("Filter") match {
             case Some(PName("FlateDecode")) => inflate(raw)
@@ -286,6 +357,31 @@ object PdfConvert {
           }
           PStream(d, data)
         case _ => v
+      }
+    }
+
+    /** Objects of an object stream: "num off …" header then the bare
+      * serialized objects at /First + off. */
+    private def objstmObjects(stmNum: Int): Vector[PObj] =
+      objstmCache.getOrElseUpdate(stmNum, {
+        val st = (obj(stmNum): @unchecked) match { case s: PStream => s }
+        val count = (st.dict.m("N"): @unchecked) match { case PNum(v) => v.toInt }
+        val first = (st.dict.m("First"): @unchecked) match { case PNum(v) => v.toInt }
+        val hx = new Lexer(st.data, 0, first)
+        val offs = Vector.fill(count) {
+          hx.next() // object number (positional — index locates it)
+          (hx.next(): @unchecked) match { case TNum(v) => v.toInt }
+        }
+        offs.map { off =>
+          val ox = new Lexer(st.data, first + off, st.data.length)
+          parseValue(ox, ox.next())
+        }
+      })
+
+    def obj(num: Int): PObj = cache.getOrElseUpdate(num, {
+      offsets.getOrElse(num, sys.error(s"object $num not in xref")) match {
+        case Direct(off) => parseObjectAt(off)
+        case InStm(stm, idx) => objstmObjects(stm)(idx)
       }
     })
 

@@ -624,8 +624,11 @@ object Queries {
 
   /** Levenshtein over UTF-8 BYTES — DuckDB's levenshtein() edits bytes
     * (levenshtein('☑a','a') = 3), so the Spark side must too or the two
-    * engines' anchor choices drift on non-ASCII content. */
-  private def lev(as: String, bs: String): Int = {
+    * engines' anchor choices drift on non-ASCII content. `limit` is a
+    * result-preserving abort: when every cell of a DP row exceeds it the
+    * true distance does too, so any value > limit may be returned (the
+    * caller only asks "is it under the limit?"). */
+  private def lev(as: String, bs: String, limit: Int = Int.MaxValue): Int = {
     val a = as.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val b = bs.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = a.length; val m = b.length
@@ -637,12 +640,16 @@ object Queries {
     while (i <= n) {
       cur(0) = i
       val ca = a(i - 1)
+      var rowMin = i
       var j = 1
       while (j <= m) {
         val cost = if (ca == b(j - 1)) 0 else 1
-        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        val v = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        cur(j) = v
+        if (v < rowMin) rowMin = v
         j += 1
       }
+      if (rowMin > limit) return limit + 1
       val t = prev; prev = cur; cur = t
       i += 1
     }
@@ -694,12 +701,25 @@ object Queries {
         var bestR = 0.0
         var i = first
         var stop = false
+        val contentBytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
         while (i < blocks.length && !stop) {
           val t = blocks(i)._5
           if (t.nonEmpty) {
+            // length bound: lev >= |lenA - lenB| (bytes), so ratio can
+            // never exceed min/max char-ish bound — skipping candidates
+            // whose bound cannot beat the running best is result-identical
+            // (a skipped candidate can neither win nor trigger the early
+            // stop, which requires beating the best first)
+            val tb = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
             val ml = math.max(content.length, t.length)
-            val r = (ml - lev(content, t)).toDouble / ml
-            if (r > bestR) { bestR = r; bestIdx = i; if (r > 0.95) stop = true }
+            val bound = (ml - math.abs(contentBytes - tb)).toDouble / ml
+            if (bound > bestR) {
+              // loose (+1) distance cap so float rounding can never skip a
+              // candidate that would actually beat the best
+              val cap = (ml * (1.0 - bestR)).toInt + 1
+              val r = (ml - lev(content, t, cap)).toDouble / ml
+              if (r > bestR) { bestR = r; bestIdx = i; if (r > 0.95) stop = true }
+            }
           }
           i += 1
         }

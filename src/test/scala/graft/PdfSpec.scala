@@ -191,4 +191,37 @@ class PdfSpec extends AnyFunSuite {
       .maxBy(d => PdfGen.golden(d).length)
     assert(PdfConvert.spans(id, PdfGen.bytes(id)) == PdfGen.golden(id))
   }
+
+  test("modern form (xref stream + ObjStm) and incremental form are non-vacuous and round-trip") {
+    // sniff the file form from the bytes: modern has no "trailer" keyword,
+    // incremental has two %%EOF markers
+    var modern = 0; var incremental = 0; var classic = 0
+    (0 until 300).foreach { i =>
+      val id = f"doc-$i%012d"
+      val bytes = PdfGen.bytes(id)
+      val txt = new String(bytes, "ISO-8859-1")
+      if (!txt.contains("trailer")) modern += 1
+      else if (txt.indexOf("%%EOF") != txt.lastIndexOf("%%EOF")) incremental += 1
+      else classic += 1
+      assert(PdfConvert.spans(id, bytes) == PdfGen.golden(id), s"form round trip $id")
+    }
+    assert(modern > 30 && incremental > 20 && classic > 80,
+      s"form mix degenerate: modern=$modern incremental=$incremental classic=$classic")
+  }
+
+  test("incremental update WINS: dropping it leaves the decoy (empty) document") {
+    val id = (0 until 300).map(i => f"doc-$i%012d").find { d =>
+      val t = new String(PdfGen.bytes(d), "ISO-8859-1")
+      t.contains("trailer") && t.indexOf("%%EOF") != t.lastIndexOf("%%EOF")
+    }.get
+    val bytes = PdfGen.bytes(id)
+    assert(PdfConvert.spans(id, bytes) == PdfGen.golden(id))
+    // truncate after the FIRST revision: a reader of that state sees the
+    // decoy catalog with an empty page tree
+    val txt = new String(bytes, "ISO-8859-1")
+    val cut = txt.indexOf("%%EOF") + 6
+    val truncated = java.util.Arrays.copyOfRange(bytes, 0, cut)
+    assert(PdfConvert.spans(id, truncated).isEmpty,
+      "the first revision must be the decoy - otherwise /Prev handling is untested")
+  }
 }
