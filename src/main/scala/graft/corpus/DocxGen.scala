@@ -92,6 +92,26 @@ object DocxGen {
     texts.map(t =>
       s"""<w:r><w:t xml:space="preserve">${xmlEsc(t)}</w:t></w:r>""").mkString
 
+  private def runOf(t: String): String =
+    if (t.isEmpty) ""
+    else s"""<w:r><w:t xml:space="preserve">${xmlEsc(t)}</w:t></w:r>"""
+
+  /** Body-paragraph runs: an inline `$…$` equation authors as a REAL OMML
+    * element (`m:oMath` with the latex in `m:t`) — the converter must
+    * re-wrap it, not read it as literal text (the reference splits
+    * paragraphs at equation boundaries, docx_converter.py:486-690). */
+  private def runsWithMath(texts: Seq[String]): String =
+    texts.map { t =>
+      val a = t.indexOf('$')
+      if (a < 0) runOf(t)
+      else {
+        val b = t.indexOf('$', a + 1)
+        runOf(t.substring(0, a)) +
+          s"<m:oMath><m:r><m:t>${xmlEsc(t.substring(a + 1, b))}</m:t></m:r></m:oMath>" +
+          runOf(t.substring(b + 1))
+      }
+    }.mkString
+
   /** word/document.xml + word/_rels/document.xml.rels. */
   def documentXml(docId: String): (String, String) = {
     val r = Rng.stream("officexml", docId)
@@ -100,7 +120,7 @@ object DocxGen {
     var relId = 0
     var titleIdx = 0
     var numId = 0 // one numbering instance per list block
-    val body = blocks.map { b =>
+    val body = blocks.zipWithIndex.map { case (b, bi) =>
       b.kind match {
         case Kinds.Title =>
           val lvl = titleLevelOf(titleIdx, b.text)
@@ -109,7 +129,19 @@ object DocxGen {
         case Kinds.Caption =>
           s"""<w:p><w:pPr><w:pStyle w:val="Caption"/></w:pPr>${runs(Seq(b.text))}</w:p>"""
         case Kinds.Text =>
-          s"<w:p>${runs(runSplit(r, b.text))}</w:p>"
+          val pieces = runSplit(r, b.text)
+          if (Math.floorMod(Rng.fnv64(docId + "|tbx|" + bi), 8L) == 0L) {
+            // TEXTBOX paragraph (the reference extracts textbox content,
+            // docx_converter.py:108): the real mc:AlternateContent shape —
+            // content in mc:Choice/wps:txbx, a DUPLICATE in mc:Fallback
+            // (the compatibility copy real writers emit; a naive
+            // descendant concat doubles the text)
+            val inner = s"<w:txbxContent><w:p>${runsWithMath(pieces)}</w:p></w:txbxContent>"
+            s"""<w:p><w:r><mc:AlternateContent><mc:Choice Requires="wps">""" +
+              s"""<w:drawing><wps:txbx>$inner</wps:txbx></w:drawing></mc:Choice>""" +
+              s"""<mc:Fallback><w:pict><v:textbox>$inner</v:textbox></w:pict></mc:Fallback>""" +
+              "</mc:AlternateContent></w:r></w:p>"
+          } else s"<w:p>${runsWithMath(pieces)}</w:p>"
         case Kinds.ListK =>
           numId += 1
           b.text.split("\n").map(item =>
@@ -136,12 +168,24 @@ object DocxGen {
         case _ => ""
       }
     }.mkString
+    // running-head part referenced from sectPr: document chrome the
+    // converter must NOT leak into the span stream (the engine-wide
+    // header/footer boilerplate contract)
+    rels += (("rIdHdr",
+      "http://schemas.openxmlformats.org/officeDocument/2006/relationships/header",
+      "header1.xml"))
+    val sectPr =
+      """<w:sectPr><w:headerReference w:type="default" r:id="rIdHdr"/></w:sectPr>"""
     val doc =
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"
          |  xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"
-         |  xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">
-         |<w:body>$body</w:body></w:document>""".stripMargin
+         |  xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"
+         |  xmlns:m="http://schemas.openxmlformats.org/officeDocument/2006/math"
+         |  xmlns:mc="http://schemas.openxmlformats.org/markup-compatibility/2006"
+         |  xmlns:wps="http://schemas.microsoft.com/office/word/2010/wordprocessingShape"
+         |  xmlns:v="urn:schemas-microsoft-com:vml">
+         |<w:body>$body$sectPr</w:body></w:document>""".stripMargin
     val relXml = rels.result().map { case (id, tpe, target) =>
       s"""<Relationship Id="$id" Type="$tpe" Target="${xmlEsc(target)}"/>"""
     }.mkString(
@@ -171,6 +215,10 @@ object DocxGen {
         |</Types>""".stripMargin)
     put("word/document.xml", doc)
     put("word/_rels/document.xml.rels", rels)
+    put("word/header1.xml",
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<w:hdr xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+         |<w:p><w:r><w:t>RUNNING HEAD $docId</w:t></w:r></w:p></w:hdr>""".stripMargin)
     zip.close()
     bos.toByteArray
   }

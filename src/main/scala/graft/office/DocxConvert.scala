@@ -21,9 +21,33 @@ object DocxConvert {
 
   import Ooxml.{readZip, parseXml, children, descendants}
 
-  /** Concatenated run text of a paragraph-ish element (w:t in order). */
-  private def textOf(e: Element): String =
-    descendants(e, "w:t").map(_.getTextContent).mkString
+  /** Concatenated run text of a paragraph-ish element, in DOCUMENT ORDER:
+    * `w:t` runs verbatim; an OMML equation (`m:oMath`, the reference's
+    * eq-boundary splitting surface — docx_converter.py:486-690) re-wraps
+    * as inline `$…$` from its `m:t` runs; `mc:AlternateContent` descends
+    * into `mc:Choice` ONLY (a naive descendant concat would double the
+    * text through `mc:Fallback` — the compatibility duplicate real
+    * writers emit). Textbox content (`w:txbxContent`) flows through the
+    * ordered walk naturally. */
+  private def textOf(e: Element): String = {
+    val sb = new StringBuilder
+    def walk(n: org.w3c.dom.Node): Unit = n match {
+      case el: Element if el.getTagName == "m:oMath" =>
+        sb.append('$')
+        sb.append(descendants(el, "m:t").map(_.getTextContent).mkString)
+        sb.append('$')
+      case el: Element if el.getTagName == "mc:AlternateContent" =>
+        children(el).find(_.getTagName == "mc:Choice").foreach(walk)
+      case el: Element if el.getTagName == "w:t" =>
+        sb.append(el.getTextContent)
+      case el: Element =>
+        var c = el.getFirstChild
+        while (c != null) { walk(c); c = c.getNextSibling }
+      case _ => ()
+    }
+    walk(e)
+    sb.toString
+  }
 
   private def styleOf(p: Element): String =
     descendants(p, "w:pStyle").headOption.map(_.getAttribute("w:val")).getOrElse("")
@@ -103,7 +127,15 @@ object DocxConvert {
             listItems :+= textOf(el)
           } else {
             flushList()
-            if (drawing.isDefined) {
+            // a drawing is a FIGURE only when it carries an image blip —
+            // a textbox drawing (wps:txbx) is text and flows through the
+            // ordered walk (the reference extracts textbox elements,
+            // docx_converter.py:108,774)
+            val isImage = drawing.exists(d => descendants(d, "a:blip").nonEmpty)
+            if (drawing.isDefined && !isImage) {
+              val t = textOf(el)
+              if (t.nonEmpty) out += Block(Kinds.Text, t)
+            } else if (isImage) {
               val embed = descendants(drawing.get, "a:blip").headOption
                 .map(_.getAttribute("r:embed")).getOrElse("")
               val target = rels.getOrElse(embed, "")

@@ -77,4 +77,41 @@ class OfficeSpec extends AnyFunSuite {
     assert(lists.nonEmpty)
     assert(lists.forall(_.text.contains("\n")), "items joined into one block")
   }
+
+  test("OMML equations, textboxes and header parts (r4 docx depth)") {
+    // non-vacuity over the corpus: both features occur and round-trip
+    var eqDocs = 0; var tbxDocs = 0
+    (0 until 200).foreach { i =>
+      val id = f"doc-$i%012d"
+      if (graft.corpus.OfficeGen.formatOf(id) == "docx") {
+        val parts = graft.office.Ooxml.readZip(graft.corpus.DocxGen.docxBytes(id))
+        val xml = parts("word/document.xml")
+        if (xml.contains("<m:oMath>")) eqDocs += 1
+        if (xml.contains("<w:txbxContent>")) tbxDocs += 1
+        // headers authored in every package, never leaked
+        assert(xml.contains("headerReference") && parts.contains("word/header1.xml"))
+        val got = DocxConvert.convert(id, graft.corpus.DocxGen.docxBytes(id)).spans
+        assert(got == graft.corpus.DocxGen.golden(id), s"docx r4 round trip $id")
+        assert(!got.exists(_.text.contains("RUNNING HEAD")), s"header leaked in $id")
+      }
+    }
+    assert(eqDocs > 5, s"no OMML docs in corpus ($eqDocs)")
+    assert(tbxDocs > 5, s"no textbox docs in corpus ($tbxDocs)")
+  }
+
+  test("hand case: oMath re-wraps as $..$; mc:Fallback duplicate is not doubled") {
+    val doc =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+        |<w:body>
+        |<w:p><w:r><w:t xml:space="preserve">energy </w:t></w:r><m:oMath><m:r><m:t>E=mc^2</m:t></m:r></m:oMath><w:r><w:t xml:space="preserve"> holds.</w:t></w:r></w:p>
+        |<w:p><w:r><mc:AlternateContent><mc:Choice Requires="wps"><w:drawing><wps:txbx><w:txbxContent><w:p><w:r><w:t>boxed note</w:t></w:r></w:p></w:txbxContent></wps:txbx></w:drawing></mc:Choice><mc:Fallback><w:pict><v:textbox><w:txbxContent><w:p><w:r><w:t>boxed note</w:t></w:r></w:p></w:txbxContent></v:textbox></w:pict></mc:Fallback></mc:AlternateContent></w:r></w:p>
+        |</w:body></w:document>""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    zip.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zip.write(doc.getBytes("UTF-8")); zip.closeEntry(); zip.close()
+    val res = DocxConvert.convert("t", bos.toByteArray)
+    assert(res.spans.map(_.text) == Vector("energy $E=mc^2$ holds.", "boxed note"))
+  }
 }
