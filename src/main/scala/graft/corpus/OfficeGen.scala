@@ -152,7 +152,8 @@ object OfficeGen {
   // -- pptx ------------------------------------------------------------------
 
   private case class Slide(title: String, bodies: Vector[String],
-      table: Option[Vector[Vector[String]]], pic: Option[String])
+      table: Option[Vector[Vector[String]]], pic: Option[String],
+      notes: Option[String])
 
   private def pptxSlides(r: SplitMix64, docId: String): Vector[Slide] =
     Vector.tabulate(2 + r.nextInt(3)) { i =>
@@ -165,7 +166,10 @@ object OfficeGen {
             else DocGen.cap(DocGen.word(r))
           })
         else None,
-        if (r.chance(0.3)) Some(DocGen.sha256Hex(s"$docId:slide:$i")) else None)
+        if (r.chance(0.3)) Some(DocGen.sha256Hex(s"$docId:slide:$i")) else None,
+        // speaker notes (the reference emits notes paragraphs as
+        // PAGE_FOOTNOTE blocks, pptx_converter.py:548-583)
+        if (r.chance(0.3)) Some(s"Note: ${DocGen.word(r)} ${DocGen.word(r)}.") else None)
     }
 
   /** Slide PART numbering is deliberately REVERSED relative to the
@@ -213,14 +217,31 @@ object OfficeGen {
       "", "</Relationships>")
     val slideEntries = slides.zipWithIndex.flatMap { case (s, i) =>
       val part = n - i // reversed numbering
-      val slideRel = s.pic.map { hash =>
-        s"ppt/slides/_rels/slide$part.xml.rels" ->
+      val relRows =
+        s.pic.map(hash =>
+          s"""<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/image" Target="../media/$hash.png"/>""").toSeq ++
+          s.notes.map(_ =>
+            s"""<Relationship Id="rId9" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/notesSlide" Target="../notesSlides/notesSlide$part.xml"/>""").toSeq
+      val slideRel =
+        if (relRows.isEmpty) Seq.empty
+        else Seq(s"ppt/slides/_rels/slide$part.xml.rels" ->
           (s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
             """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
-            s"""<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/image" Target="../media/$hash.png"/>""" +
-            "</Relationships>")
-      }
-      Seq(s"ppt/slides/slide$part.xml" -> slideXml(s)) ++ slideRel
+            relRows.mkString + "</Relationships>"))
+      // notes slide: the authored note paragraph PLUS the notes master's
+      // slide-number placeholder chrome the converter must skip
+      val notesPart = s.notes.map { note =>
+        s"ppt/notesSlides/notesSlide$part.xml" ->
+          (s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+            """<p:notes xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"""" +
+            """ xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">""" +
+            "<p:cSld><p:spTree>" +
+            """<p:sp><p:nvSpPr><p:nvPr><p:ph type="sldNum"/></p:nvPr></p:nvSpPr>""" +
+            s"""<p:txBody><a:p><a:r><a:t>${i + 1}</a:t></a:r></a:p></p:txBody></p:sp>""" +
+            s"""<p:sp><p:txBody><a:p><a:r><a:t>${xmlEsc(note)}</a:t></a:r></a:p></p:txBody></p:sp>""" +
+            "</p:spTree></p:cSld></p:notes>")
+      }.toSeq
+      Seq(s"ppt/slides/slide$part.xml" -> slideXml(s)) ++ slideRel ++ notesPart
     }
     zipOf(
       Seq("ppt/presentation.xml" -> presentation,
@@ -233,7 +254,8 @@ object OfficeGen {
       Vector((Kinds.Title, s.title, "")) ++
         s.bodies.map(b => (Kinds.Text, b, "")) ++
         s.table.map(cells => (Kinds.Table, DocxGen.tableHtmlOf(cells), "")).toVector ++
-        s.pic.map(h => (Kinds.Figure, "", s"img://$h")).toVector
+        s.pic.map(h => (Kinds.Figure, "", s"img://$h")).toVector ++
+        s.notes.map(t => (Kinds.Footnote, t, "")).toVector
     }
   }
 

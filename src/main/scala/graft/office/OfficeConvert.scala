@@ -89,7 +89,7 @@ object OfficeConvert {
       val slideRels = relMap(parts.get(
         partName.replace("slides/", "slides/_rels/") + ".rels"))
       val tree = descendants(slide, "p:spTree").head
-      children(tree).flatMap { el =>
+      val slideBlocks = children(tree).flatMap { el =>
         el.getTagName match {
           case "p:sp" =>
             val isTitle = descendants(el, "p:ph").exists(_.getAttribute("type") == "title")
@@ -116,6 +116,28 @@ object OfficeConvert {
           case _ => Vector.empty
         }
       }
+      // slide NOTES follow the slide as footnotes (the reference emits
+      // notes-slide paragraphs as PAGE_FOOTNOTE blocks,
+      // pptx_converter.py:548-583), skipping placeholder shapes — the
+      // slide-number/header/date chrome of the notes master
+      // (_should_skip_notes_shape)
+      val notes = slideRels.values
+        .find(_.contains("notesSlide"))
+        .map(t => s"ppt/${t.stripPrefix("../")}")
+        .flatMap(parts.get)
+        .toVector.flatMap { xml =>
+          val ns = parseXml(xml)
+          descendants(ns, "p:sp").flatMap { sp =>
+            val isChrome = descendants(sp, "p:ph").exists(ph =>
+              Set("sldNum", "hdr", "ftr", "dt")(ph.getAttribute("type")))
+            if (isChrome) Vector.empty
+            else descendants(sp, "a:p")
+              .map(p => descendants(p, "a:t").map(_.getTextContent).mkString)
+              .filter(_.nonEmpty)
+              .map(t => (Kinds.Footnote, t, "", 0))
+          }
+        }
+      slideBlocks ++ notes
     }
   }
 
