@@ -34,7 +34,17 @@ object OfficeGen {
   private case class Sheet(name: String, nCols: Int,
       cells: Vector[Vector[Option[String]]],
       /** merged region (row0, col0, rowSpan, colSpan), at most one */
-      merge: Option[(Int, Int, Int, Int)])
+      merge: Option[(Int, Int, Int, Int)],
+      /** date cells: position -> Excel serial (days since 1899-12-30).
+        * The XML stores the SERIAL with a date-format style; both the
+        * golden and the converter render it as the datetime string
+        * openpyxl's cell.value yields ("yyyy-MM-dd 00:00:00" — the
+        * reference str()s that value, xlsx_converter.py:1549). */
+      dates: Map[(Int, Int), Int] = Map.empty)
+
+  /** The openpyxl-style rendering of a date serial. */
+  def dateSerialText(serial: Int): String =
+    java.time.LocalDate.of(1899, 12, 30).plusDays(serial).toString + " 00:00:00"
 
   /** 1-3 sheets; cells carry GAPS (the converter pads every row to the
     * sheet's column count), string values route through the deduped
@@ -71,7 +81,18 @@ object OfficeGen {
           }
         case None => cells
       }
-      Sheet(name, nCols, withMerge, merge)
+      // date cells: occupied positions outside any merge region carry an
+      // Excel date serial with a date-format style (~15%)
+      val dates = (for {
+        row <- 0 until nRows
+        colI <- 0 until nCols
+        if withMerge(row)(colI).isDefined
+        if !merge.exists { case (r0, c0, rs, cs) =>
+          row >= r0 && row < r0 + rs && colI >= c0 && colI < c0 + cs
+        }
+        if r.chance(0.15)
+      } yield (row, colI) -> (40000 + r.nextInt(8000))).toMap
+      Sheet(name, nCols, withMerge, merge, dates)
     }
 
   private def colRef(c: Int): String = // 0 -> A .. 25 -> Z (corpus stays < 26)
@@ -87,8 +108,14 @@ object OfficeGen {
       val rows = sh.cells.zipWithIndex.map { case (row, ri) =>
         val cs = row.zipWithIndex.collect { case (Some(v), ci) =>
           val ref = s"${colRef(ci)}${ri + 1}"
-          if (v.forall(_.isDigit)) s"""<c r="$ref"><v>$v</v></c>"""
-          else s"""<c r="$ref" t="s"><v>${sstIdx(v)}</v></c>"""
+          sh.dates.get((ri, ci)) match {
+            // date cell: the raw SERIAL with the date-format style (xf 1
+            // -> numFmtId 14); the converter must render it
+            case Some(serial) => s"""<c r="$ref" s="1"><v>$serial</v></c>"""
+            case None =>
+              if (v.forall(_.isDigit)) s"""<c r="$ref"><v>$v</v></c>"""
+              else s"""<c r="$ref" t="s"><v>${sstIdx(v)}</v></c>"""
+          }
         }.mkString
         s"""<row r="${ri + 1}">$cs</row>"""
       }.mkString
@@ -118,9 +145,15 @@ object OfficeGen {
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""".stripMargin,
       "", "</sst>")
+    val styles =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/></cellXfs>
+        |</styleSheet>""".stripMargin
     zipOf(
       Seq("xl/workbook.xml" -> workbook,
         "xl/_rels/workbook.xml.rels" -> rels,
+        "xl/styles.xml" -> styles,
         "xl/sharedStrings.xml" -> sst) ++
         sheetXmls.zipWithIndex.map { case (x, i) => s"xl/worksheets/sheet${i + 1}.xml" -> x }: _*)
   }
@@ -141,7 +174,10 @@ object OfficeGen {
               val csA = if (cs > 1) s""" colspan="$cs"""" else ""
               val rsA = if (rs > 1) s""" rowspan="$rs"""" else ""
               Some(s"<td$csA$rsA>${row(ci).getOrElse("")}</td>")
-            case _ => Some(s"<td>${row(ci).getOrElse("")}</td>")
+            case _ =>
+              val text = sh.dates.get((ri, ci)).map(dateSerialText)
+                .orElse(row(ci)).getOrElse("")
+              Some(s"<td>$text</td>")
           }
         }.mkString("<tr>", "", "</tr>")
       }.mkString("<table>", "", "</table>")

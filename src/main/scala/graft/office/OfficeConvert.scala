@@ -16,6 +16,9 @@ object OfficeConvert {
     * table block. Cell values resolve through sharedStrings (t="s");
     * A1-style refs place cells, gaps pad to the sheet's max column
     * (xlsx_converter.py surface). */
+  /** Built-in date/time number formats (ECMA-376 §18.8.30). */
+  private val DateNumFmts: Set[Int] = ((14 to 22) ++ (45 to 47)).toSet
+
   def xlsxBlocks(parts: Map[String, String]): Vector[(String, String, String, Int)] = {
     val wb = parseXml(parts("xl/workbook.xml"))
     val rels = relMap(parts.get("xl/_rels/workbook.xml.rels"))
@@ -23,6 +26,24 @@ object OfficeConvert {
       descendants(parseXml(xml), "si").map(si =>
         descendants(si, "t").map(_.getTextContent).mkString)
     }.getOrElse(Vector.empty)
+    // cell styles: xf index -> numFmtId; a date-format style makes the
+    // cell's serial render as the datetime string (what openpyxl's
+    // cell.value str()s to on the reference side, xlsx_converter.py:1549)
+    val xfNumFmt: Vector[Int] = parts.get("xl/styles.xml").map { xml =>
+      descendants(parseXml(xml), "cellXfs").headOption.map { xfs =>
+        descendants(xfs, "xf").map(xf =>
+          Option(xf.getAttribute("numFmtId")).filter(_.nonEmpty)
+            .flatMap(_.toIntOption).getOrElse(0))
+      }.getOrElse(Vector.empty)
+    }.getOrElse(Vector.empty)
+    def renderValue(c: Element, raw: String): String = {
+      val s = Option(c.getAttribute("s")).filter(_.nonEmpty).flatMap(_.toIntOption)
+      val isDate = s.exists(i => i < xfNumFmt.length && DateNumFmts(xfNumFmt(i)))
+      if (isDate) raw.toLongOption.map(serial =>
+        java.time.LocalDate.of(1899, 12, 30).plusDays(serial).toString + " 00:00:00")
+        .getOrElse(raw)
+      else raw
+    }
     def colOf(ref: String): Int = {
       var c = 0
       ref.takeWhile(_.isLetter).foreach(ch => c = c * 26 + (ch - 'A' + 1))
@@ -47,7 +68,8 @@ object OfficeConvert {
       val rows = descendants(ws, "row").map { row =>
         val cells = descendants(row, "c").map { c =>
           val raw = descendants(c, "v").headOption.map(_.getTextContent).getOrElse("")
-          val v = if (c.getAttribute("t") == "s") sst(raw.toInt) else raw
+          val v = if (c.getAttribute("t") == "s") sst(raw.toInt)
+            else renderValue(c, raw)
           (colOf(c.getAttribute("r")), v)
         }
         (row.getAttribute("r").toInt - 1, cells)

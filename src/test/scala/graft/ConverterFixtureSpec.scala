@@ -230,4 +230,38 @@ class ConverterFixtureSpec extends AnyFunSuite {
     assert(OfficeConvert.convert("t", bytes).spans.map(s => (s.kind, s.text)) ==
       Vector((Kinds.Title, "First In Order"), (Kinds.Title, "Second In Order")))
   }
+
+  test("xlsx date-format styles render serials as datetimes; plain numbers stay") {
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |  xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Dates" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin
+    val rels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin
+    val styles =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/><xf numFmtId="4"/></cellXfs>
+        |</styleSheet>""".stripMargin
+    // A1: serial 45366 with date style (xf 1 -> numFmtId 14) ->
+    // 2024-03-15; B1: the SAME number with a non-date style (xf 2) stays
+    // raw; C1: unstyled number stays raw
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" s="1"><v>45366</v></c><c r="B1" s="2"><v>45366</v></c><c r="C1"><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val bytes = zipOf("xl/workbook.xml" -> workbook,
+      "xl/_rels/workbook.xml.rels" -> rels,
+      "xl/styles.xml" -> styles,
+      "xl/worksheets/sheet1.xml" -> sheet)
+    val got = OfficeConvert.convert("t", bytes).spans.map(_.text)
+    assert(got == Vector("Dates",
+      "<table><tr><td>2024-03-15 00:00:00</td><td>45366</td><td>7</td></tr></table>"))
+  }
 }
