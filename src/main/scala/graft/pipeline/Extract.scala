@@ -131,8 +131,15 @@ object Extract {
   }
 
   /** Exploded span view of the extraction output (one row per span) —
-    * the rows-only driver query and the shape golden compares run on. */
-  def extractSpans(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    * the driver query and the shape golden compares run on; the global
+    * sort exists only for the deterministic oracle dump. */
+  def extractSpans(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    extractSpansUnordered(spark, dir).orderBy("doc_id", "ord")
+
+  /** The same view WITHOUT the dump sort — consumers that regroup or
+    * window by doc (the chunkers) would pay the global sort shuffle for
+    * nothing. */
+  def extractSpansUnordered(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val ids = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
@@ -140,6 +147,5 @@ object Extract {
       .select(col("doc_id"), explode(col("spans")).as("s"))
       .select(col("doc_id"), col("s.order").as("ord"), col("s.kind"),
         col("s.media_ref"), col("s.text"))
-      .orderBy("doc_id", "ord")
   }
 }

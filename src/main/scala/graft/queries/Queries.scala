@@ -548,7 +548,7 @@ object Queries {
     * chunk's span range. The oracle replays it over the committed golden
     * span parquet, so the chunk boundaries are value-checked end to end. */
   def chunkLocate(spark: SparkSession, dir: String): DataFrame = {
-    val spans = graft.pipeline.Extract.extractSpans(spark, dir)
+    val spans = graft.pipeline.Extract.extractSpansUnordered(spark, dir)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spans
@@ -578,7 +578,7 @@ object Queries {
     import spark.implicits._
     val Budget = 60
     val MinTok = 12
-    val spans = graft.pipeline.Extract.extractSpans(spark, dir)
+    val spans = graft.pipeline.Extract.extractSpansUnordered(spark, dir)
       .select(col("doc_id"), col("ord").cast("int").as("ord"), col("kind"), col("text"))
       .as[(String, Int, String, String)]
     spans.groupByKey(_._1).flatMapGroups { (id: String, it: Iterator[(String, Int, String, String)]) =>
@@ -674,7 +674,7 @@ object Queries {
     * block. */
   def chunkLocateFuzzy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val spans = graft.pipeline.Extract.extractSpans(spark, dir)
+    val spans = graft.pipeline.Extract.extractSpansUnordered(spark, dir)
       .select(col("doc_id"), col("ord").cast("int").as("ord"), col("kind"),
         col("media_ref"), col("text"))
       .as[(String, Int, String, String, String)]
@@ -746,7 +746,7 @@ object Queries {
     * carries both classes and the value check replays against the
     * committed golden parquet. */
   def tableClassify(spark: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Extract.extractSpans(spark, dir)
+    graft.pipeline.Extract.extractSpansUnordered(spark, dir)
       .filter(col("kind") === "table")
       .select(col("doc_id"), col("ord"),
         when(col("text").startsWith("<table border"), lit("wired"))
@@ -759,7 +759,7 @@ object Queries {
     * the state derives from it; value-checked against the committed golden
     * parquet. */
   def checkboxState(spark: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Extract.extractSpans(spark, dir)
+    graft.pipeline.Extract.extractSpansUnordered(spark, dir)
       .filter(col("kind") === "checkbox")
       .select(col("doc_id"), col("ord"),
         when(col("text").startsWith("☑"), lit("Ticked"))
@@ -771,7 +771,7 @@ object Queries {
     * carry the seal OCR output as content); value-checked against the
     * committed golden parquet. */
   def sealTexts(spark: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Extract.extractSpans(spark, dir)
+    graft.pipeline.Extract.extractSpansUnordered(spark, dir)
       .filter(col("kind") === "seal")
       .select(col("doc_id"), col("ord"), col("text"))
       .orderBy("doc_id", "ord")
@@ -780,7 +780,7 @@ object Queries {
     * text plus the target URL the span's media_ref carries; value-checked
     * against the committed golden parquet. */
   def hyperlinkSpans(spark: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Extract.extractSpans(spark, dir)
+    graft.pipeline.Extract.extractSpansUnordered(spark, dir)
       .filter(col("kind") === "hyperlink")
       .select(col("doc_id"), col("ord"), col("text"), col("media_ref").as("url"))
       .orderBy("doc_id", "ord")
