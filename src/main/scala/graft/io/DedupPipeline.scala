@@ -83,7 +83,14 @@ object DedupPipeline {
     val key = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(s"$dir|$n") & 0xffffffffL)
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_$key"
-    run(spark, dir, out)
+    // cross-PROCESS exclusion: two JVMs sharing the memo dir (a verify and
+    // a bench overlapping) must not interleave stage writes — the second
+    // blocks, then resumes over the finished checkpoints for free
+    new java.io.File(out).mkdirs()
+    val raf = new java.io.RandomAccessFile(s"$out/.lock", "rw")
+    val lock = raf.getChannel.lock()
+    try run(spark, dir, out)
+    finally { lock.release(); raf.close() }
     out
   }
 
