@@ -65,12 +65,26 @@ object ExtractJob {
       outDir: String, buckets: Int = 64, groups: Int = 8,
       runId: String = "run-1", failAfterGroups: Int = Int.MaxValue): JobReport = {
     import spark.implicits._
-    runWith[org.apache.spark.sql.Row](spark, blobs,
+    // per-DOCUMENT error isolation: a corrupt crawl blob (truncated zip,
+    // garbage xref, binary noise) must not kill the task — it becomes an
+    // empty-span row and a counted metric, the crawl-ingestion contract
+    val failed = spark.sparkContext.longAccumulator("graft.ingest.failed_docs")
+    val report = runWith[org.apache.spark.sql.Row](spark, blobs,
       in => in.select(col("doc_id"), col("content")).as[(String, Array[Byte])]
         .mapPartitions { it =>
-          it.map { case (id, bytes) => (id, Sniff.convert(id, bytes).spans) }
+          it.map { case (id, bytes) =>
+            try (id, Sniff.convert(id, bytes).spans)
+            catch { case scala.util.control.NonFatal(_) =>
+              failed.add(1L)
+              (id, Seq.empty[graft.schema.OutSpan])
+            }
+          }
         }.toDF("doc_id", "spans"),
       outDir, buckets, groups, runId, failAfterGroups)
+    val rows = Seq((runId, "ingest", "failed_docs", failed.value.toDouble))
+    spark.createDataset(rows).toDF("run_id", "stage", "key", "value")
+      .write.mode(SaveMode.Append).parquet(s"$outDir/_metrics")
+    report
   }
 
   /** The commit-protocol core, generic over the per-unit extraction:

@@ -92,7 +92,12 @@ object StreamJobs {
             case -1 => base
             case dot => base.substring(0, dot)
           }
-          graft.io.Sniff.convert(id, bytes)
+          // per-document isolation, like the batch runRaw: a corrupt
+          // landed blob becomes an empty result, not a dead stream
+          try graft.io.Sniff.convert(id, bytes)
+          catch { case scala.util.control.NonFatal(_) =>
+            DocResult(id, Seq.empty, "")
+          }
         }
       }
   }

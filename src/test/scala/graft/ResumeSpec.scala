@@ -104,4 +104,27 @@ class ResumeSpec extends AnyFunSuite {
       assert(got(id) == want, s"raw ingest mismatch for $id")
     }
   }
+
+  test("corrupt blobs isolate per document: empty spans + a counted metric") {
+    import spark.implicits._
+    val blobs = spark.createDataset(Seq(
+      ("doc-000000000000", graft.corpus.OfficeGen.bytes("doc-000000000000")),
+      // truncated zip: PK magic, garbage body
+      ("doc-bad-zip", "PK\u0003\u0004garbage".getBytes("ISO-8859-1")),
+      // pdf header with a garbage xref
+      ("doc-bad-pdf", "%PDF-1.4\ngarbage without startxref".getBytes("ISO-8859-1")),
+      ("doc-000000000001", graft.corpus.HtmlGen.bytes("doc-000000000001"))
+    )).toDF("doc_id", "content")
+    val out = Files.createTempDirectory("graft_corrupt").toString
+    val r = ExtractJob.runRaw(spark, blobs, out, buckets = 2, groups = 1)
+    assert(r.docs == 4, "every blob row lands, corrupt or not")
+    val spans = spark.read.parquet(s"$out/data")
+      .selectExpr("doc_id", "size(spans) AS n").as[(String, Int)].collect().toMap
+    assert(spans("doc-bad-zip") == 0 && spans("doc-bad-pdf") == 0)
+    assert(spans("doc-000000000000") > 0 && spans("doc-000000000001") > 0)
+    val failed = spark.read.parquet(s"$out/_metrics")
+      .filter(org.apache.spark.sql.functions.col("key") === "failed_docs")
+      .selectExpr("value").as[Double].collect().sum
+    assert(failed == 2.0, s"failed_docs metric = $failed")
+  }
 }
