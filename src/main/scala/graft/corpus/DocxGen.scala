@@ -103,13 +103,12 @@ object DocxGen {
   private def runsWithMath(texts: Seq[String]): String =
     texts.map { t =>
       val a = t.indexOf('$')
-      if (a < 0) runOf(t)
-      else {
-        val b = t.indexOf('$', a + 1)
+      val b = if (a < 0) -1 else t.indexOf('$', a + 1)
+      if (b < 0) runOf(t) // no (or unpaired) '$': plain literal run
+      else
         runOf(t.substring(0, a)) +
           s"<m:oMath><m:r><m:t>${xmlEsc(t.substring(a + 1, b))}</m:t></m:r></m:oMath>" +
           runOf(t.substring(b + 1))
-      }
     }.mkString
 
   /** word/document.xml + word/_rels/document.xml.rels. */

@@ -78,10 +78,23 @@ object DedupPipeline {
   /** Materialize (or reuse) the chain for `dir`; returns the chain root.
     * Keyed by (dir, doc count) — the sandbox analogue of an input-table
     * snapshot id. */
+  /** Bump on ANY change to the chain's stage logic: the memo key carries
+    * it, so stale materializations from an older build are never served
+    * (review finding r4: a (dir, count)-only key survives both content and
+    * code changes). */
+  private val ChainVersion = 2
+
   def ensure(spark: SparkSession, dir: String): String = synchronized {
-    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    // content fingerprint, not just row count: an order-free xor of
+    // per-row hashes over the columns the chain reads — one cheap columnar
+    // scan, the sandbox analogue of an Iceberg snapshot id
+    val fp = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("count(*) AS n",
+        "bit_xor(xxhash64(doc_id, text)) AS h") // xor: order-free, no ANSI overflow
+      .collect()(0)
     val key = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(s"$dir|$n") & 0xffffffffL)
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$dir|${fp.getLong(0)}|${fp.getLong(1)}|$ChainVersion") & 0xffffffffL)
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_$key"
     // cross-PROCESS exclusion: two JVMs sharing the memo dir (a verify and
     // a bench overlapping) must not interleave stage writes — the second

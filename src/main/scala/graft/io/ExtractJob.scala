@@ -42,14 +42,18 @@ object ExtractJob {
     val report = runWith[DocRow](spark, docs,
       d => Extract.run(d, partitions, telemetry = Some(sink)).toDF(),
       outDir, buckets, groups, runId, failAfterGroups)
-    import spark.implicits._
-    val rows = Seq(
-      ("layout", "authored_away_pages", sink.authoredAway.value.toDouble),
-      ("layout", "unsolvable_pages", sink.unsolvable.value.toDouble),
-      ("layout", "insert_pages", sink.insertPages.value.toDouble))
-      .map { case (stage, key, value) => (runId, stage, key, value) }
-    spark.createDataset(rows).toDF("run_id", "stage", "key", "value")
-      .write.mode(SaveMode.Append).parquet(s"$outDir/_metrics")
+    // per-attempt counters (a resumed attempt only sees its own buckets);
+    // a no-op re-run appends nothing
+    if (report.processed > 0) {
+      import spark.implicits._
+      val rows = Seq(
+        ("layout", "authored_away_pages", sink.authoredAway.value.toDouble),
+        ("layout", "unsolvable_pages", sink.unsolvable.value.toDouble),
+        ("layout", "insert_pages", sink.insertPages.value.toDouble))
+        .map { case (stage, key, value) => (runId, stage, key, value) }
+      spark.createDataset(rows).toDF("run_id", "stage", "key", "value")
+        .write.mode(SaveMode.Append).parquet(s"$outDir/_metrics")
+    }
     report
   }
 
@@ -81,9 +85,11 @@ object ExtractJob {
           }
         }.toDF("doc_id", "spans"),
       outDir, buckets, groups, runId, failAfterGroups)
-    val rows = Seq((runId, "ingest", "failed_docs", failed.value.toDouble))
-    spark.createDataset(rows).toDF("run_id", "stage", "key", "value")
-      .write.mode(SaveMode.Append).parquet(s"$outDir/_metrics")
+    if (report.processed > 0) {
+      val rows = Seq((runId, "ingest", "failed_docs", failed.value.toDouble))
+      spark.createDataset(rows).toDF("run_id", "stage", "key", "value")
+        .write.mode(SaveMode.Append).parquet(s"$outDir/_metrics")
+    }
     report
   }
 
@@ -144,7 +150,13 @@ object ExtractJob {
       totSpans += rows.map(_.spans).sum
     }
     val wallMs = (System.nanoTime() - t0) / 1000000
-    // metrics table (FIXTURES.md §4): per-run throughput/lineage scalars
+    // metrics table (FIXTURES.md §4): per-run throughput/lineage scalars.
+    // Rows are per ATTEMPT (a resumed run's counters cover only the
+    // buckets it processed — sum rows for job totals); a fully-skipped
+    // re-run appends nothing, so repeated view reads over a finished
+    // materialization don't grow the table (review finding r4)
+    if (processedBuckets == 0 && done.nonEmpty)
+      return JobReport(runId, buckets, 0, done.size, 0, 0, wallMs)
     val metrics = Seq(
       ("extract", "docs", totDocs.toDouble),
       ("extract", "spans", totSpans.toDouble),

@@ -107,6 +107,7 @@ object PdfConvert {
         require(pos < end, "unterminated string")
         val c = buf(pos); pos += 1
         if (c == '\\') {
+          require(pos < end, "unterminated escape in string")
           val e = buf(pos); pos += 1
           e match {
             case 'n' => sb.append('\n')
@@ -504,6 +505,12 @@ object PdfConvert {
             })
             case "TJ" => show(tjText(operands.last.asInstanceOf[PArr]))
             case "'" =>
+              lineY -= leading
+              show(operands.last.asInstanceOf[PStr].v)
+            case "\"" =>
+              // aw ac string ": set word/char spacing (no metrics here),
+              // move to the next line, show — dropping it would silently
+              // lose text on real crawled PDFs
               lineY -= leading
               show(operands.last.asInstanceOf[PStr].v)
             case "q" => gsStack += ctm

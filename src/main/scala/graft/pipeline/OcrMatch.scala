@@ -87,7 +87,7 @@ object OcrMatch {
     sb.toString.trim
   }
 
-  def bind(dets: Vector[Det], ocrLines: Vector[Det], pageW: Double): Bound = {
+  def bind(dets: Vector[Det], ocrLines: Vector[Det]): Bound = {
     // 5. no-layout fallback: each OCR line its own text block, as-is
     if (dets.isEmpty)
       return Bound(ocrLines.map(_.copy(cat = Kinds.Text, order = -1)), false)

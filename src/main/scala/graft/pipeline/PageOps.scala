@@ -729,7 +729,7 @@ object PageOps {
     //     a mislabeled page number can't leak into bottom_text_y_max
     val (kept, promoteTitle) =
       if (upocr.nonEmpty) {
-        val b = OcrMatch.bind(fenced, upocr, pageW)
+        val b = OcrMatch.bind(fenced, upocr)
         (b.dets, b.promoteTitle)
       } else (fenced, false)
 

@@ -45,6 +45,19 @@ object ClassifySignals {
     * latin doc leaves 'en'. */
   val LatinScoreMin = 10
 
+  /** The ordered latin decision cascade as SQL text, GENERATED from
+    * [[LatinMarkers]] so adding or renaming a language cannot silently
+    * leave the decision behind (the column alias per language is the
+    * language code itself, on both engines). */
+  def latinCascadeSql: String = {
+    val langs = LatinMarkers.map(_._1)
+    langs.zipWithIndex.map { case (l, i) =>
+      val conds = (s"$l >= $LatinScoreMin" +:
+        langs.drop(i + 1).map(o => s"$l >= $o")).mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'en' END")
+  }
+
   private def hex(cp: Int): String = f"\\x{$cp%04X}"
 
   private def rangeClass(ranges: Seq[(Int, Int)]): String =

@@ -173,7 +173,6 @@ object Oracles {
         s"""sum(len(regexp_extract_all(text, '$words')) +
            |      len(regexp_extract_all(text, '$marks')))::BIGINT AS $lang""".stripMargin
       }.mkString(",\n  ")
-      val t = ClassifySignals.LatinScoreMin
       s"""WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents),
          |rp AS (SELECT g.* FROM read_parquet('/root/repo/src/test/resources/golden/classify_raw.parquet') g
          |  JOIN ids ON g.doc_id = ids.did),
@@ -192,10 +191,7 @@ object Oracles {
          |           WHEN 4 * hang >= han + kana + hang THEN 'ko'
          |           ELSE 'zh' END
          |    WHEN 2 * latin > cl THEN
-         |      CASE WHEN fr >= $t AND fr >= de AND fr >= es THEN 'fr'
-         |           WHEN de >= $t AND de >= es THEN 'de'
-         |           WHEN es >= $t THEN 'es'
-         |           ELSE 'en' END
+         |      ${ClassifySignals.latinCascadeSql}
          |    ELSE 'und' END AS lang
          |FROM c ORDER BY doc_id""".stripMargin
     },

@@ -406,14 +406,15 @@ object Queries {
             graft.functions.TextFns.countMatches(col("text"), words) +
               graft.functions.TextFns.countMatches(col("text"), marks))
       }
-    val t = graft.queries.ClassifySignals.LatinScoreMin
+    val profCols = graft.queries.ClassifySignals.LatinMarkers.map {
+      case (lang, _, _) => sum(col(s"p_$lang")).as(lang)
+    }
     profiled
       .groupBy(col("doc_id"))
-      .agg(sum(col("han")).as("han"), sum(col("kana")).as("kana"),
-        sum(col("hang")).as("hang"), sum(col("latin")).as("latin"),
-        sum(col("cl")).as("cl"),
-        sum(col("p_fr")).as("fr"), sum(col("p_de")).as("de"),
-        sum(col("p_es")).as("es"))
+      .agg(sum(col("han")).as("han"),
+        (Seq(sum(col("kana")).as("kana"),
+          sum(col("hang")).as("hang"), sum(col("latin")).as("latin"),
+          sum(col("cl")).as("cl")) ++ profCols): _*)
       .withColumn("lang", expr(
         s"""CASE
            |  WHEN 2 * (han + kana + hang) > cl THEN
@@ -421,10 +422,7 @@ object Queries {
            |         WHEN 4 * hang >= han + kana + hang THEN 'ko'
            |         ELSE 'zh' END
            |  WHEN 2 * latin > cl THEN
-           |    CASE WHEN fr >= $t AND fr >= de AND fr >= es THEN 'fr'
-           |         WHEN de >= $t AND de >= es THEN 'de'
-           |         WHEN es >= $t THEN 'es'
-           |         ELSE 'en' END
+           |    ${graft.queries.ClassifySignals.latinCascadeSql}
            |  ELSE 'und' END""".stripMargin))
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
@@ -701,6 +699,10 @@ object Queries {
         var bestR = 0.0
         var i = first
         var stop = false
+        // CODEPOINT lengths: DuckDB's length() counts codepoints, Java's
+        // .length counts UTF-16 units — they differ on astral-plane chars,
+        // which would desync the two engines' ratio denominators
+        val contentLen = content.codePointCount(0, content.length)
         val contentBytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
         while (i < blocks.length && !stop) {
           val t = blocks(i)._5
@@ -711,7 +713,7 @@ object Queries {
             // (a skipped candidate can neither win nor trigger the early
             // stop, which requires beating the best first)
             val tb = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-            val ml = math.max(content.length, t.length)
+            val ml = math.max(contentLen, t.codePointCount(0, t.length))
             val bound = (ml - math.abs(contentBytes - tb)).toDouble / ml
             if (bound > bestR) {
               // loose (+1) distance cap so float rounding can never skip a

@@ -21,7 +21,7 @@ class OcrMatchSpec extends AnyFunSuite {
       box(Kinds.Text, 72, 100, 540, 112, "first line of the"),
       box(Kinds.Text, 72, 114, 540, 126, "paragraph continues"),
       box(Kinds.Text, 72, 60, 540, 82, "Section Heading"))
-    val b = OcrMatch.bind(Vector(para, title), lines, 612)
+    val b = OcrMatch.bind(Vector(para, title), lines)
     val byCat = b.dets.map(d => d.cat -> d).toMap
     assert(byCat(Kinds.Text).text == "first line of the paragraph continues third line here.")
     assert(byCat(Kinds.Text).nLines == 3)
@@ -34,7 +34,7 @@ class OcrMatchSpec extends AnyFunSuite {
     val wide = box(Kinds.Text, 60, 101, 320, 111, "overhanging line")
     // only 2px of vertical overlap: NOT matched
     val graze = box(Kinds.Text, 72, 110.5, 300, 122, "grazing line")
-    val b = OcrMatch.bind(Vector(para), Vector(wide, graze), 612)
+    val b = OcrMatch.bind(Vector(para), Vector(wide, graze))
     assert(b.dets.head.text == "overhanging line")
   }
 
@@ -53,7 +53,7 @@ class OcrMatchSpec extends AnyFunSuite {
     val dup = box(Kinds.Text, 72, 100, 302, 112, "left col text fragment.")
     // an ordinary second line of the left block: NOT cleared
     val l2 = box(Kinds.Text, 72, 114, 302, 126, "second left line")
-    val b = OcrMatch.bind(Vector(left, right), Vector(hurdle, dup, l2), 612)
+    val b = OcrMatch.bind(Vector(left, right), Vector(hurdle, dup, l2))
     val lt = b.dets(0).text
     val rt = b.dets(1).text
     assert(lt == "left col text fragment. second left line", s"left got '$lt'")
@@ -72,7 +72,7 @@ class OcrMatchSpec extends AnyFunSuite {
       // straddles the gap, enters each block by 4px; its char centers sit
       // at the sliver's y-middle (155) — inside neither crop
       box(Kinds.Text, 72, 134, 540, 176, "smudge artifact"))
-    val b = OcrMatch.bind(Vector(a, c), lines, 612)
+    val b = OcrMatch.bind(Vector(a, c), lines)
     assert(b.dets(0).text == "block a line")
     assert(b.dets(1).text == "block c line")
   }
@@ -85,7 +85,7 @@ class OcrMatchSpec extends AnyFunSuite {
       box(Kinds.Text, 72, 100, 540, 112, "body paragraph line"),
       box(Kinds.Text, 72, 60, 500, 76, "High note."),
       box(Kinds.Text, 72, 200, 500, 216, "Low note."))
-    val b = OcrMatch.bind(Vector(para, fnHigh, fnLow), lines, 612)
+    val b = OcrMatch.bind(Vector(para, fnHigh, fnLow), lines)
     assert(b.dets(1).cat == Kinds.Text && b.dets(1).text == "High note.")
     assert(b.dets(2).cat == Kinds.Footnote && b.dets(2).text == "Low note.")
   }
@@ -95,7 +95,7 @@ class OcrMatchSpec extends AnyFunSuite {
     val axis = box(Kinds.Text, 90, 250, 150, 262, "axis 42") // inside the figure
     val fn = box(Kinds.Footnote, 72, 120, 500, 136) // above the axis label
     val lines = Vector(box(Kinds.Text, 72, 120, 500, 136, "Note text."))
-    val b = OcrMatch.bind(Vector(figure, axis, fn), lines, 612)
+    val b = OcrMatch.bind(Vector(figure, axis, fn), lines)
     // were the axis label counted, the footnote would relabel
     assert(b.dets(2).cat == Kinds.Footnote)
   }
@@ -107,15 +107,15 @@ class OcrMatchSpec extends AnyFunSuite {
       box(Kinds.Text, 72, 60, 540, 82, "Promoted Title"),
       box(Kinds.Text, 72, 100, 540, 112, "one line"),
       box(Kinds.Text, 72, 114, 540, 126, "two line"))
-    val b = OcrMatch.bind(Vector(title, para), lines, 612)
+    val b = OcrMatch.bind(Vector(title, para), lines)
     assert(b.promoteTitle) // 468*22 > 0.3 * 468*26
     // two titles: no promotion
     val b2 = OcrMatch.bind(Vector(title, title.copy(y0 = 300, y1 = 322), para),
-      lines, 612)
+      lines)
     assert(!b2.promoteTitle)
     // a dominant block: no promotion
     val big = box(Kinds.Table, 72, 300, 540, 600) // area 468*300; 0.3x = 140*468 > title
-    val b3 = OcrMatch.bind(Vector(title, para, big), lines, 612)
+    val b3 = OcrMatch.bind(Vector(title, para, big), lines)
     assert(!b3.promoteTitle)
   }
 
@@ -123,7 +123,7 @@ class OcrMatchSpec extends AnyFunSuite {
     val lines = Vector(
       box(Kinds.Text, 72, 100, 540, 112, "first"),
       box(Kinds.Text, 72, 114, 540, 126, "second"))
-    val b = OcrMatch.bind(Vector.empty, lines, 612)
+    val b = OcrMatch.bind(Vector.empty, lines)
     assert(b.dets.map(_.text) == Vector("first", "second"))
     assert(b.dets.forall(_.cat == Kinds.Text))
   }
