@@ -216,6 +216,8 @@ object HtmlGen {
     if (r.chance(0.3)) s = s.replace("<ul>", "<ul compact>") // valueless attr
     if (r.chance(0.3)) // single-quoted attr
       s = s.replace("class=\"share-tools\"", "class='share-tools'")
+    if (r.chance(0.4)) // lazy-loading images: real src arrives via script
+      s = s.replace("<img src=", "<img loading=\"lazy\" data-src=")
     s
   }
 

@@ -58,6 +58,15 @@ object HtmlConvert {
     "(?i)comment|share|social|sidebar|sponsor|promo|banner|advert|" +
       "breadcrumb|disqus|shoutbox|pager|popup|masthead|related")
 
+  /** Image source with the lazy-loading fallback: crawled pages routinely
+    * ship `<img data-src=…>` (the real src filled in by script), so an
+    * empty/missing src falls back to data-src — the readability-family
+    * lazy-image heuristic. */
+  private def imgSrc(e: Element): String = {
+    val src = e.getAttribute("src")
+    if (src.nonEmpty) src else e.getAttribute("data-src")
+  }
+
   private def unlikely(e: Element): Boolean = {
     val cls = e.getAttribute("class")
     val id = e.getAttribute("id")
@@ -190,12 +199,12 @@ object HtmlConvert {
       case "figure" =>
         Ooxml.children(e).foreach {
           case img if img.getTagName == "img" =>
-            out += ((Kinds.Figure, "", img.getAttribute("src"), 0, Good))
+            out += ((Kinds.Figure, "", imgSrc(img), 0, Good))
           case cap if cap.getTagName == "figcaption" =>
             out += ((Kinds.Caption, cap.getTextContent.trim, "", 0, Good))
           case _ => ()
         }
-      case "img" => out += ((Kinds.Figure, "", e.getAttribute("src"), 0, Good))
+      case "img" => out += ((Kinds.Figure, "", imgSrc(e), 0, Good))
       case "table" => emitTable(e)
       case "pre" => out += ((Kinds.Algorithm, e.getTextContent.trim, "", 0, Good))
       case t if ContainerTags(t) =>

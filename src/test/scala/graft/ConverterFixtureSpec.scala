@@ -264,4 +264,14 @@ class ConverterFixtureSpec extends AnyFunSuite {
     assert(got == Vector("Dates",
       "<table><tr><td>2024-03-15 00:00:00</td><td>45366</td><td>7</td></tr></table>"))
   }
+
+  test("lazy images: data-src is the fallback, a real src wins") {
+    val body =
+      """<figure><img loading="lazy" data-src="img://lazyhash"/><figcaption>Figure 1: Lazy</figcaption></figure>""" +
+        """<img src="img://realhash" data-src="img://decoy"/>"""
+    val got = HtmlConvert.convert("t", page(body)).map(s => (s.kind, s.media_ref))
+    assert(got == Vector(
+      (Kinds.Figure, "img://lazyhash"), (Kinds.Caption, ""),
+      (Kinds.Figure, "img://realhash")))
+  }
 }
