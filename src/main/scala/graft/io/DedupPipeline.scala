@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.queries.ScaleQueries
 
 /** Materialized MinHash-dedup chain under the SAME commit protocol as
-  * extraction: candidates → verified → groups → keep, each stage a
+  * extraction: shingles → candidates → verified → groups → keep, each stage a
   * bucket-partitioned parquet table written through [[ExtractJob.runWith]]
   * (checkpoint + lineage + idempotent resume). This is the production
   * shape at 100 TB — the chain is computed ONCE and every consumer reads
@@ -15,9 +15,9 @@ import graft.queries.ScaleQueries
   * Stage granularity:
   *   - CANDIDATES and GROUPS are corpus-global (LSH banding and component
   *     propagation shuffle across every document) — one commit unit each;
-  *   - VERIFIED and KEEP are per-pair / per-row — bucket-incremental on
-  *     the hash of the left id, so a crashed verify resumes at the bucket
-  *     grain like extraction does.
+  *   - SHINGLES, VERIFIED and KEEP are per-doc / per-pair / per-row —
+  *     bucket-incremental on the hash of the left id, so a crash resumes
+  *     at the bucket grain like extraction does.
   *
   * [[ensure]] memoizes per (corpus dir, doc count): the first caller pays
   * the chain, later callers (and later JVMs — the checkpoint protocol is
@@ -25,7 +25,7 @@ import graft.queries.ScaleQueries
   * the input table's snapshot id. */
 object DedupPipeline {
 
-  /** Run the four stages into `outDir` (resumable: finished stages and
+  /** Run the five stages into `outDir` (resumable: finished stages and
     * buckets are skipped on re-run). `failAfterStages` stops the job after
     * N completed stages — the resume spec's crash hook. Returns the
     * per-stage job reports for the stages that ran. */
@@ -35,23 +35,35 @@ object DedupPipeline {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val out = Vector.newBuilder[(String, ExtractJob.JobReport)]
 
+    // stage 0 — SHINGLES (per-doc, bucket-incremental): candidates and
+    // verify both consume the distinct-shingle table; materializing it
+    // once removes the double tokenize+hash pass the r4 bench paid
+    out += "shingles" -> ExtractJob.runWith[org.apache.spark.sql.Row](
+      spark, docs.toDF(),
+      slice => ScaleQueries.shinglesFrom(slice).select(col("doc_id"), col("g32")),
+      s"$outDir/shingles", buckets = buckets, groups = math.min(2, buckets),
+      runId = "shingles", failAfterGroups = Int.MaxValue)
+    if (failAfterStages <= 1) return out.result()
+    def shingleTable = spark.read.parquet(s"$outDir/shingles/data")
+      .select(col("doc_id"), col("g32"))
+
     // stage 1 — CANDIDATES (global: banding shuffles the whole corpus)
     out += "candidates" -> ExtractJob.runWith[org.apache.spark.sql.Row](
       spark, docs.toDF(),
-      slice => ScaleQueries.minhashLshPairsFrom(slice),
+      slice => ScaleQueries.minhashLshPairsFromShingles(shingleTable),
       s"$outDir/candidates", buckets = 1, groups = 1, runId = "candidates",
       failAfterGroups = Int.MaxValue)
-    if (failAfterStages <= 1) return out.result()
+    if (failAfterStages <= 2) return out.result()
     def candTable = spark.read.parquet(s"$outDir/candidates/data")
       .select(col("doc_id"), col("b_id"), col("nbands"))
 
     // stage 2 — VERIFIED (bucket-incremental over the candidate table)
     out += "verified" -> ExtractJob.runWith[org.apache.spark.sql.Row](
       spark, candTable,
-      slice => ScaleQueries.minhashVerifyFrom(slice, docs.toDF()),
+      slice => ScaleQueries.minhashVerifyFromShingles(slice, shingleTable),
       s"$outDir/verified", buckets = buckets, groups = math.min(2, buckets),
       runId = "verified", failAfterGroups = Int.MaxValue)
-    if (failAfterStages <= 2) return out.result()
+    if (failAfterStages <= 3) return out.result()
 
     // stage 3 — GROUPS (global: min-label propagation to convergence)
     out += "groups" -> ExtractJob.runWith[org.apache.spark.sql.Row](
@@ -60,7 +72,7 @@ object DedupPipeline {
         slice.select(col("doc_id"))),
       s"$outDir/groups", buckets = 1, groups = 1, runId = "groups",
       failAfterGroups = Int.MaxValue)
-    if (failAfterStages <= 3) return out.result()
+    if (failAfterStages <= 4) return out.result()
     def grpTable = spark.read.parquet(s"$outDir/groups/data")
       .select(col("doc_id"), col("group_id"))
 
@@ -75,14 +87,11 @@ object DedupPipeline {
 
   // ---- session-shared materialization ------------------------------------
 
-  /** Materialize (or reuse) the chain for `dir`; returns the chain root.
-    * Keyed by (dir, doc count) — the sandbox analogue of an input-table
-    * snapshot id. */
   /** Bump on ANY change to the chain's stage logic: the memo key carries
     * it, so stale materializations from an older build are never served
     * (review finding r4: a (dir, count)-only key survives both content and
     * code changes). */
-  private val ChainVersion = 2
+  private val ChainVersion = 3
 
   def ensure(spark: SparkSession, dir: String): String = synchronized {
     // content fingerprint, not just row count: an order-free xor of

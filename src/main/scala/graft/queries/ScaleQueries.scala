@@ -125,8 +125,12 @@ object ScaleQueries {
   /** The live candidate computation from a documents slice (the
     * materialized chain's CANDIDATES stage body; the view above reads its
     * output). */
-  def minhashLshPairsFrom(docs: DataFrame): DataFrame = {
-    val sh = shinglesFrom(docs)
+  def minhashLshPairsFrom(docs: DataFrame): DataFrame =
+    minhashLshPairsFromShingles(shinglesFrom(docs))
+
+  /** Candidates from a MATERIALIZED shingle table (chain stage 0): the
+    * signature/banding pass reads (doc_id, g32) directly. */
+  def minhashLshPairsFromShingles(sh: DataFrame): DataFrame = {
     // all 16 minima as aggregate columns in ONE pass over the shingles —
     // no 16x row explosion, a single map-side-combinable shuffle on doc_id
     val minCols = (0 until 16).map { i =>
@@ -161,8 +165,12 @@ object ScaleQueries {
   /** The live verify computation from materialized candidates + the doc
     * table (the VERIFIED stage body — bucket-incremental under runWith:
     * a candidate slice only joins the shingles of ITS docs). */
-  def minhashVerifyFrom(cands: DataFrame, docs: DataFrame): DataFrame = {
-    val sh = shinglesFrom(docs).select(col("doc_id"), col("g32"))
+  def minhashVerifyFrom(cands: DataFrame, docs: DataFrame): DataFrame =
+    minhashVerifyFromShingles(cands, shinglesFrom(docs))
+
+  /** Verify from the MATERIALIZED shingle table. */
+  def minhashVerifyFromShingles(cands: DataFrame, shingleTable: DataFrame): DataFrame = {
+    val sh = shingleTable.select(col("doc_id"), col("g32"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val cand = cands.select(col("doc_id").as("a_id"), col("b_id"))
     val inter = cand

@@ -26,7 +26,7 @@ class DedupPipelineSpec extends AnyFunSuite {
   test("materialized stages equal the live chain computations") {
     val out = Files.createTempDirectory("dedup_chain").toString
     val reports = DedupPipeline.run(spark, dir, out, buckets = 4)
-    assert(reports.map(_._1) == Vector("candidates", "verified", "groups", "keep"))
+    assert(reports.map(_._1) == Vector("shingles", "candidates", "verified", "groups", "keep"))
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val liveCand = ScaleQueries.minhashLshPairsFrom(docs.toDF())
@@ -62,16 +62,17 @@ class DedupPipelineSpec extends AnyFunSuite {
     DedupPipeline.run(spark, dir, cold, buckets = 4)
 
     val partial = DedupPipeline.run(spark, dir, warm, buckets = 4,
-      failAfterStages = 2)
-    assert(partial.map(_._1) == Vector("candidates", "verified"))
-    // resume: candidates + verified buckets are SKIPPED, not redone
+      failAfterStages = 3)
+    assert(partial.map(_._1) == Vector("shingles", "candidates", "verified"))
+    // resume: finished stages' buckets are SKIPPED, not redone
     val resumed = DedupPipeline.run(spark, dir, warm, buckets = 4)
     val skipped = resumed.toMap
+    assert(skipped("shingles").skipped == 4 && skipped("shingles").processed == 0)
     assert(skipped("candidates").skipped == 1 && skipped("candidates").processed == 0)
     assert(skipped("verified").skipped == 4 && skipped("verified").processed == 0)
     assert(skipped("groups").processed == 1 && skipped("keep").processed == 4)
 
-    Seq("candidates", "verified", "groups", "keep").foreach { st =>
+    Seq("shingles", "candidates", "verified", "groups", "keep").foreach { st =>
       val a = spark.read.parquet(s"$cold/$st/data").drop("bucket")
       val b = spark.read.parquet(s"$warm/$st/data").drop("bucket")
       val cols = a.columns.toSeq.sorted.map(col)
