@@ -34,8 +34,17 @@ object PdfGen {
   private case class PHead(text: String) extends PBlock
   private case class PList(items: Vector[String]) extends PBlock
   private case class PFigure(k: Int, caption: Option[String]) extends PBlock
+  /** link annotation content: anchor text shown on the page, target bound
+    * via a page `/Annots` `/Subtype /Link` rect (PDF 32000 §12.5.6.5) —
+    * the PDF-tier twin of the office/html hyperlink spans. A `#`-target
+    * authors as a named `/Dest`, a URL as `/A /URI`. */
+  private case class PLink(text: String, target: String) extends PBlock
 
-  private case class PDoc(title: String, blocks: Vector[PBlock])
+  private case class PDoc(title: String, blocks: Vector[PBlock],
+      sidebar: Option[String])
+
+  /** content-level sidebar presence (test non-vacuity probe). */
+  private[graft] def hasSidebar(docId: String): Boolean = doc(docId).sidebar.isDefined
 
   private def doc(docId: String): PDoc = {
     val r = Rng.stream("pdfc", docId)
@@ -43,13 +52,19 @@ object PdfGen {
     var figK = 0
     val blocks = Vector.fill(3 + r.nextInt(6)) {
       val roll = r.nextDouble()
-      if (roll < 0.5) {
+      if (roll < 0.46) {
         val p = DocGen.paragraphOnce(r)
         // paren trap: literal-string escaping (\( \)) must round-trip
         if (r.chance(0.25)) PPara(p + " (see the appendix for details).")
         else PPara(p)
-      } else if (roll < 0.65) PHead(DocGen.titleText(r))
-      else if (roll < 0.82) {
+      } else if (roll < 0.60) PHead(DocGen.titleText(r))
+      else if (roll < 0.70) {
+        val anchor = DocGen.cap(DocGen.word(r)) + " " + DocGen.word(r)
+        val target =
+          if (r.chance(0.25)) "#sec-" + DocGen.word(r)
+          else s"https://ref.example/${DocGen.word(r)}/${DocGen.word(r)}"
+        PLink(anchor, target)
+      } else if (roll < 0.85) {
         figK += 1
         PFigure(figK,
           if (r.chance(0.75)) Some(s"Figure $figK: " + DocGen.cap(DocGen.word(r)))
@@ -58,7 +73,10 @@ object PdfGen {
         PList(Vector.fill(3 + r.nextInt(3))(
           DocGen.cap(DocGen.word(r)) + " " + DocGen.word(r)))
     }
-    PDoc(title, blocks)
+    // 90°-rotated margin note on the LAST page (its own rotation class —
+    // the converter reads it upright and orders it after the page flow)
+    val sidebar = if (r.chance(0.2)) Some(DocGen.titleText(r)) else None
+    PDoc(title, blocks, sidebar)
   }
 
   /** Deterministic fake image payload for figure `k` — the XObject stream
@@ -106,10 +124,14 @@ object PdfGen {
   /** One positioned page element. */
   private sealed trait Elem
   /** `lines` share one BT with relative moves; baseline of line i is
-    * `y - i*Leading`. */
+    * `y - i*Leading`. `link` non-empty marks a hyperlink anchor whose
+    * target is bound by a page-level /Annots rect around the baseline. */
   private case class TextElem(font: String, size: Int, x: Double, y: Double,
-      lines: Vector[String]) extends Elem
+      lines: Vector[String], link: String = "") extends Elem
   private case class ImageElem(k: Int, x: Double, y: Double) extends Elem
+  /** one-line margin note drawn inside a 90°-rotation `cm` along the
+    * right page edge. */
+  private case class SidebarElem(text: String) extends Elem
 
   /** Flow the doc into pages of positioned elements. */
   private def layout(d: PDoc): Vector[Vector[Elem]] = {
@@ -122,10 +144,11 @@ object PdfGen {
         pages += cur.result(); cur = Vector.newBuilder[Elem]
         y = TopY; curEmpty = true
       }
-    def textBlock(font: String, size: Int, lines: Vector[String]): Unit = {
+    def textBlock(font: String, size: Int, lines: Vector[String],
+        link: String = ""): Unit = {
       ensure(lines.length * Leading)
       y -= Leading
-      cur += TextElem(font, size, MarginX, y, lines)
+      cur += TextElem(font, size, MarginX, y, lines, link)
       y -= (lines.length - 1) * Leading + BlockGap
       curEmpty = false
     }
@@ -133,6 +156,7 @@ object PdfGen {
     d.blocks.foreach {
       case PPara(t) => textBlock("F1", BodySize, wrap(t))
       case PHead(t) => textBlock("F2", HeadSize, Vector(t))
+      case PLink(t, target) => textBlock("F1", BodySize, Vector(t), target)
       case PList(items) => textBlock("F1", BodySize, items.map("- " + _))
       case PFigure(k, cap) =>
         ensure(ImgH + cap.map(_ => Leading + 4).getOrElse(0.0))
@@ -146,6 +170,7 @@ object PdfGen {
         if (cap.isEmpty) y -= BlockGap
         curEmpty = false
     }
+    d.sidebar.foreach { s => cur += SidebarElem(s) }
     pages += cur.result()
     pages.result()
   }
@@ -189,11 +214,31 @@ object PdfGen {
     else "(" + escLiteral(line, 0) + ") Tj"
   }
 
+  /** F4 code bytes: printable ASCII + 0x80 (0xA0-0xFE) — recoverable only
+    * through the authored /ToUnicode CMap, pinning the CMap decode path. */
+  private def scrambledHex(s: String): String =
+    s.map(c => f"${c + 0x80}%02X").mkString("<", "", ">")
+  private def asciiPrintable(s: String): Boolean =
+    s.forall(c => c >= 0x20 && c < 0x7f)
+
   /** Content-stream ops for one element. */
   private def elemOps(e: Elem, imgName: Int => String,
       r: graft.util.SplitMix64): String = e match {
-    case TextElem(font, size, x, y, lines) =>
+    case TextElem(font, size, x, y, lines, _) =>
       val sb = new StringBuilder
+      // scrambled-CMap quirk: the block renders through F4 whose byte
+      // codes mean nothing without the /ToUnicode mapping (draw always
+      // fires to keep the quirk stream aligned)
+      val scramble = r.chance(0.22) && lines.forall(asciiPrintable)
+      if (scramble) {
+        sb.append("BT /F4 ").append(size).append(" Tf ")
+        sb.append(s"$x $y Td ").append(scrambledHex(lines.head)).append(" Tj")
+        lines.tail.foreach { l =>
+          sb.append(s" 0 -$Leading Td ").append(scrambledHex(l)).append(" Tj")
+        }
+        sb.append(" ET")
+        return sb.toString
+      }
       sb.append("BT /").append(font).append(' ').append(size).append(" Tf ")
       val posRoll = r.nextDouble()
       if (posRoll < 0.4) sb.append(s"1 0 0 1 $x $y Tm ")
@@ -221,6 +266,11 @@ object PdfGen {
       sb.toString
     case ImageElem(k, x, y) =>
       s"q $ImgW 0 0 $ImgH $x $y cm /${imgName(k)} Do Q"
+    case SidebarElem(text) =>
+      // 90°-rotated margin note along the right edge: full-matrix cm with
+      // b,c ≠ 0 on TEXT — its own rotation class for the converter
+      s"q 0 1 -1 0 $PageW 0 cm BT /F1 $BodySize Tf 72 20 Td " +
+        s"(${escLiteral(text, 0)}) Tj ET Q"
   }
 
   private case class Obj(num: Int, body: Array[Byte])
@@ -277,7 +327,9 @@ object PdfGen {
     val dicts = Vector.newBuilder[(Int, String)]
     val streams = Vector.newBuilder[(Int, String, Array[Byte], Option[Int])]
 
-    val fontNums = Map("F1" -> alloc(), "F2" -> alloc(), "F3" -> alloc())
+    val fontNums = Map("F1" -> alloc(), "F2" -> alloc(), "F3" -> alloc(),
+      "F4" -> alloc())
+    val cmapNum = alloc() // F4's /ToUnicode stream
     if (q.chance(0.3)) alloc() // deleted-object gap in the xref
 
     val figKs = pages.flatten.collect { case ImageElem(k, _, _) => k }.distinct
@@ -287,14 +339,29 @@ object PdfGen {
     val crlf = q.chance(0.4)
     val pageEntries = pages.map { elems =>
       val pageNum = alloc()
+      // scanned-landscape quirk: the page carries /Rotate 90 and all its
+      // content is authored pre-rotated by the inverse, so the DISPLAYED
+      // document (and hence the golden sequence) is unchanged — a parser
+      // must compose /Rotate with the content cm to read it
+      val rotated = q.chance(0.2)
       val opsList = elems.map(e => elemOps(e, imgName, q))
       // split-contents quirk: the page's ops across TWO streams joined by
       // the reader with intervening whitespace (PDF 32000 §7.8.2)
-      val chunks: Vector[String] =
+      val chunks0: Vector[String] =
         if (opsList.length >= 2 && q.chance(0.3)) {
           val cut = 1 + q.nextInt(opsList.length - 1)
           Vector(opsList.take(cut).mkString("\n"), opsList.drop(cut).mkString("\n"))
         } else Vector(opsList.mkString("\n"))
+      val chunks: Vector[String] =
+        if (!rotated) chunks0
+        else {
+          // wrap: q [rot90-inverse] cm … Q — the q/Q pair may straddle the
+          // split (legal in concatenated content, §7.8.2)
+          val head = s"q 0 1 -1 0 $PageH 0 cm\n" + chunks0.head
+          val mid = chunks0.drop(1)
+          if (mid.isEmpty) Vector(head + "\nQ")
+          else Vector(head) ++ mid.init ++ Vector(mid.last + "\nQ")
+        }
       val contentNums = chunks.map { ops =>
         val num = alloc()
         val raw = ops.getBytes("ISO-8859-1")
@@ -320,9 +387,34 @@ object PdfGen {
         if (imgsHere.isEmpty) ""
         else imgsHere.map(k => s"/${imgName(k)} ${imgNums(k)} 0 R")
           .mkString(" /XObject << ", " ", " >>")
+      // /Annots link rects around each anchor baseline; rects live in the
+      // page's (pre-/Rotate) user space, so a rotated page transforms them
+      val links = elems.collect { case t: TextElem if t.link.nonEmpty => t }
+      val annotIndirect = q.chance(0.5)
+      val annots =
+        if (links.isEmpty) ""
+        else {
+          val bodies = links.map { t =>
+            val (rx0, ry0, rx1, ry1) =
+              if (!rotated) (t.x - 4, t.y - 5, t.x + 420, t.y + 9)
+              else (PageH - (t.y + 9), t.x - 4, PageH - (t.y - 5), t.x + 420)
+            val action =
+              if (t.link.startsWith("#"))
+                s"/Dest /${t.link.stripPrefix("#")}"
+              else s"/A << /S /URI /URI (${escLiteral(t.link, 0)}) >>"
+            s"<< /Type /Annot /Subtype /Link /Rect [$rx0 $ry0 $rx1 $ry1] $action >>"
+          }
+          val items =
+            if (!annotIndirect) bodies
+            else bodies.map { b =>
+              val n = alloc(); dicts += ((n, b)); s"$n 0 R"
+            }
+          items.mkString(" /Annots [ ", " ", " ]")
+        }
+      val box = if (rotated) s"[0 0 $PageH $PageW] /Rotate 90" else s"[0 0 $PageW $PageH]"
       dicts += ((pageNum,
-        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $PageW $PageH] " +
-          s"/Contents $contents /Resources << /Font << $fontRes >>$xobjRes >> >>"))
+        s"<< /Type /Page /Parent 2 0 R /MediaBox $box " +
+          s"/Contents $contents /Resources << /Font << $fontRes >>$xobjRes >>$annots >>"))
       pageNum
     }
 
@@ -341,10 +433,30 @@ object PdfGen {
       .foreach { case (n, base) =>
         dicts += ((fontNums(n), s"<< /Type /Font /Subtype /Type1 /BaseFont /$base >>"))
       }
+    // F4: the scrambled font, text recoverable only via its /ToUnicode
+    // CMap stream (bfrange and bfchar forms both occur in the corpus)
+    dicts += ((fontNums("F4"),
+      s"<< /Type /Font /Subtype /Type1 /BaseFont /Scrambled /ToUnicode $cmapNum 0 R >>"))
+    val cmapBody = {
+      val mapping =
+        if (q.chance(0.5)) "1 beginbfrange\n<A0> <FE> <0020>\nendbfrange"
+        else (0x20 to 0x7e).map(c => f"<${c + 0x80}%02X> <$c%04X>")
+          .mkString("95 beginbfchar\n", "\n", "\nendbfchar")
+      "/CIDInit /ProcSet findresource begin\nbegincmap\n" +
+        "1 begincodespacerange\n<A0> <FE>\nendcodespacerange\n" +
+        mapping + "\nendcmap\nend"
+    }
+    val cmapRaw = cmapBody.getBytes("ISO-8859-1")
+    if (q.chance(0.5))
+      streams += ((cmapNum, " /Filter /FlateDecode", flate(cmapRaw), None))
+    else streams += ((cmapNum, "", cmapRaw, None))
     figKs.foreach { k =>
       val data = imageBytes(docId, k)
+      // DCT quirk: an exotic /Filter the parser must PASS THROUGH — the
+      // media_ref hashes the raw embedded bytes either way
+      val filter = if (q.chance(0.4)) " /Filter /DCTDecode" else ""
       streams += ((imgNums(k),
-        s" /Type /XObject /Subtype /Image /Width 180 /Height 120 " +
+        s"$filter /Type /XObject /Subtype /Image /Width 180 /Height 120 " +
           s"/ColorSpace /DeviceRGB /BitsPerComponent 8", data, None))
     }
 
@@ -394,9 +506,33 @@ object PdfGen {
         rows.write((f2 >> 16) & 0xff); rows.write((f2 >> 8) & 0xff); rows.write(f2 & 0xff)
         rows.write((f3 >> 8) & 0xff); rows.write(f3 & 0xff)
       }
-      val xrefData = flate(rows.toByteArray)
+      // PNG-Up predictor quirk (§7.4.4.4): the dominant real-world xref
+      // stream form (test corpora: xdvipdfmx writes /Predictor 12)
+      val usePred = q.chance(0.5)
+      val rowBytes = rows.toByteArray
+      val encoded =
+        if (!usePred) rowBytes
+        else {
+          val pe = new ByteArrayOutputStream(rowBytes.length + size)
+          val prior = new Array[Byte](6)
+          var r = 0
+          while (r * 6 < rowBytes.length) {
+            pe.write(2) // Up filter
+            var i = 0
+            while (i < 6) {
+              val cur = rowBytes(r * 6 + i)
+              pe.write((cur - prior(i)) & 0xff)
+              prior(i) = cur
+              i += 1
+            }
+            r += 1
+          }
+          pe.toByteArray
+        }
+      val parms = if (usePred) "/DecodeParms << /Predictor 12 /Columns 6 >> " else ""
+      val xrefData = flate(encoded)
       out.write((s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 3 2] " +
-        s"/Root 1 0 R /Filter /FlateDecode /Length ${xrefData.length} >>\nstream\n")
+        s"$parms/Root 1 0 R /Filter /FlateDecode /Length ${xrefData.length} >>\nstream\n")
         .getBytes("ISO-8859-1"))
       out.write(xrefData)
       w("\nendstream\nendobj\n")
@@ -464,11 +600,15 @@ object PdfGen {
     d.blocks.foreach {
       case PPara(t) => out += ((Kinds.Text, t, ""))
       case PHead(t) => out += ((Kinds.Title, t, ""))
+      case PLink(t, target) => out += ((Kinds.Hyperlink, t, target))
       case PList(items) => out += ((Kinds.ListK, items.mkString("\n"), ""))
       case PFigure(k, cap) =>
         out += ((Kinds.Figure, "", imageRef(docId, k)))
         cap.foreach(c => out += ((Kinds.Caption, c, "")))
     }
+    // the rotated margin note reads as the final text block: its rotation
+    // class is ordered after the page's upright flow
+    d.sidebar.foreach(s => out += ((Kinds.Text, s, "")))
     out.result().zipWithIndex.map { case ((k, t, m), ord) => OutSpan(k, t, m, ord) }
   }
 }

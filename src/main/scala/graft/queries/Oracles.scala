@@ -438,6 +438,14 @@ object Oracles {
         |JOIN ids ON g.doc_id = ids.did
         |ORDER BY g.doc_id, g.ord""".stripMargin,
 
+    "pdf_hyperlinks" ->
+      """WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents)
+        |SELECT g.doc_id, g.ord, g.text, g.media_ref AS url
+        |FROM read_parquet('/root/repo/src/test/resources/golden/pdf_golden.parquet') g
+        |JOIN ids ON g.doc_id = ids.did
+        |WHERE g.kind = 'hyperlink'
+        |ORDER BY g.doc_id, g.ord""".stripMargin,
+
     // the raw router: doc index mod 3 -> office / html / pdf golden;
     // a mis-route in any direction breaks the union compare
     "ingest_raw" ->

@@ -843,6 +843,17 @@ object Queries {
       .orderBy("doc_id", "ord")
   }
 
+  /** PDF-tier hyperlink spans: /Annots /Link rects bound to their anchor
+    * lines by the byte-level parser (PDF 32000 §12.5.6.5; reference
+    * ContentType.HYPERLINK, enum_class.py:59) — URL targets and named
+    * /Dest targets both flow through media_ref, at parity with the
+    * office/html hyperlink spans. */
+  def pdfHyperlinks(spark: SparkSession, dir: String): DataFrame =
+    pdfExtract(spark, dir)
+      .filter(col("kind") === "hyperlink")
+      .select(col("doc_id"), col("ord"), col("text"), col("media_ref").as("url"))
+      .orderBy("doc_id", "ord")
+
   /** Mixed raw-blob ingestion: one table interleaving office packages
     * (doc index ≡ 0 mod 3), HTML pages (≡ 1) and PDF files (≡ 2), routed
     * per partition by the SHARED magic-byte sniffer (`io.Sniff` — the
@@ -986,6 +997,7 @@ object Queries {
     "office_extract" -> officeExtract _,
     "html_extract" -> htmlExtract _,
     "pdf_extract" -> pdfExtract _,
+    "pdf_hyperlinks" -> pdfHyperlinks _,
     "ingest_raw" -> ingestRaw _,
     "q1_agg" -> q1Agg _,
     "q2_join_topk" -> q2JoinTopK _,

@@ -224,4 +224,43 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfConvert.spans(id, truncated).isEmpty,
       "the first revision must be the decoy - otherwise /Prev handling is untested")
   }
+
+  test("r5 quirks are non-vacuous across the corpus (each path actually fires)") {
+    var rotated, dct, pred, bfrange, bfchar, scrambled = 0
+    var annotUri, annotDest, annotIndirect, annotInline = 0
+    var linkSpans, sidebarSpans = 0
+    (0 until 300).foreach { i =>
+      val id = f"doc-$i%012d"
+      val txt = new String(PdfGen.bytes(id), "ISO-8859-1")
+      if (txt.contains("/Rotate 90")) rotated += 1
+      if (txt.contains("/DCTDecode")) dct += 1
+      if (txt.contains("/Predictor 12")) pred += 1
+      if (txt.contains("beginbfrange")) bfrange += 1
+      // bfchar CMaps flate half the time; sniff via the uncompressed form
+      if (txt.contains("beginbfchar")) bfchar += 1
+      if (txt.contains("/F4 ")) scrambled += 1
+      if (txt.contains("/S /URI")) annotUri += 1
+      if (txt.contains("/Dest /sec-")) annotDest += 1
+      if (txt.contains("/Subtype /Link")) {
+        if (txt.contains("/Annots [ <<")) annotInline += 1 else annotIndirect += 1
+      }
+      val g = PdfGen.golden(id)
+      linkSpans += g.count(_.kind == graft.schema.Kinds.Hyperlink)
+      if (PdfGen.hasSidebar(id)) {
+        sidebarSpans += 1
+        assert(g.last.kind == graft.schema.Kinds.Text,
+          s"sidebar doc $id must end with the rotated margin-note span")
+      }
+    }
+    assert(rotated > 20, s"rotated=$rotated")
+    assert(dct > 20, s"dct=$dct")
+    assert(pred > 10, s"pred=$pred")
+    assert(bfrange > 50 && bfchar > 50, s"cmap forms: bfrange=$bfrange bfchar=$bfchar")
+    assert(scrambled > 50, s"scrambled=$scrambled")
+    assert(annotUri > 20 && annotDest > 5, s"targets: uri=$annotUri dest=$annotDest")
+    assert(annotIndirect > 10 && annotInline > 10,
+      s"annot forms: indirect=$annotIndirect inline=$annotInline")
+    assert(linkSpans > 100, s"linkSpans=$linkSpans")
+    assert(sidebarSpans > 30, s"sidebarSpans=$sidebarSpans")
+  }
 }
