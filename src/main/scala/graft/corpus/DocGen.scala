@@ -164,10 +164,12 @@ object DocGen {
   }
   private val hexChars = "0123456789abcdef".toCharArray
 
-  def sha256Hex(s: String): String = {
+  def sha256Hex(s: String): String = sha256HexBytes(s.getBytes("UTF-8"))
+
+  def sha256HexBytes(data: Array[Byte]): String = {
     val md = digest.get()
     md.reset()
-    val bytes = md.digest(s.getBytes("UTF-8"))
+    val bytes = md.digest(data)
     val out = new Array[Char](bytes.length * 2)
     var i = 0
     while (i < bytes.length) {

@@ -446,22 +446,30 @@ object Oracles {
         |WHERE g.kind = 'hyperlink'
         |ORDER BY g.doc_id, g.ord""".stripMargin,
 
-    // the raw router: doc index mod 3 -> office / html / pdf golden;
-    // a mis-route in any direction breaks the union compare
+    // the raw router: doc index mod 5 -> office / html / pdf / image /
+    // legacy-office golden; a mis-route in any direction breaks the compare
     "ingest_raw" ->
       """WITH ids AS (SELECT doc_id AS i, 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents)
         |SELECT * FROM (
         |  SELECT g.doc_id, g.ord, g.kind, g.media_ref, g.text
         |  FROM read_parquet('/root/repo/src/test/resources/golden/office_golden.parquet') g
-        |  JOIN ids ON g.doc_id = ids.did AND ids.i % 3 = 0
+        |  JOIN ids ON g.doc_id = ids.did AND ids.i % 5 = 0
         |  UNION ALL
         |  SELECT h.doc_id, h.ord, h.kind, h.media_ref, h.text
         |  FROM read_parquet('/root/repo/src/test/resources/golden/html_golden.parquet') h
-        |  JOIN ids ON h.doc_id = ids.did AND ids.i % 3 = 1
+        |  JOIN ids ON h.doc_id = ids.did AND ids.i % 5 = 1
         |  UNION ALL
         |  SELECT p.doc_id, p.ord, p.kind, p.media_ref, p.text
         |  FROM read_parquet('/root/repo/src/test/resources/golden/pdf_golden.parquet') p
-        |  JOIN ids ON p.doc_id = ids.did AND ids.i % 3 = 2
+        |  JOIN ids ON p.doc_id = ids.did AND ids.i % 5 = 2
+        |  UNION ALL
+        |  SELECT m.doc_id, m.ord, m.kind, m.media_ref, m.text
+        |  FROM read_parquet('/root/repo/src/test/resources/golden/image_golden.parquet') m
+        |  JOIN ids ON m.doc_id = ids.did AND ids.i % 5 = 3
+        |  UNION ALL
+        |  SELECT o.doc_id, o.ord, o.kind, o.media_ref, o.text
+        |  FROM read_parquet('/root/repo/src/test/resources/golden/ole_golden.parquet') o
+        |  JOIN ids ON o.doc_id = ids.did AND ids.i % 5 = 4
         |) ORDER BY doc_id, ord""".stripMargin,
 
     // block-aware chunk packing replayed as a sequential walk (recursive

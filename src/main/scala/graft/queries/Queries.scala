@@ -855,10 +855,11 @@ object Queries {
       .orderBy("doc_id", "ord")
 
   /** Mixed raw-blob ingestion: one table interleaving office packages
-    * (doc index ≡ 0 mod 3), HTML pages (≡ 1) and PDF files (≡ 2), routed
-    * per partition by the SHARED magic-byte sniffer (`io.Sniff` — the
+    * (doc index ≡ 0 mod 5), HTML pages (≡ 1), PDF files (≡ 2), raster
+    * image blobs (≡ 3) and legacy OLE2 .doc files (≡ 4), routed per
+    * partition by the SHARED magic-byte sniffer (`io.Sniff` — the
     * single router `ExtractJob.runRaw` also uses). The oracle unions the
-    * three committed goldens by index mod 3, so a routing mistake in any
+    * five committed goldens by index mod 5, so a routing mistake in any
     * direction breaks the compare. */
   def ingestRaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -866,10 +867,12 @@ object Queries {
     ids.mapPartitions { it =>
       it.flatMap { i =>
         val id = f"doc-$i%012d"
-        val bytes = (i % 3) match {
+        val bytes = (i % 5) match {
           case 0 => graft.corpus.OfficeGen.bytes(id)
           case 1 => graft.corpus.HtmlGen.bytes(id)
-          case _ => graft.corpus.PdfGen.bytes(id)
+          case 2 => graft.corpus.PdfGen.bytes(id)
+          case 3 => graft.corpus.ImgGen.bytes(id)
+          case _ => graft.corpus.OleGen.bytes(id)
         }
         graft.io.Sniff.convert(id, bytes)
           .spans.map(s => (id, s.order, s.kind, s.media_ref, s.text))

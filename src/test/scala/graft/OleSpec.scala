@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.{OleGen, ImgGen}
+import graft.office.OleConvert
+import graft.image.ImageDoc
+import graft.io.Sniff
+
+/** Legacy OLE2 office tier + image-bytes tier + router fallback. */
+class OleSpec extends AnyFunSuite {
+
+  test("round trip: 300 OLE2 docs, spans equal the authored golden") {
+    (0 until 300).foreach { i =>
+      val id = f"doc-$i%012d"
+      val got = OleConvert.convert(id, OleGen.bytes(id)).spans
+      val want = OleGen.golden(id)
+      assert(got == want, s"ole round trip mismatch for $id:\n got=$got\nwant=$want")
+    }
+  }
+
+  test("quirk forms are non-vacuous: miniFAT + regular-FAT + utf16 + decoys all occur") {
+    var mini, big, utf16, decoy = 0
+    (0 until 200).foreach { i =>
+      val id = f"doc-$i%012d"
+      val bytes = OleGen.bytes(id)
+      // the WordDocument payload sits in the mini stream iff it's small:
+      // detect via total file size (a padded big stream adds >4 KiB)
+      if (bytes.length > 6000) big += 1 else mini += 1
+      val txt = new String(bytes, "ISO-8859-1")
+      if (txt.contains("Summary".flatMap(c => c.toString + "\u0000"))) decoy += 1
+      // utf16 text stores NULs between ASCII chars inside the text window
+      val got = OleConvert.convert(id, bytes).spans
+      assert(got.nonEmpty)
+      if (got.head.text.nonEmpty) {
+        val t = got.head.text
+        if (txt.contains(t.take(6).flatMap(c => c.toString + "\u0000"))) utf16 += 1
+      }
+    }
+    assert(mini > 40 && big > 40, s"placement mix: mini=$mini big=$big")
+    assert(utf16 > 20, s"utf16=$utf16")
+    assert(decoy > 40, s"decoy=$decoy")
+  }
+
+  test("OLE2 magic routes via Sniff: never the soup parser") {
+    val id = "doc-000000000007"
+    val viaSniff = Sniff.convert(id, OleGen.bytes(id)).spans
+    assert(viaSniff == OleGen.golden(id))
+  }
+
+  test("xls/ppt-like compound file classifies to an empty document, not soup") {
+    // a compound file whose only stream is Workbook-style binary junk
+    val doc = OleGen.bytes("doc-000000000001")
+    // rename WordDocument -> Workbook at the byte level (UTF-16LE names,
+    // same length not required: patch the length field too is overkill —
+    // just check the WordDocument-less path through a crafted read)
+    val cfb = new OleConvert.Cfb(doc)
+    assert(cfb.stream("WordDocument").isDefined)
+    // real assertion: OleConvert on a stream set without WordDocument
+    // returns empty spans (classified) — use the public convert on a file
+    // where we blank the name's first char so lookup misses
+    val bytes = doc.clone()
+    val probe = "WordDoc".flatMap(c => c.toString + "\u0000")
+    val idx = new String(bytes, "ISO-8859-1").indexOf(probe)
+    assert(idx >= 0)
+    bytes(idx) = 'X'.toByte
+    val res = OleConvert.convert("x", bytes)
+    assert(res.spans.isEmpty)
+  }
+
+  test("image tier: magic sniff routes JPEG/PNG/GIF/WebP to a media document") {
+    var forms = Set.empty[String]
+    (0 until 100).foreach { i =>
+      val id = f"doc-$i%012d"
+      val bytes = ImgGen.bytes(id)
+      val kind = ImageDoc.imageKind(bytes)
+      assert(kind.isDefined, s"$id not sniffed as image")
+      forms += kind.get
+      val got = Sniff.convert(id, bytes).spans
+      assert(got == ImgGen.golden(id), s"image round trip $id")
+      assert(got.head.media_ref.startsWith("img://"))
+    }
+    assert(forms == Set("jpeg", "png", "gif", "webp"), s"forms=$forms")
+  }
+
+  test("an HTML page quoting %PDF- falls back to the markup route") {
+    val html = ("<html><head><title>PDF spec notes</title></head><body>" +
+      "<p>The header line %PDF-1.7 marks a pdf file.</p>" +
+      "<p>More body text here to strip.</p></body></html>").getBytes("UTF-8")
+    // sanity: the quote IS inside the sniff window
+    assert(graft.pdf.PdfConvert.sigOffset(html) > 0)
+    val res = Sniff.convert("h", html)
+    assert(res.spans.nonEmpty)
+    assert(res.spans.exists(_.text.contains("marks a pdf file")),
+      s"markup fallback failed: ${res.spans}")
+  }
+
+  test("a real PDF with leading junk still parses through the window") {
+    val id = "doc-000000000002"
+    val pdf = graft.corpus.PdfGen.bytes(id)
+    val junked = ("garbage-prefix\n".getBytes("ISO-8859-1") ++ pdf)
+    // offsets in the xref shift by the junk length; the recovery scan
+    // must still find the objects
+    val res = Sniff.convert(id, junked)
+    assert(res.spans.nonEmpty)
+    assert(res.spans.map(_.text) == graft.corpus.PdfGen.golden(id).map(_.text))
+  }
+}

@@ -69,16 +69,18 @@ class ResumeSpec extends AnyFunSuite {
       s"layout invariant violated: $m")
   }
 
-  test("raw-blob ingestion (office + html + pdf interleaved) under the same protocol") {
+  test("raw-blob ingestion (office + html + pdf + image + ole interleaved) under the same protocol") {
     import spark.implicits._
     val n = 120
-    // doc index mod 3 routes office / html / pdf — one mixed table
+    // doc index mod 5 routes office / html / pdf / image / legacy-office
     val blobs = spark.range(n).map { i =>
       val id = f"doc-$i%012d"
-      val bytes = (i % 3) match {
+      val bytes = (i % 5) match {
         case 0 => graft.corpus.OfficeGen.bytes(id)
         case 1 => graft.corpus.HtmlGen.bytes(id)
-        case _ => graft.corpus.PdfGen.bytes(id)
+        case 2 => graft.corpus.PdfGen.bytes(id)
+        case 3 => graft.corpus.ImgGen.bytes(id)
+        case _ => graft.corpus.OleGen.bytes(id)
       }
       (id, bytes)
     }.toDF("doc_id", "content")
@@ -95,10 +97,12 @@ class ResumeSpec extends AnyFunSuite {
     assert(got.size == n)
     (0 until n).foreach { i =>
       val id = f"doc-$i%012d"
-      val spans = (i % 3) match {
+      val spans = (i % 5) match {
         case 0 => graft.corpus.OfficeGen.golden(id)
         case 1 => graft.corpus.HtmlGen.golden(id)
-        case _ => graft.corpus.PdfGen.golden(id)
+        case 2 => graft.corpus.PdfGen.golden(id)
+        case 3 => graft.corpus.ImgGen.golden(id)
+        case _ => graft.corpus.OleGen.golden(id)
       }
       val want = spans.map(s => (s.kind, s.text, s.media_ref, s.order))
       assert(got(id) == want, s"raw ingest mismatch for $id")

@@ -88,15 +88,17 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("streaming mixed-blob ingestion routes pdf/office/html via the shared sniffer") {
+  test("streaming mixed-blob ingestion routes pdf/office/html/image/ole via the shared sniffer") {
     import spark.implicits._
     val landing = Files.createTempDirectory("graft_raw_landing").toString
     (0 until 30).foreach { i =>
       val id = f"doc-$i%012d"
-      val (bytes, ext) = (i % 3) match {
+      val (bytes, ext) = (i % 5) match {
         case 0 => (graft.corpus.OfficeGen.bytes(id), "ooxml")
         case 1 => (graft.corpus.HtmlGen.bytes(id), "html")
-        case _ => (graft.corpus.PdfGen.bytes(id), "pdf")
+        case 2 => (graft.corpus.PdfGen.bytes(id), "pdf")
+        case 3 => (graft.corpus.ImgGen.bytes(id), "img")
+        case _ => (graft.corpus.OleGen.bytes(id), "doc")
       }
       Files.write(java.nio.file.Paths.get(s"$landing/$id.$ext"), bytes)
     }
@@ -110,10 +112,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == 30)
     (0 until 30).foreach { i =>
       val id = f"doc-$i%012d"
-      val want = (i % 3) match {
+      val want = (i % 5) match {
         case 0 => graft.corpus.OfficeGen.golden(id)
         case 1 => graft.corpus.HtmlGen.golden(id)
-        case _ => graft.corpus.PdfGen.golden(id)
+        case 2 => graft.corpus.PdfGen.golden(id)
+        case 3 => graft.corpus.ImgGen.golden(id)
+        case _ => graft.corpus.OleGen.golden(id)
       }
       assert(got(id) == want, s"raw stream mismatch for $id")
     }
