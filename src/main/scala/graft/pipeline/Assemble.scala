@@ -85,11 +85,17 @@ object Assemble {
     tagged.result().foreach { b =>
       if (cur == null) cur = b
       else if (shouldMerge(cur, b))
-        // a chained merge continues with the TAIL part's geometry (the
-        // reference extends block2's line list — its bbox follows the
-        // latest lines)
+        // chained-merge geometry (para_split.py:273-314): the reference
+        // extends the EARLIER block's line list but never recomputes its
+        // bbox_fs, so the width/right-flush checks of a 3rd merge still
+        // read the ORIGINAL earlier box — keep cur.width. The flush bit
+        // does track the latest absorbed line; we carry b.lastFlush
+        // (measured against b's own box) as the closest proxy since line
+        // geometry isn't carried past page assembly — equal-width chains
+        // (the corpus case) make the proxy exact; unequal-width chains
+        // are a documented one-line divergence.
         cur = cur.copy(text = join(cur.text, b.text),
-          width = b.width, lastFlush = b.lastFlush, nLines = cur.nLines + b.nLines)
+          lastFlush = b.lastFlush, nLines = cur.nLines + b.nLines)
       else { merged += cur; cur = b }
     }
     if (cur != null) merged += cur

@@ -545,6 +545,25 @@ object Queries {
     * into 60-token chunks by cumulative token count and report each
     * chunk's span range. The oracle replays it over the committed golden
     * span parquet, so the chunk boundaries are value-checked end to end. */
+  /** THE locator chunk rule — one definition shared by `chunk_locate`
+    * (Catalyst window form) and `chunk_locate_fuzzy` (per-doc walk): spans
+    * pack by cumulative whitespace-token count into `LocatorChunkTokens`
+    * buckets. Drift between the two locators' chunk boundaries would
+    * silently desync them (r4 review), so the scalar rule lives here once
+    * and a spec cross-checks the two query surfaces. */
+  private[graft] val LocatorChunkTokens = 60
+  private[graft] def locatorToks(text: String): Int =
+    if (text.isEmpty) 0 else text.split(" ", -1).length
+  /** chunk id per span, reading order in == reading order out. */
+  private[graft] def locatorChunkIds(texts: Vector[String]): Vector[Int] = {
+    var cum = 0
+    texts.map { t =>
+      val c = cum / LocatorChunkTokens
+      cum += locatorToks(t)
+      c
+    }
+  }
+
   def chunkLocate(spark: SparkSession, dir: String): DataFrame = {
     val spans = graft.pipeline.Extract.extractSpansUnordered(spark, dir)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("ord"))
@@ -553,7 +572,7 @@ object Queries {
       .withColumn("toks",
         when(col("text") === "", lit(0)).otherwise(size(split(col("text"), " "))))
       .withColumn("cum_before", sum(col("toks")).over(w) - col("toks"))
-      .withColumn("chunk_id", expr("CAST(cum_before div 60 AS INT)"))
+      .withColumn("chunk_id", expr(s"CAST(cum_before div $LocatorChunkTokens AS INT)"))
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(min(col("ord")).as("first_ord"), max(col("ord")).as("last_ord"),
         count(lit(1)).as("n_spans"), sum(col("toks")).as("n_tokens"))
@@ -622,37 +641,15 @@ object Queries {
 
   /** Levenshtein over UTF-8 BYTES — DuckDB's levenshtein() edits bytes
     * (levenshtein('☑a','a') = 3), so the Spark side must too or the two
-    * engines' anchor choices drift on non-ASCII content. `limit` is a
-    * result-preserving abort: when every cell of a DP row exceeds it the
-    * true distance does too, so any value > limit may be returned (the
-    * caller only asks "is it under the limit?"). */
-  private def lev(as: String, bs: String, limit: Int = Int.MaxValue): Int = {
-    val a = as.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val b = bs.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = a.length; val m = b.length
-    if (n == 0) return m
-    if (m == 0) return n
-    var prev = Array.tabulate(m + 1)(identity)
-    var cur = new Array[Int](m + 1)
-    var i = 1
-    while (i <= n) {
-      cur(0) = i
-      val ca = a(i - 1)
-      var rowMin = i
-      var j = 1
-      while (j <= m) {
-        val cost = if (ca == b(j - 1)) 0 else 1
-        val v = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
-        cur(j) = v
-        if (v < rowMin) rowMin = v
-        j += 1
-      }
-      if (rowMin > limit) return limit + 1
-      val t = prev; prev = cur; cur = t
-      i += 1
-    }
-    prev(m)
-  }
+    * engines' anchor choices drift on non-ASCII content. Exact distance
+    * via the bit-parallel kernel ([[graft.util.Lev]], Myers/Hyyrö — the
+    * same family RapidFuzz runs under the reference's fuzz.ratio); the
+    * r4 banded DP's abort is gone because the exact kernel outruns the
+    * band (and exactness needs no result-identity proof). */
+  private def lev(as: String, bs: String): Int =
+    graft.util.Lev.distance(
+      as.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      bs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** FUZZY chunk→block locator — the reference chunker's RapidFuzz
     * position pass (chunker/get_bbox_page_fast.py:40-120) against LOSSY
@@ -678,18 +675,22 @@ object Queries {
       .as[(String, Int, String, String, String)]
     spans.groupByKey(_._1).flatMapGroups { (id: String, it: Iterator[(String, Int, String, String, String)]) =>
       val blocks = it.toVector.sortBy(_._2)
-      // chunking: the same 60-token cumulative rule as chunk_locate
-      var cum = 0
-      val chunkOf = blocks.map { case (_, _, _, _, text) =>
-        val toks = if (text.isEmpty) 0 else text.split(" ", -1).length
-        val cid = cum / 60
-        cum += toks
-        cid
-      }
+      // chunk boundaries: THE shared locator rule (same function family
+      // as chunk_locate — one constant, no drift)
+      val chunkOf = locatorChunkIds(blocks.map(_._5))
       val chunkIds = chunkOf.distinct.sorted
+      // per-block byte/codepoint lengths ONCE per doc (the anchor scan
+      // revisits blocks across chunks; recomputing them per chunk was
+      // the avoidable O(chunks x blocks x len) share of the r4 cost)
+      val blockBytes = blocks.map(_._5.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+      val blockCps = blocks.map(b => b._5.codePointCount(0, b._5.length))
+      val firstOf = scala.collection.mutable.Map[Int, Int]()
+      chunkOf.zipWithIndex.foreach { case (c, i) =>
+        if (!firstOf.contains(c)) firstOf(c) = i
+      }
       val out = Vector.newBuilder[(String, Int, Int)]
       chunkIds.foreach { cid =>
-        val first = chunkOf.indexOf(cid)
+        val first = firstOf(cid)
         val content = blocks.zip(chunkOf).collect { case ((_, _, k, r, t), c) if c == cid =>
           lossyRender(k, t, r)
         }.mkString("\n\n")
@@ -712,14 +713,11 @@ object Queries {
             // whose bound cannot beat the running best is result-identical
             // (a skipped candidate can neither win nor trigger the early
             // stop, which requires beating the best first)
-            val tb = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-            val ml = math.max(contentLen, t.codePointCount(0, t.length))
+            val tb = blockBytes(i)
+            val ml = math.max(contentLen, blockCps(i))
             val bound = (ml - math.abs(contentBytes - tb)).toDouble / ml
             if (bound > bestR) {
-              // loose (+1) distance cap so float rounding can never skip a
-              // candidate that would actually beat the best
-              val cap = (ml * (1.0 - bestR)).toInt + 1
-              val r = (ml - lev(content, t, cap)).toDouble / ml
+              val r = (ml - lev(content, t)).toDouble / ml
               if (r > bestR) { bestR = r; bestIdx = i; if (r > 0.95) stop = true }
             }
           }

