@@ -210,12 +210,20 @@ object DedupPipeline {
     * JVM must not serialize behind each other (r4 hygiene). */
   private val dirLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** dirs this JVM has already ensured: the driver protocol reads an
+    * immutable corpus per session, so later view queries skip even the
+    * fingerprint scans (a NEW JVM always re-checks fingerprints, which is
+    * what makes cross-session incremental append safe). */
+  private val ensured = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def ensure(spark: SparkSession, dir: String): String = {
     val key = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(s"$dir|$ChainVersion") & 0xffffffffL)
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_$key"
+    if (ensured.contains(out)) return out
     val monitor = dirLocks.computeIfAbsent(out, _ => new Object)
     monitor.synchronized {
+      if (ensured.contains(out)) return out
       // cross-PROCESS exclusion: two JVMs sharing the memo dir (a verify
       // and a bench overlapping) must not interleave stage writes — the
       // second blocks, then resumes over the finished checkpoints (and
@@ -225,6 +233,7 @@ object DedupPipeline {
       val lock = raf.getChannel.lock()
       try run(spark, dir, out)
       finally { lock.release(); raf.close() }
+      ensured.add(out)
     }
     out
   }

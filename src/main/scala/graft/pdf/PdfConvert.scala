@@ -807,11 +807,16 @@ object PdfConvert {
         case None => Map.empty
       }
 
+    /** decoders cached per font OBJECT: a 10-page document re-uses the
+      * same /Font dict on every page, and the ToUnicode CMap parse is the
+      * expensive part (bench r5: uncached CMaps doubled pdf_extract). */
+    private val fontDecCache = scala.collection.mutable.Map[PObj, FontDec]()
+
     /** name -> text decoder for the page's font resources. */
     def fontsOf(page: PDict): Map[String, FontDec] =
       page.m.get("Resources").map(dict).flatMap(_.m.get("Font")).map(dict) match {
         case Some(fd) => fd.m.flatMap { case (name, ref) =>
-          try Some(name -> fontDec(dict(ref)))
+          try Some(name -> fontDecCache.getOrElseUpdate(ref, fontDec(dict(ref))))
           catch { case scala.util.control.NonFatal(_) => None }
         }
         case None => Map.empty
@@ -825,18 +830,13 @@ object PdfConvert {
       }
       val isType0 = subtype.contains("Type0")
       val twoByte = isType0 // Identity-H/V and CMap-encoded composite fonts
-      val toUni: Map[Int, String] = font.m.get("ToUnicode").map(resolve) match {
-        case Some(PStream(_, data)) => parseCMap(data)._2
-        case _ => Map.empty
-      }
       // codespace width from the CMap when present (a 1-byte CMap on a
       // Type0 font exists in the wild); Identity-* default to 2
-      val width = font.m.get("ToUnicode").map(resolve) match {
-        case Some(PStream(_, data)) =>
-          val w = parseCMap(data)._1
-          if (w > 0) w else if (twoByte) 2 else 1
-        case _ => if (twoByte) 2 else 1
+      val (cmapWidth, toUni) = font.m.get("ToUnicode").map(resolve) match {
+        case Some(PStream(_, data)) => parseCMap(data)
+        case _ => (0, Map.empty[Int, String])
       }
+      val width = if (cmapWidth > 0) cmapWidth else if (twoByte) 2 else 1
       val diffs: Map[Int, String] = resolve(font.m.getOrElse("Encoding", PNull)) match {
         case PDict(em) => em.get("Differences").map(resolve) match {
           case Some(PArr(items)) =>
