@@ -626,9 +626,9 @@ object StubModel extends DocModel {
       // block renders narrow (MismatchW)
       val narrow = (sp: InSpan) =>
         colForce(p) == 2 && mains.nonEmpty && sp.offset == mains.head.offset
+      val insertUsed = usesInsert(doc.doc_id, p) && colForce(p) == 0
       val (placed, regionBoxes) =
-        placePage(mains, twoCol,
-          usesInsert(doc.doc_id, p) && colForce(p) == 0, p, vert, far,
+        placePage(mains, twoCol, insertUsed, p, vert, far,
           emitsOrd, narrow)
       val regionDets = regionBoxes.map { case (x0, y0, x1, y1) =>
         Det("region", x0, y0, x1, y1, 1.0, "", "")
@@ -705,7 +705,25 @@ object StubModel extends DocModel {
                   dets += Det(Kinds.InlineFormula, x0, ly0, x1, ly1, score,
                     lines(i).substring(dollar, end + 1), "", -1)
               }
-              if (charLayer) {
+              // need-OCR line (~18% of later char-layer lines): the text
+              // layer has NO chars under this crop, so the fill leaves it
+              // empty and the pipeline must route it crop->contrast->OCR
+              // (span_pre_proc.py:345-359). Line 0 always carries chars so
+              // the page's char layer is never empty. The authored
+              // contrast rides the det (2dp, like calculate_contrast);
+              // one in seven sits exactly ON the 0.17 boundary, which the
+              // reference KEEPS (strict <). The OCR recovery is the
+              // authored line text via the stub channel.
+              val needOcr = charLayer && i > 0 && dollar < 0 &&
+                Math.floorMod(Rng.fnv64(doc.doc_id + "|noc|" + s.offset + "|" + i), 11L) < 2
+              if (needOcr) {
+                val cr = Rng.fnv64(doc.doc_id + "|ctr|" + s.offset + "|" + i)
+                val contrast =
+                  if (Math.floorMod(cr, 7L) == 0L) 0.17
+                  else 0.18 + Math.floorMod(cr, 80L) / 100.0
+                dets += Det(Kinds.Text, x0, ly0, x1, ly1, score, "", "", ord,
+                  contrast = contrast, ocrStub = lines(i))
+              } else if (charLayer) {
                 // empty line det + text-layer chars; a trailing stop char
                 // overhangs the right edge so only the punctuation edge
                 // rule (calculate_char_in_span) can admit it
@@ -728,6 +746,20 @@ object StubModel extends DocModel {
                 dets += Det(Kinds.Text, x0, ly0, x1, ly1, score, lines(i), "", ord)
               }
               i += 1
+            }
+            // BLANK-CROP noise det (~15% of char-layer paragraphs on plain
+            // single-column pages): an empty text box over dead whitespace
+            // right of the column — no chars can fill it, its crop contrast
+            // is sub-0.17, and the gate must REMOVE it (span_pre_proc.py
+            // :354) instead of letting an empty span reach ordering.
+            // Single-column-only so its x-range can never sit over another
+            // column's char grid.
+            if (charLayer && !twoCol && !insertUsed &&
+              Math.floorMod(Rng.fnv64(doc.doc_id + "|blank|" + s.offset), 7L) == 0L) {
+              val nz = Rng.fnv64(doc.doc_id + "|blankc|" + s.offset)
+              val lowC = 0.04 + Math.floorMod(nz, 12L) / 100.0 // 0.04..0.15
+              dets += Det(Kinds.Text, x1 + 6.0, y0 + 1.0, x1 + 66.0, y0 + 13.0,
+                score, "", "", -1, contrast = lowC)
             }
           case Kinds.ListK | Kinds.Index =>
             // the model can't see list/TOC-ness: items arrive as plain

@@ -200,7 +200,16 @@ object PageOps {
         val sb = new java.lang.StringBuilder(cs.length)
         cs.foreach(ch => sb.append(ch.ch))
         out += d.copy(text = sb.toString)
-      } // else: unfillable empty span -> OCR fallback analogue (dropped)
+      } else if (d.contrast >= 0.17 && d.ocrStub.nonEmpty)
+        // unfillable span -> crop -> contrast gate -> OCR
+        // (span_pre_proc.py:345-359): a crop at or above the 0.17
+        // contrast line goes to the OCR model (== 0.17 boundary
+        // explicitly kept — the gate is STRICT <) and its recovery
+        // becomes the span content; below it the crop is blank/noise
+        // and the span is REMOVED. The OCR model itself is the kernel
+        // stub (Det.ocrStub carries its recovery).
+        out += d.copy(text = d.ocrStub)
+      // else: blank crop (contrast < 0.17) or stub-less legacy det — dropped
       i += 1
     }
     out.result()

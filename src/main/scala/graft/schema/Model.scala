@@ -91,7 +91,19 @@ case class Det(
       * one line height) — the para-merge right-flush precondition
       * (__merge_2_text_blocks, para_split.py:287-289); single-line blocks
       * are their own last line, hence true. */
-    lastFlush: Boolean = true) {
+    lastFlush: Boolean = true,
+    /** crop contrast of a need-OCR span (calculate_contrast,
+      * span_pre_proc.py:518-540 — std/mean of the gray crop rounded to
+      * 2dp; the `< 0.17` gate :354 removes blank/noise crops before OCR,
+      * the == 0.17 boundary is explicitly kept "for the post-OCR").
+      * Pixel-derived in the reference; authored through the deterministic
+      * kernel stub here, the same contract as checkbox/seal state. */
+    contrast: Double = 1.0,
+    /** the OCR model's text recovery for a need-OCR crop — the stub
+      * channel for the np_img → OCR content hand-off
+      * (span_pre_proc.py:357-359 + the later rec pass). Empty = the crop
+      * never went to OCR (char-layer or model-carried content). */
+    ocrStub: String = "") {
   def w: Double = x1 - x0
   def h: Double = y1 - y0
   def cx: Double = (x0 + x1) / 2

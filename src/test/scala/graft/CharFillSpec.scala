@@ -62,4 +62,39 @@ class CharFillSpec extends AnyFunSuite {
       assert(got.spans == DocGen.golden(id).spans, s"char-layer doc $id")
     }
   }
+
+  test("contrast gate: sub-0.17 blank crops are removed, >= 0.17 goes to OCR") {
+    val anchor = span // carries a char so the page's char layer is non-empty
+    val a = CharDet("a", 36, 102, 46, 110, 0)
+    val blank = Det(Kinds.Text, 400, 100, 460, 112, 0.9, "", "", contrast = 0.12)
+    val ocr = Det(Kinds.Text, 36, 130, 336, 142, 0.9, "", "",
+      contrast = 0.45, ocrStub = "recovered by ocr")
+    val boundary = Det(Kinds.Text, 36, 160, 336, 172, 0.9, "", "",
+      contrast = 0.17, ocrStub = "boundary kept") // == 0.17: gate is STRICT <
+    val lowStub = Det(Kinds.Text, 36, 190, 336, 202, 0.9, "", "",
+      contrast = 0.16, ocrStub = "never seen") // sub-threshold even WITH a stub
+    val out = PageOps.fillChars(Vector(anchor, blank, ocr, boundary, lowStub), Seq(a))
+    assert(out.map(_.text) == Vector("a", "recovered by ocr", "boundary kept"),
+      s"contrast gate mis-routed: ${out.map(d => (d.text, d.contrast))}")
+  }
+
+  test("kernel authors the need-OCR and blank-crop paths non-vacuously") {
+    var needOcr = 0; var boundary = 0; var blank = 0; var docs = 0
+    (0 until 300).foreach { i =>
+      val doc = graft.corpus.DocGen.docRow(f"doc-$i%012d")
+      graft.kernel.StubModel.analyze(doc).foreach { page =>
+        page.dets.foreach { d =>
+          if (d.ocrStub.nonEmpty) {
+            needOcr += 1
+            if (d.contrast == 0.17) boundary += 1
+          }
+          if (d.contrast < 0.17) blank += 1
+        }
+      }
+      docs += 1
+    }
+    assert(needOcr > 100, s"needOcr=$needOcr")
+    assert(boundary > 5, s"boundary=$boundary")
+    assert(blank > 30, s"blank=$blank")
+  }
 }
