@@ -186,15 +186,21 @@ object PdfConvert {
 
   // ---- object model -------------------------------------------------------
 
-  private sealed trait PObj
-  private case class PNum(v: Double) extends PObj
-  private case class PName(v: String) extends PObj
-  private case class PStr(v: String) extends PObj
-  private case class PArr(items: Vector[PObj]) extends PObj
-  private case class PDict(m: Map[String, PObj]) extends PObj
-  private case class PRef(num: Int) extends PObj
-  private case class PStream(dict: PDict, data: Array[Byte]) extends PObj
-  private case object PNull extends PObj
+  private[pdf] sealed trait PObj
+  private[pdf] case class PNum(v: Double) extends PObj
+  private[pdf] case class PName(v: String) extends PObj
+  private[pdf] case class PStr(v: String) extends PObj
+  private[pdf] case class PArr(items: Vector[PObj]) extends PObj
+  private[pdf] case class PDict(m: Map[String, PObj]) extends PObj
+  private[pdf] case class PRef(num: Int) extends PObj
+  /** `rem` is the UNCONSUMED tail of the /Filter chain (with its
+    * /DecodeParms): `data` is fully decoded when empty, and raw-from-the
+    * unknown-filter point otherwise (DCTDecode passthrough). A re-writer
+    * ([[PdfSlice]]) must emit `rem` as the new /Filter so the payload
+    * round-trips byte-identically. */
+  private[pdf] case class PStream(dict: PDict, data: Array[Byte],
+      rem: Vector[(String, Option[PDict])] = Vector.empty) extends PObj
+  private[pdf] case object PNull extends PObj
 
   /** Nesting cap: a crafted blob of a million '[' must error out as a
     * normal NonFatal parse failure, not a StackOverflowError the
@@ -378,7 +384,7 @@ object PdfConvert {
   private case class Direct(off: Int) extends Loc
   private case class InStm(stm: Int, idx: Int) extends Loc
 
-  private final class Pdf(buf: Array[Byte]) {
+  private[pdf] final class Pdf(val buf: Array[Byte]) {
     private var offsets: Map[Int, Loc] = Map.empty
     private var trailer0: PDict = PDict(Map.empty)
     private val cache = scala.collection.mutable.Map[Int, PObj]()
@@ -558,7 +564,7 @@ object PdfConvert {
       out.toVector.foreach { case (num, _) =>
         try {
           obj(num) match {
-            case PStream(d, _) if d.m.get("Type").contains(PName("ObjStm")) =>
+            case PStream(d, _, _) if d.m.get("Type").contains(PName("ObjStm")) =>
               val members = objstmMemberNums(num)
               members.zipWithIndex.foreach { case (m, idx) =>
                 if (!out.contains(m)) out(m) = InStm(num, idx)
@@ -589,7 +595,7 @@ object PdfConvert {
         offsets.keys.toVector.sorted.foreach { num =>
           if (root.isEmpty) try {
             obj(num) match {
-              case PStream(d, _) if d.m.contains("Root") => root = Some(d.m("Root"))
+              case PStream(d, _, _) if d.m.contains("Root") => root = Some(d.m("Root"))
               case PDict(m) if m.get("Type").contains(PName("Catalog")) =>
                 root = Some(PRef(num))
               case _ => ()
@@ -634,7 +640,8 @@ object PdfConvert {
               e - lx.pos
             }
           val raw = java.util.Arrays.copyOfRange(buf, lx.pos, lx.pos + len)
-          PStream(d, decodeStream(d, raw))
+          val (data, rem) = decodeStream(d, raw)
+          PStream(d, data, rem)
         case _ => v
       }
     }
@@ -656,7 +663,8 @@ object PdfConvert {
       * pass through as-is — a /DCTDecode image keeps its raw JPEG bytes
       * (the media_ref hash contract needs no pixel decode), and a broken
       * exotic stream degrades per-page instead of killing the document. */
-    private def decodeStream(d: PDict, raw: Array[Byte]): Array[Byte] = {
+    private def decodeStream(
+        d: PDict, raw: Array[Byte]): (Array[Byte], Vector[(String, Option[PDict])]) = {
       val filters: Vector[String] = d.m.get("Filter").map(resolve) match {
         case Some(PName(f)) => Vector(f)
         case Some(PArr(items)) => items.map(i => (resolve(i): @unchecked) match {
@@ -690,7 +698,11 @@ object PdfConvert {
         }
         i += 1
       }
-      data
+      val rem =
+        if (!halt) Vector.empty[(String, Option[PDict])]
+        else (i - 1 until filters.length).toVector
+          .map(k => (filters(k), parms.lift(k).flatten))
+      (data, rem)
     }
 
     private def objstmStream(stmNum: Int): PStream = {
@@ -753,7 +765,7 @@ object PdfConvert {
     def numOf(o: PObj): Double = (resolve(o): @unchecked) match { case PNum(v) => v }
     def dict(o: PObj): PDict = (resolve(o): @unchecked) match {
       case d: PDict => d
-      case PStream(d, _) => d
+      case PStream(d, _, _) => d
     }
 
     /** Pages in kid order (nested page trees flattened depth-first), each
@@ -783,9 +795,9 @@ object PdfConvert {
       * newline — streams are independent whitespace-separated op runs). */
     def contentOf(page: PDict): Array[Byte] = {
       val parts: Vector[Array[Byte]] = page.m.get("Contents").map(resolve) match {
-        case Some(PStream(_, data)) => Vector(data)
+        case Some(PStream(_, data, _)) => Vector(data)
         case Some(PArr(items)) => items.map(i => (resolve(i): @unchecked) match {
-          case PStream(_, data) => data
+          case PStream(_, data, _) => data
         })
         case None => Vector.empty // a page with no content is legal
         case Some(other) => sys.error(s"bad /Contents $other")
@@ -800,7 +812,7 @@ object PdfConvert {
       page.m.get("Resources").map(dict).flatMap(_.m.get("XObject")).map(dict) match {
         case Some(xd) => xd.m.flatMap { case (name, ref) =>
           resolve(ref) match {
-            case PStream(_, d) => Some(name -> d)
+            case PStream(_, d, _) => Some(name -> d)
             case _ => None
           }
         }
@@ -833,7 +845,7 @@ object PdfConvert {
       // codespace width from the CMap when present (a 1-byte CMap on a
       // Type0 font exists in the wild); Identity-* default to 2
       val (cmapWidth, toUni) = font.m.get("ToUnicode").map(resolve) match {
-        case Some(PStream(_, data)) => parseCMap(data)
+        case Some(PStream(_, data, _)) => parseCMap(data)
         case _ => (0, Map.empty[Int, String])
       }
       val width = if (cmapWidth > 0) cmapWidth else if (twoByte) 2 else 1

@@ -438,6 +438,15 @@ object Oracles {
         |JOIN ids ON g.doc_id = ids.did
         |ORDER BY g.doc_id, g.ord""".stripMargin,
 
+    // the windowed slicing loop must reproduce the whole-file parse, so
+    // its oracle IS the pdf_extract golden replay
+    "pdf_page_slice" ->
+      """WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents)
+        |SELECT g.doc_id, g.ord, g.kind, g.media_ref, g.text
+        |FROM read_parquet('/root/repo/src/test/resources/golden/pdf_golden.parquet') g
+        |JOIN ids ON g.doc_id = ids.did
+        |ORDER BY g.doc_id, g.ord""".stripMargin,
+
     "pdf_hyperlinks" ->
       """WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents)
         |SELECT g.doc_id, g.ord, g.text, g.media_ref AS url

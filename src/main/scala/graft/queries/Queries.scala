@@ -841,6 +841,39 @@ object Queries {
       .orderBy("doc_id", "ord")
   }
 
+  /** Byte-level page-range slicing driven through the reference's
+    * 64-page windowed batching loop (main.py:296-368 over
+    * convert_pdf_to_bytes_by_pypdfium2, cli/common.py:104-166), scaled to
+    * the corpus (batch=2): each document's REAL PDF bytes are re-sliced
+    * into page-window PDFs ([[graft.pdf.PdfSlice]] re-serializes the
+    * object closure with renumbering), each window parsed independently,
+    * spans concatenated with rebased order. The oracle is the SAME
+    * pdf_golden replay as `pdf_extract` — the windowed loop must be
+    * indistinguishable from the whole-file parse, which is exactly the
+    * reference's contract for its batching loop. */
+  def pdfPageSlice(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents")
+      .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
+    ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val bytes = graft.corpus.PdfGen.bytes(id)
+        val spans = Vector.newBuilder[graft.schema.OutSpan]
+        var start = 0
+        var fileEnd = false
+        while (!fileEnd) {
+          val (wb, fe) = graft.pdf.PdfSlice.window(bytes, start, batch = 2)
+          spans ++= graft.pdf.PdfConvert.spans(id, wb)
+          fileEnd = fe
+          start += 2
+        }
+        spans.result().zipWithIndex
+          .map { case (s, ord) => (id, ord, s.kind, s.media_ref, s.text) }
+      }
+    }.toDF("doc_id", "ord", "kind", "media_ref", "text")
+      .orderBy("doc_id", "ord")
+  }
+
   /** PDF-tier hyperlink spans: /Annots /Link rects bound to their anchor
     * lines by the byte-level parser (PDF 32000 §12.5.6.5; reference
     * ContentType.HYPERLINK, enum_class.py:59) — URL targets and named
@@ -998,6 +1031,7 @@ object Queries {
     "office_extract" -> officeExtract _,
     "html_extract" -> htmlExtract _,
     "pdf_extract" -> pdfExtract _,
+    "pdf_page_slice" -> pdfPageSlice _,
     "pdf_hyperlinks" -> pdfHyperlinks _,
     "ingest_raw" -> ingestRaw _,
     "q1_agg" -> q1Agg _,
