@@ -574,8 +574,19 @@ object DocGen {
           else b
         })
       }
+    // title-union trap mirror (StubModel.titleUnionTrap): the kernel's
+    // smaller overlapping title det makes the pipeline's merged box 22
+    // tall, so the rendered level for that page-head section title is 2
+    val pages1 = pages0.zipWithIndex.map { case (pg, p) =>
+      pg.blocks.headOption match {
+        case Some(t) if p > 0 && !matchDoc && t.kind == Kinds.Title &&
+            t.level == 3 && graft.kernel.StubModel.titleUnionTrap(docId, p) =>
+          APage(t.copy(level = 2) +: pg.blocks.tail)
+        case _ => pg
+      }
+    }
     // flatten with page indices
-    var flat = pages0.zipWithIndex.flatMap { case (pg, p) =>
+    var flat = pages1.zipWithIndex.flatMap { case (pg, p) =>
       pg.blocks.map(b => (p, b))
     }
     // formula-number attach (reference: model_json_to_middle_json.py:256-292)

@@ -34,6 +34,27 @@ object Geo {
     }
   }
 
+  /** Intersection area over box A's own area
+    * (calculate_overlap_area_in_bbox1_area_ratio, boxbase.py:175-193). */
+  def overlapInA(ax0: Double, ay0: Double, ax1: Double, ay1: Double,
+      bx0: Double, by0: Double, bx1: Double, by1: Double): Double = {
+    val inter = interLen(ax0, ax1, bx0, bx1) * interLen(ay0, ay1, by0, by1)
+    if (inter <= 0) 0.0
+    else {
+      val aArea = (ax1 - ax0) * (ay1 - ay0)
+      if (aArea <= 0) 0.0 else inter / aArea
+    }
+  }
+
+  /** Fraction of box A's x-extent covered by box B's vertical projection
+    * (calculate_vertical_projection_overlap_ratio, boxbase.py:195-227). */
+  def vprojOverlapRatio(ax0: Double, ax1: Double,
+      bx0: Double, bx1: Double): Double = {
+    val inter = interLen(ax0, ax1, bx0, bx1)
+    val w = ax1 - ax0
+    if (inter <= 0 || w <= 0) 0.0 else inter / w
+  }
+
   /** Shortest edge-to-edge distance between two boxes (boxbase.py:41). */
   def edgeDist(ax0: Double, ay0: Double, ax1: Double, ay1: Double,
       bx0: Double, by0: Double, bx1: Double, by1: Double): Double = {

@@ -165,6 +165,14 @@ object StubModel extends DocModel {
 
   private val TitlePromotionRatio = 0.3
 
+  /** TITLE-UNION trap draw, shared with the golden: when it fires for a
+    * page-head level-3 section title, the kernel emits a smaller
+    * overlapping title det whose big-eats-small UNION
+    * (remove_overlaps_min_blocks, block_pre_proc.py:222-261) grows the
+    * box to 22 tall — the golden expects level 2 for that title. */
+  def titleUnionTrap(docId: String, pageIdx: Int): Boolean =
+    Math.floorMod(Rng.fnv64(docId + "|tunion|" + pageIdx), 5L) == 0L
+
   /** Column plan for authored paragraph continuations, SHARED by the
     * kernel's layout draw and the golden generator (so the para-merge
     * width-ratio bound — para_split.py:292, ported r4 — can be exercised
@@ -761,6 +769,22 @@ object StubModel extends DocModel {
               dets += Det(Kinds.Text, x1 + 6.0, y0 + 1.0, x1 + 66.0, y0 + 13.0,
                 score, "", "", -1, contrast = lowC)
             }
+            // TEXT-OVER-TITLE trap (~1/9 plain single-column paragraphs): a
+            // spurious TITLE detection slightly LARGER than the paragraph
+            // block (4% margins → IoU ≈ 0.857, inside the (0.8, 0.9] band
+            // where the score-based IoU dedup cannot fire) at a score that
+            // BEATS every line. fix_text_overlap_title_blocks
+            // (block_pre_proc.py:125-150) must drop the title
+            // directionally — and must run BEFORE the big-eats-small union,
+            // which would otherwise absorb the paragraph into the bogus
+            // title (overlap-over-min = 1.0).
+            if (!twoCol && !insertUsed &&
+              Math.floorMod(Rng.fnv64(doc.doc_id + "|ttrap|" + s.offset), 9L) == 0L) {
+              val bh = 14.0 * (lines.length - 1) + 12.0
+              val dx = 0.04 * (x1 - x0); val dy = 0.04 * bh
+              dets += Det(Kinds.Title, x0 - dx, y0 - dy, x1 + dx, y0 + bh + dy,
+                0.99, "SPURIOUS HEADING", "", -1)
+            }
           case Kinds.ListK | Kinds.Index =>
             // the model can't see list/TOC-ness: items arrive as plain
             // justified text lines; the pipeline's geometric ladder
@@ -812,6 +836,34 @@ object StubModel extends DocModel {
             ocrLines += Det(Kinds.Text, x0, y0, x1, y1, score, s.text, "")
           case k =>
             dets += Det(k, x0, y0, x1, y1, score, s.text, s.media_ref, ord)
+            // EQ-OVER-TEXT trap (~1/7 display formulas off the match path):
+            // a junk TEXT detection misread from the equation pixels, 4%
+            // larger than the formula box (IoU ≈ 0.857 — the inline fold's
+            // 0.9 gate stays closed).
+            // fix_interline_equation_overlap_text_blocks_with_hi_iou
+            // (block_pre_proc.py:174-199) must drop the TEXT directionally;
+            // without it the containment dedup would kill the FORMULA (the
+            // smaller box) and the junk would replace the equation.
+            if (k == Kinds.Formula && !isMatch &&
+              Math.floorMod(Rng.fnv64(doc.doc_id + "|etrap|" + s.offset), 7L) == 0L) {
+              val dx = 0.04 * (x1 - x0); val dy = 0.04 * (y1 - y0)
+              dets += Det(Kinds.Text, x0 - dx, y0 - dy, x1 + dx, y1 + dy,
+                0.97, "misread equation pixels", "", -1)
+            }
+            // TITLE-UNION trap (~1/5 page-head level-3 section titles off
+            // the match path): a smaller overlapping TITLE detection whose
+            // top edge rides 4px above (overlap-over-min = 14·0.4W/(22·0.4W)
+            // ≈ 0.82 > 0.8, IoU ≈ 0.37 — invisible to the IoU dedup).
+            // remove_overlaps_min_blocks (block_pre_proc.py:222-261) must
+            // UNION the smaller into the larger: the merged box is 22 tall,
+            // so the rendered title level becomes 2 instead of 3 — a plain
+            // drop without the bbox union keeps 18/level 3 and breaks the
+            // golden markdown. The golden mirrors via [[titleUnionTrap]].
+            if (k == Kinds.Title && !isMatch && y0 == 56.0 && y1 - y0 == 18.0 &&
+              titleUnionTrap(doc.doc_id, p)) {
+              dets += Det(Kinds.Title, x0, y0 - 4.0, x0 + 0.4 * (x1 - x0), y1,
+                0.9, "", "", -1)
+            }
         }
       }
       // boilerplate dets: header/footer detected as abandon; the page number
@@ -821,8 +873,28 @@ object StubModel extends DocModel {
         s.kind match {
           case Kinds.Header =>
             dets += Det(Kinds.Abandon, MarginX, 12, PageW - MarginX, 30, 0.95, s.text, "")
+            // VS-DISCARDED trap (~1/6 pages): a stray text detection fully
+            // inside the header's abandon band — remove_need_drop_blocks
+            // (block_pre_proc.py:153-171, overlap-in-own-area > 0.6) must
+            // trust the discarded box; nothing else can catch a non-small
+            // mid-band box at the page top.
+            if (!isMatch &&
+              Math.floorMod(Rng.fnv64(doc.doc_id + "|htrap|" + p), 6L) == 0L)
+              dets += Det(Kinds.Text, MarginX + 30, 14, MarginX + 150, 28,
+                0.88, "stray header echo", "", -1)
           case Kinds.Footer =>
             dets += Det(Kinds.Abandon, MarginX, 752, 400, 768, 0.93, s.text, "")
+            // FOOTNOTE-FENCE trap (~1/6 pages): the footer abandon box IS a
+            // fence (wider than a third of the page, >10 tall, in the
+            // bottom 30% — block_pre_proc.py:79-83); junk detected BELOW it
+            // with ≥0.8 x-projection cover must join the discarded set
+            // (find_blocks_under_footnote :202-219). At 140 wide it clears
+            // the small-page-number fence, so only the footnote fence can
+            // remove it.
+            if (!isMatch &&
+              Math.floorMod(Rng.fnv64(doc.doc_id + "|ftrap|" + p), 6L) == 0L)
+              dets += Det(Kinds.Text, MarginX + 8, 770, MarginX + 148, 784,
+                0.9, "dangling footer shadow", "", -1)
           case Kinds.PageNumber =>
             // mislabel as text only when the page-number band stays isolated
             // (an overflowing column would defeat the isolation fence and the

@@ -702,13 +702,21 @@ object PageOps {
       }
       i += 1
     }
-    // 3. drop model-abandoned regions (headers/footers -> Abandon)
+    // 3. split off model-abandoned regions (headers/footers -> Abandon):
+    //    discarded blocks never render, but they stay live as PREDICATES —
+    //    the vs-discarded nesting rule and the footnote fence both read
+    //    them (block_pre_proc.py:154-171,79-97)
     val survivors = Vector.newBuilder[Det]
+    val discardedB = Vector.newBuilder[Det]
     i = 0
     while (i < nD) {
-      if (alive(i) && !drop(i) && arr(i).cat != Kinds.Abandon) survivors += arr(i)
+      if (alive(i) && !drop(i)) {
+        if (arr(i).cat == Kinds.Abandon) discardedB += arr(i)
+        else survivors += arr(i)
+      }
       i += 1
     }
+    val discarded = discardedB.result()
 
     // 3.5 char->span fill: txt-route line detections arrive with empty text
     //     and are reconstructed from the page's pdf text layer
@@ -852,7 +860,78 @@ object PageOps {
         }
       }
     }
-    val blocks0 = scopedText ++ filledBodies
+    // 4.75 block nesting fixes + footnote fence, the reference's exact
+    //      rule sequence over the assembled block list
+    //      (prepare_block_bboxes, block_pre_proc.py:65-105,125-261).
+    //      "text" at this stage means the pre-classification TEXT category
+    //      — list/index classification is a LATER para_split concern, so
+    //      our geometric list blocks still count as text here.
+    val blocks0 = {
+      @inline def isText(d: Det): Boolean =
+        d.cat == Kinds.Text || d.cat == Kinds.ListK || d.cat == Kinds.Index
+      var bs = scopedText ++ filledBodies
+      // (1) text-over-title IoU>0.8 -> trust the TEXT box, drop the title
+      //     REGARDLESS of score (fix_text_overlap_title_blocks :125-150 —
+      //     directional, unlike the score-keeps-winner IoU dedup)
+      bs = bs.filterNot(t => t.cat == Kinds.Title && bs.exists(x =>
+        isText(x) && Geo.iou(x.x0, x.y0, x.x1, x.y1, t.x0, t.y0, t.x1, t.y1) > 0.8))
+      // (2) any block overlapping a DISCARDED region at >0.6 of its own
+      //     area -> trust the discarded box (remove_need_drop_blocks
+      //     :153-171)
+      if (discarded.nonEmpty)
+        bs = bs.filterNot(b => discarded.exists(d =>
+          Geo.overlapInA(b.x0, b.y0, b.x1, b.y1, d.x0, d.y0, d.x1, d.y1) > 0.6))
+      // (3) interline-equation-over-text IoU>0.8 -> trust the FORMULA box
+      //     (fix_interline_equation_overlap_text_blocks_with_hi_iou
+      //     :174-199; the contained-small-formula case falls to rule 5)
+      bs = bs.filterNot(t => isText(t) && bs.exists(e =>
+        e.cat == Kinds.Formula &&
+          Geo.iou(e.x0, e.y0, e.x1, e.y1, t.x0, t.y0, t.x1, t.y1) > 0.8))
+      // (4) footnote fence: a discarded box wider than a third of the
+      //     page, taller than 10, in the bottom 30% is a footnote line;
+      //     every block BELOW it whose x-projection it covers >= 0.8
+      //     joins the discarded set (block_pre_proc.py:79-83,85-97,
+      //     202-219)
+      val fences = discarded.filter(d =>
+        d.w > pageW / 3 && d.h > 10 && d.y0 > pageH * 0.7)
+      if (fences.nonEmpty)
+        bs = bs.filterNot(b => fences.exists(f =>
+          b.y0 >= f.y1 &&
+            Geo.vprojOverlapRatio(b.x0, b.x1, f.x0, f.x1) >= 0.8))
+      // (5) big-eats-small: overlap > 0.8 of the smaller area -> the
+      //     LARGER block absorbs the smaller's bbox (union, in place —
+      //     later pairs see the grown box) and the smaller drops after
+      //     the scan (remove_overlaps_min_blocks :222-261). Seal boxes
+      //     are exempt, mirroring the span walk's protection (the
+      //     reference routes seals outside this list entirely).
+      val boxes = bs.toArray
+      val gone = new Array[Boolean](boxes.length)
+      var bi = 0
+      while (bi < boxes.length) {
+        var bj = bi + 1
+        while (bj < boxes.length) {
+          val b1 = boxes(bi); val b2 = boxes(bj)
+          if (b1.cat != Kinds.Seal && b2.cat != Kinds.Seal &&
+              Geo.overlapOverMin(b1.x0, b1.y0, b1.x1, b1.y1,
+                b2.x0, b2.y0, b2.x1, b2.y1) > 0.8) {
+            val (smallI, largeI) =
+              if (b1.area <= b2.area) (bi, bj) else (bj, bi)
+            if (!gone(smallI)) {
+              val s = boxes(smallI); val l = boxes(largeI)
+              boxes(largeI) = l.copy(
+                x0 = math.min(l.x0, s.x0), y0 = math.min(l.y0, s.y0),
+                x1 = math.max(l.x1, s.x1), y1 = math.max(l.y1, s.y1))
+              gone(smallI) = true
+            }
+          }
+          bj += 1
+        }
+        bi += 1
+      }
+      if (gone.exists(identity))
+        boxes.indices.filterNot(gone).map(boxes).toVector
+      else bs
+    }
 
     // 4.8 containment dedup (remove_overlaps_min_spans,
     //     span_pre_proc.py:90-125): when two blocks overlap at >= 0.65 of

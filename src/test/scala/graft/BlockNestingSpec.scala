@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.schema.{Det, Kinds, PageModel}
+import graft.pipeline.PageOps
+
+/** The reference's exact block-nesting rule ladder
+  * (prepare_block_bboxes, block_pre_proc.py:65-105,125-261), each rule
+  * pinned directionally — these four CANNOT be recovered from the
+  * score-based IoU dedup or the 0.65 containment walk:
+  *   1. text-over-title IoU>0.8 drops the TITLE even at higher score;
+  *   2. any block >0.6-inside a discarded region drops;
+  *   3. interline-eq-over-text IoU>0.8 drops the TEXT;
+  *   4. a wide bottom discarded box is a footnote fence — blocks under it
+  *      with >=0.8 x-projection cover drop;
+  *   5. big-eats-small >0.8 UNIONS the smaller's bbox into the larger
+  *      (observable through the title-height level ladder).
+  */
+class BlockNestingSpec extends AnyFunSuite {
+
+  private def page(dets: Vector[Det]) =
+    PageModel("d", 0, graft.kernel.StubModel.PageW,
+      graft.kernel.StubModel.PageH, dets)
+
+  private def kinds(dets: Vector[Det]) =
+    PageOps.process(page(dets)).map(b => (b.kind, b.text))
+
+  test("rule 1: overlapping TITLE drops even when its score beats the text") {
+    // paragraph block 36..336 x 100..152 (4 lines); title 4% larger, IoU
+    // ≈ 0.857 — outside the >0.9 IoU-dedup band, higher score
+    val lines = (0 until 4).map(i =>
+      Det(Kinds.Text, 36, 100 + 14.0 * i, 336, 112 + 14.0 * i, 0.7,
+        s"line $i text", "", -1)).toVector
+    val title = Det(Kinds.Title, 24, 97.9, 348, 154.1, 0.99, "BOGUS", "", -1)
+    val out = kinds(lines :+ title)
+    assert(!out.exists(_._1 == Kinds.Title), s"bogus title survived: $out")
+    assert(out.exists(t => t._1 == Kinds.Text && t._2.contains("line 0")))
+  }
+
+  test("rule 3: junk TEXT over a display formula drops; the formula wins") {
+    val eq = Det(Kinds.Formula, 100, 200, 400, 240, 0.6, "$$x$$", "", -1)
+    val junk = Det(Kinds.Text, 88, 198.4, 412, 241.6, 0.97, "misread", "", -1)
+    val out = kinds(Vector(eq, junk))
+    assert(out == Vector((Kinds.Formula, "$$x$$")), s"got $out")
+  }
+
+  test("rule 2: a block mostly inside a discarded region drops with it") {
+    val header = Det(Kinds.Abandon, 36, 12, 576, 30, 0.95, "RUNNING HEAD", "")
+    val junk = Det(Kinds.Text, 66, 14, 186, 28, 0.88, "stray echo", "", -1)
+    val real = Det(Kinds.Text, 36, 100, 336, 112, 0.7, "body text", "", -1)
+    val out = kinds(Vector(header, junk, real))
+    assert(out == Vector((Kinds.Text, "body text")), s"got $out")
+  }
+
+  test("rule 4: wide bottom discarded box fences everything under it") {
+    val footer = Det(Kinds.Abandon, 36, 752, 400, 768, 0.93, "footer", "")
+    // 140 wide — far past the 60px page-number fence, only the footnote
+    // fence can remove it
+    val junk = Det(Kinds.Text, 44, 770, 184, 784, 0.9, "shadow", "", -1)
+    val real = Det(Kinds.Text, 36, 100, 336, 112, 0.7, "body text", "", -1)
+    val out = kinds(Vector(footer, junk, real))
+    assert(out == Vector((Kinds.Text, "body text")), s"got $out")
+    // a NARROW discarded box (under a third of the page) is NOT a fence
+    val narrow = Det(Kinds.Abandon, 36, 752, 200, 768, 0.93, "n", "")
+    val out2 = kinds(Vector(narrow, junk.copy(x1 = 164), real))
+    assert(out2.exists(_._2 == "shadow"), s"narrow box fenced: $out2")
+  }
+
+  test("rule 5: big-eats-small UNIONS the bbox — the title level ladder sees it") {
+    // page-head level-3 title (h=18) + smaller overlapping title riding
+    // 4px above: overlap/min = 14·0.4W/(22·0.4W) ≈ 0.82, union h=22 → the
+    // ladder reads level 2 (>=20), not 3
+    val t = Det(Kinds.Title, 36, 56, 576, 74, 0.78, "Section Head", "", -1)
+    val shadow = Det(Kinds.Title, 36, 52, 252, 74, 0.9, "", "", -1)
+    val out = PageOps.process(page(Vector(t, shadow)))
+    assert(out.map(b => (b.kind, b.level)) == Vector((Kinds.Title, 2)),
+      s"union level wrong: ${out.map(b => (b.kind, b.level))}")
+    // without the shadow the same title reads level 3
+    val solo = PageOps.process(page(Vector(t)))
+    assert(solo.map(_.level) == Vector(3))
+  }
+
+  test("kernel authors all five traps non-vacuously") {
+    var tA = 0; var tB = 0; var tC = 0; var tD = 0; var tE = 0
+    (0 until 400).foreach { i =>
+      val id = f"doc-$i%012d"
+      graft.kernel.StubModel.analyze(graft.corpus.DocGen.docRow(id)).foreach { pm =>
+        pm.dets.foreach { d =>
+          if (d.cat == Kinds.Title && d.text == "SPURIOUS HEADING") tA += 1
+          if (d.text == "misread equation pixels") tB += 1
+          if (d.text == "stray header echo") tC += 1
+          if (d.text == "dangling footer shadow") tD += 1
+          if (d.cat == Kinds.Title && d.text.isEmpty && d.h == 22.0) tE += 1
+        }
+      }
+    }
+    assert(tA > 50, s"title trap vacuous: $tA")
+    assert(tB > 10, s"eq trap vacuous: $tB")
+    assert(tC > 100, s"discarded trap vacuous: $tC")
+    assert(tD > 100, s"fence trap vacuous: $tD")
+    assert(tE > 10, s"union trap vacuous: $tE")
+  }
+}
