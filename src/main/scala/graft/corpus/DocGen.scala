@@ -580,7 +580,8 @@ object DocGen {
     val pages1 = pages0.zipWithIndex.map { case (pg, p) =>
       pg.blocks.headOption match {
         case Some(t) if p > 0 && !matchDoc && t.kind == Kinds.Title &&
-            t.level == 3 && graft.kernel.StubModel.titleUnionTrap(docId, p) =>
+            t.level == 3 && !graft.kernel.StubModel.emitsOrder(docId) &&
+            graft.kernel.StubModel.titleUnionTrap(docId, p) =>
           APage(t.copy(level = 2) +: pg.blocks.tail)
         case _ => pg
       }

@@ -769,6 +769,31 @@ object StubModel extends DocModel {
               dets += Det(Kinds.Text, x1 + 6.0, y0 + 1.0, x1 + 66.0, y0 + 13.0,
                 score, "", "", -1, contrast = lowC)
             }
+            // DEGENERATE-SLIVER trap (~1/8 model-order paragraphs): a 4px
+            // text det the PaddleX-path prefilter must drop outright
+            // (filter_overlap_boxes w<6||h<6, backend/utils/utils.py:
+            // 130-133) — nothing downstream can catch a non-empty
+            // mid-page sliver.
+            if (emitsOrd &&
+              Math.floorMod(Rng.fnv64(doc.doc_id + "|sliver|" + s.offset), 8L) == 0L) {
+              dets += Det(Kinds.Text, x1 + 10.0, y0, x1 + 14.0, y0 + 12.0,
+                0.8, "|", "", -1)
+            }
+            // BACKGROUND-IMAGE negative (~1/12 char-layer paragraphs): an
+            // embedded original image UNDER the paragraph (a scanned
+            // letterhead) — its region contains text-layer chars, so
+            // remove_layout_in_ori_images must classify it as background
+            // and leave the paragraph dets alone (txt_in_ori_image skip,
+            // backend/utils/utils.py:46-51); a purity check that ignored
+            // the text layer would eat the whole paragraph.
+            if (charLayer && !isMatch &&
+              Math.floorMod(Rng.fnv64(doc.doc_id + "|bgimg|" + s.offset), 12L) == 0L) {
+              val bh = 14.0 * (lines.length - 1) + 12.0
+              oriImgs += Det(Kinds.Figure, x0 - 4.0, y0 - 4.0, x1 + 4.0,
+                y0 + bh + 4.0, 1.0, "",
+                "img://bg" + java.lang.Long.toHexString(
+                  Rng.fnv64(doc.doc_id + "|bgref|" + s.offset)))
+            }
             // TEXT-OVER-TITLE trap (~1/9 plain single-column paragraphs): a
             // spurious TITLE detection slightly LARGER than the paragraph
             // block (4% margins → IoU ≈ 0.857, inside the (0.8, 0.9] band
@@ -778,7 +803,7 @@ object StubModel extends DocModel {
             // directionally — and must run BEFORE the big-eats-small union,
             // which would otherwise absorb the paragraph into the bogus
             // title (overlap-over-min = 1.0).
-            if (!twoCol && !insertUsed &&
+            if (!twoCol && !insertUsed && !emitsOrd &&
               Math.floorMod(Rng.fnv64(doc.doc_id + "|ttrap|" + s.offset), 9L) == 0L) {
               val bh = 14.0 * (lines.length - 1) + 12.0
               val dx = 0.04 * (x1 - x0); val dy = 0.04 * bh
@@ -834,6 +859,22 @@ object StubModel extends DocModel {
             // eligible single-line labels: empty box + one OCR line
             dets += Det(k, x0, y0, x1, y1, score, "", s.media_ref, ord)
             ocrLines += Det(Kinds.Text, x0, y0, x1, y1, score, s.text, "")
+          case k if k == Kinds.Figure && !isMatch && !emitsOrd &&
+              Math.floorMod(Rng.fnv64(doc.doc_id + "|oritrap|" + s.offset), 6L) == 0L =>
+            // TXT-MODE IMAGE SUBSTITUTION trap (~1/6 figures off the
+            // match/model-order paths): the layout model emits NO figure
+            // det — the image arrives only through the pdf layer
+            // (get_ori_image), plus two ghost dets the model "read" inside
+            // the image pixels. remove_layout_in_ori_images must DELETE
+            // the ghosts (fully inside a pure image region) and INJECT the
+            // score-1.0 image det carrying the media_ref
+            // (backend/utils/utils.py:72-107) — without it the golden's
+            // figure span is missing and two ghost blocks appear.
+            oriImgs += Det(Kinds.Figure, x0, y0, x1, y1, 1.0, "", s.media_ref)
+            dets += Det(Kinds.Text, x0 + 20, y0 + 20, x0 + 120, y0 + 34,
+              0.8, "chart label ghost", "", -1)
+            dets += Det(Kinds.Title, x0 + 30, y0 + 50, x0 + 140, y0 + 66,
+              0.75, "Ghost Axis", "", -1)
           case k =>
             dets += Det(k, x0, y0, x1, y1, score, s.text, s.media_ref, ord)
             // EQ-OVER-TEXT trap (~1/7 display formulas off the match path):
@@ -844,7 +885,7 @@ object StubModel extends DocModel {
             // (block_pre_proc.py:174-199) must drop the TEXT directionally;
             // without it the containment dedup would kill the FORMULA (the
             // smaller box) and the junk would replace the equation.
-            if (k == Kinds.Formula && !isMatch &&
+            if (k == Kinds.Formula && !isMatch && !emitsOrd &&
               Math.floorMod(Rng.fnv64(doc.doc_id + "|etrap|" + s.offset), 7L) == 0L) {
               val dx = 0.04 * (x1 - x0); val dy = 0.04 * (y1 - y0)
               dets += Det(Kinds.Text, x0 - dx, y0 - dy, x1 + dx, y1 + dy,
@@ -859,8 +900,8 @@ object StubModel extends DocModel {
             // so the rendered title level becomes 2 instead of 3 — a plain
             // drop without the bbox union keeps 18/level 3 and breaks the
             // golden markdown. The golden mirrors via [[titleUnionTrap]].
-            if (k == Kinds.Title && !isMatch && y0 == 56.0 && y1 - y0 == 18.0 &&
-              titleUnionTrap(doc.doc_id, p)) {
+            if (k == Kinds.Title && !isMatch && !emitsOrd &&
+              y0 == 56.0 && y1 - y0 == 18.0 && titleUnionTrap(doc.doc_id, p)) {
               dets += Det(Kinds.Title, x0, y0 - 4.0, x0 + 0.4 * (x1 - x0), y1,
                 0.9, "", "", -1)
             }
@@ -891,7 +932,7 @@ object StubModel extends DocModel {
             // (find_blocks_under_footnote :202-219). At 140 wide it clears
             // the small-page-number fence, so only the footnote fence can
             // remove it.
-            if (!isMatch &&
+            if (!isMatch && !emitsOrd &&
               Math.floorMod(Rng.fnv64(doc.doc_id + "|ftrap|" + p), 6L) == 0L)
               dets += Det(Kinds.Text, MarginX + 8, 770, MarginX + 148, 784,
                 0.9, "dangling footer shadow", "", -1)
@@ -949,9 +990,14 @@ object StubModel extends DocModel {
       // (match docs keep whole-body boxes: the promotion mirror compares
       // areas against the authored geometry, and a split's 0.85-height
       // halves would shift max_block_area until the 4.6 union restores it)
+      // (model-order docs too: there the PaddleX prefilter dedupes the
+      // halves at MODEL level — overlap/min ≈ 0.82 > 0.7, same label, no
+      // media exemption — and in the reference the surviving crop still
+      // yields full content from pixels, a contract the det-carried stub
+      // cannot express, so splits are authored off that path)
       val splits = ArrayBuffer.empty[(Int, Det, Det)]
       dets.zipWithIndex.foreach { case (d, i) =>
-        if (Kinds.bodies(d.cat) && kr.chance(0.2) && !isMatch) {
+        if (Kinds.bodies(d.cat) && kr.chance(0.2) && !isMatch && !emitsOrd) {
           val h = d.y1 - d.y0
           splits += ((i,
             d.copy(y1 = d.y0 + 0.85 * h),
@@ -962,10 +1008,17 @@ object StubModel extends DocModel {
         dets(i) = top
         dets += bottom
       }
-      // duplicate detections of main blocks (same box, lower score)
+      // duplicate detections of main blocks (near-identical box, lower
+      // score, 1px narrower): IoU > 0.99 so the score-based dedup kills
+      // the dup on the classic path, and the 1px area deficit makes the
+      // PaddleX prefilter's area tiebreak (filter_overlap_boxes
+      // box_area_i >= box_area_j) drop the dup deterministically on the
+      // model-order path — an exact-area tie there would let emission
+      // order decide and sometimes keep the low-score copy, which the
+      // rec-confidence floor then eats
       val dups = dets.toVector.filter(d =>
         d.cat != Kinds.Abandon && d.score > 0.5 && kr.chance(0.15))
-        .map(d => d.copy(score = d.score - 0.25))
+        .map(d => d.copy(score = d.score - 0.25, x1 = d.x1 - 1.0))
       dets ++= dups
       // scramble emission order (Fisher-Yates)
       val arr = dets.toArray

@@ -223,6 +223,97 @@ object PageOps {
     minH > 0 && overlap / minH > 0.8
   }
 
+  /** Model-level overlap prefilter (filter_overlap_boxes,
+    * backend/utils/utils.py:109-175) — the PaddleX-model path's cleanup,
+    * run only when the layout model supplies reading order (the same
+    * use_pp_doclayoutv2 gate that switches the block rules off,
+    * block_pre_proc.py:87-105): degenerate boxes under 6px drop outright;
+    * pairs overlapping >0.7 of the smaller drop the smaller — EXCEPT
+    * pairs involving an inline-formula box (the default no-custom-OCR
+    * path skips them, :141-151) and mixed-category pairs involving an
+    * image or seal box (:159-166, the background-media exemption; the
+    * reference comments 'table' out of that set). Drops are live within
+    * the scan, like the reference's dropped_indexes check. */
+  def filterOverlapBoxes(dets: Vector[Det]): Vector[Det] = {
+    val n = dets.length
+    val dropped = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      if (dets(i).w < 6 || dets(i).h < 6) dropped(i) = true
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (!dropped(i) && !dropped(j)) {
+          val a = dets(i); val b = dets(j)
+          val inline =
+            a.cat == Kinds.InlineFormula || b.cat == Kinds.InlineFormula
+          if (!inline && Geo.overlapOverMin(a.x0, a.y0, a.x1, a.y1,
+              b.x0, b.y0, b.x1, b.y1) > 0.7) {
+            val media = (c: String) => c == Kinds.Figure || c == Kinds.Seal
+            val exempt = a.cat != b.cat && (media(a.cat) || media(b.cat))
+            if (!exempt) {
+              if (a.area >= b.area) dropped(j) = true else dropped(i) = true
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    var any = false
+    i = 0
+    while (i < n && !any) { any = dropped(i); i += 1 }
+    if (!any) dets
+    else dets.indices.filterNot(dropped).map(dets).toVector
+  }
+
+  /** txt-mode image substitution (remove_layout_in_ori_images,
+    * backend/utils/utils.py:32-107): an embedded original image whose
+    * region carries NO text-layer content is a pure image — every
+    * non-discarded layout det fully inside it (is_in, boxbase.py:6) is a
+    * model misread of the image pixels and is DELETED; each image region
+    * that actually replaced something gets an injected image det at score
+    * 1.0 carrying the original image's media_ref. An image region WITH
+    * text under it is a background image and is left alone (the
+    * txt_in_ori_image skip — here the text layer is the char stream). */
+  def removeLayoutInOriImages(dets: Vector[Det], ori: Seq[Det],
+      chars: Seq[CharDet]): Vector[Det] = {
+    if (ori.isEmpty) return dets
+    val valid = ori.filter(o => !chars.exists { c =>
+      val cx = (c.x0 + c.x1) / 2; val cy = (c.y0 + c.y1) / 2
+      cx >= o.x0 && cx <= o.x1 && cy >= o.y0 && cy <= o.y1
+    }).toVector
+    if (valid.isEmpty) return dets
+    val replaced = new Array[Boolean](valid.length)
+    val out = Vector.newBuilder[Det]
+    dets.foreach { d =>
+      if (d.cat == Kinds.Abandon) out += d // category_id==2 kept (:75-77)
+      else {
+        var m = -1
+        var k = 0
+        while (k < valid.length && m < 0) {
+          val o = valid(k)
+          if (d.x0 >= o.x0 && d.y0 >= o.y0 && d.x1 <= o.x1 && d.y1 <= o.y1)
+            m = k
+          k += 1
+        }
+        if (m >= 0) replaced(m) = true else out += d
+      }
+    }
+    var k = 0
+    while (k < valid.length) {
+      if (replaced(k)) {
+        val o = valid(k)
+        out += Det(Kinds.Figure, o.x0, o.y0, o.x1, o.y1, 1.0, "", o.media_ref, -1)
+      }
+      k += 1
+    }
+    out.result()
+  }
+
   /** Formula-mask det-box update (update_det_boxes, ocr_utils.py:193-217;
     * the txt-route call site this ports is span_pre_proc.py:172): a
     * PRE-recognition text-line detection (empty text — its content comes
@@ -623,11 +714,24 @@ object PageOps {
       if (formulaLevel == 1) updets0.filter(_.cat != Kinds.InlineFormula)
       else updets0
 
+    // 0.65 model-order path prefilter: when the layout model supplies
+    //      reading order (use_pp_doclayoutv2 — any det carries ord >= 0),
+    //      the PaddleX-style overlap prefilter runs at MODEL level; the
+    //      block fence/union rules are switched OFF below in exchange,
+    //      exactly the reference's either-or (block_pre_proc.py:87-105)
+    val usePp = updets1.exists(_.order >= 0)
+    val updets15 = if (usePp) filterOverlapBoxes(updets1) else updets1
+    // 0.68 txt-mode image substitution: pure embedded-image regions eat
+    //      the model dets inside them and surface as score-1.0 image dets
+    //      (remove_layout_in_ori_images); background images (text-layer
+    //      content underneath) are skipped
+    val updets17 =
+      removeLayoutInOriImages(updets15, oriImages, upchars)
     // 0.7 formula-mask det-box update (update_det_boxes — txt-route call,
     //     span_pre_proc.py:172): pre-recognition empty line dets split
     //     around y-coinciding formula dets; the inline-equation carriers
     //     reclass to in-line text spans, rejoined at 3.7 after the fill
-    val updets = updateDetBoxes(updets1)
+    val updets = updateDetBoxes(updets17)
 
     // Steps 1-3 as flag passes over one array (this loop runs for every
     // page in the fleet — per-step Vector rebuilds here are measurable
@@ -727,7 +831,7 @@ object PageOps {
     //     actually split anything pay the rejoin sort (referential no-op
     //     check; most pages have no formula-cut line)
     val filled = fillChars(survivors.result(), upchars)
-    val live = if (updets eq updets1) filled else joinSplitLines(filled)
+    val live = if (updets eq updets17) filled else joinSplitLines(filled)
 
     // 4. page-number fence: a small isolated box in the bottom margin is
     //    boilerplate even when the model mislabeled it as text. The O(n)
@@ -891,9 +995,13 @@ object PageOps {
       //     page, taller than 10, in the bottom 30% is a footnote line;
       //     every block BELOW it whose x-projection it covers >= 0.8
       //     joins the discarded set (block_pre_proc.py:79-83,85-97,
-      //     202-219)
-      val fences = discarded.filter(d =>
-        d.w > pageW / 3 && d.h > 10 && d.y0 > pageH * 0.7)
+      //     202-219). Rules 4-5 are SKIPPED on the model-order path —
+      //     the use_pp_doclayoutv2 gate (:87-105); the 0.65 prefilter
+      //     covered that path instead.
+      val fences =
+        if (usePp) Vector.empty
+        else discarded.filter(d =>
+          d.w > pageW / 3 && d.h > 10 && d.y0 > pageH * 0.7)
       if (fences.nonEmpty)
         bs = bs.filterNot(b => fences.exists(f =>
           b.y0 >= f.y1 &&
@@ -907,6 +1015,7 @@ object PageOps {
       val boxes = bs.toArray
       val gone = new Array[Boolean](boxes.length)
       var bi = 0
+      if (usePp) bi = boxes.length // rule 5 also off on the model-order path
       while (bi < boxes.length) {
         var bj = bi + 1
         while (bj < boxes.length) {

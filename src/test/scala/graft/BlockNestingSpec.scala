@@ -80,8 +80,54 @@ class BlockNestingSpec extends AnyFunSuite {
     assert(solo.map(_.level) == Vector(3))
   }
 
-  test("kernel authors all five traps non-vacuously") {
+  test("prefilter: degenerate slivers drop; 0.7 overlap drops smaller; exemptions hold") {
+    import graft.geom.Geo
+    val sliver = Det(Kinds.Text, 100, 100, 104, 112, 0.9, "|", "", -1)
+    val a = Det(Kinds.Text, 36, 200, 336, 240, 0.5, "big", "", 1)
+    val b = Det(Kinds.Text, 40, 204, 300, 236, 0.9, "small", "", 2)
+    assert(Geo.overlapOverMin(a.x0, a.y0, a.x1, a.y1, b.x0, b.y0, b.x1, b.y1) > 0.7)
+    // higher score does NOT save the smaller box — the drop is by area
+    val out = PageOps.filterOverlapBoxes(Vector(sliver, a, b))
+    assert(out.map(_.text) == Vector("big"), s"got ${out.map(_.text)}")
+    // inline-formula pairs are skipped (the default no-custom-OCR path)
+    val line = Det(Kinds.Text, 36, 300, 336, 312, 0.6, "x = y line", "", 3)
+    val inl = Det(Kinds.InlineFormula, 100, 300, 200, 312, 0.6, "$x=y$", "", -1)
+    assert(PageOps.filterOverlapBoxes(Vector(line, inl)).length == 2)
+    // mixed-category pairs involving an image are exempt
+    val fig = Det(Kinds.Figure, 36, 400, 336, 520, 0.6, "", "m", 4)
+    val label = Det(Kinds.Text, 60, 420, 160, 434, 0.9, "axis", "", -1)
+    assert(PageOps.filterOverlapBoxes(Vector(fig, label)).length == 2)
+    // same-category media pairs are NOT exempt
+    val fig2 = Det(Kinds.Figure, 40, 404, 300, 500, 0.9, "", "n", 5)
+    assert(PageOps.filterOverlapBoxes(Vector(fig, fig2)).map(_.media_ref) == Vector("m"))
+  }
+
+  test("txt-mode substitution: pure image regions eat dets and inject; background images don't") {
+    import graft.schema.CharDet
+    val ori = Det(Kinds.Figure, 100, 100, 400, 300, 1.0, "", "img://pure")
+    val ghost = Det(Kinds.Text, 120, 120, 220, 134, 0.8, "ghost", "", -1)
+    val outside = Det(Kinds.Text, 36, 400, 336, 412, 0.7, "real", "", 1)
+    val out = PageOps.removeLayoutInOriImages(
+      Vector(ghost, outside), Vector(ori), Nil)
+    assert(out.map(d => (d.cat, d.text, d.media_ref, d.score)) ==
+      Vector((Kinds.Text, "real", "", 0.7), (Kinds.Figure, "", "img://pure", 1.0)))
+    // a char under the image makes it background: dets stay, nothing injects
+    val ch = CharDet("a", 150, 150, 160, 162, 0)
+    val out2 = PageOps.removeLayoutInOriImages(
+      Vector(ghost, outside), Vector(ori), Seq(ch))
+    assert(out2.map(_.text) == Vector("ghost", "real"))
+    // a pure image with NOTHING deleted injects nothing (:72-74 replaced set)
+    val out3 = PageOps.removeLayoutInOriImages(Vector(outside), Vector(ori), Nil)
+    assert(out3.map(_.text) == Vector("real"))
+    // discarded boxes are preserved even inside a pure image (category 2)
+    val aband = Det(Kinds.Abandon, 110, 110, 390, 290, 0.9, "wm", "")
+    val out4 = PageOps.removeLayoutInOriImages(Vector(aband), Vector(ori), Nil)
+    assert(out4.map(_.cat) == Vector(Kinds.Abandon))
+  }
+
+  test("kernel authors all eight traps non-vacuously") {
     var tA = 0; var tB = 0; var tC = 0; var tD = 0; var tE = 0
+    var tF = 0; var tG = 0; var tH = 0
     (0 until 400).foreach { i =>
       val id = f"doc-$i%012d"
       graft.kernel.StubModel.analyze(graft.corpus.DocGen.docRow(id)).foreach { pm =>
@@ -91,13 +137,19 @@ class BlockNestingSpec extends AnyFunSuite {
           if (d.text == "stray header echo") tC += 1
           if (d.text == "dangling footer shadow") tD += 1
           if (d.cat == Kinds.Title && d.text.isEmpty && d.h == 22.0) tE += 1
+          if (d.text == "chart label ghost") tF += 1
+          if (d.text == "|" && d.w == 4.0) tH += 1
         }
+        if (pm.oriImages.exists(_.media_ref.startsWith("img://bg"))) tG += 1
       }
     }
-    assert(tA > 50, s"title trap vacuous: $tA")
-    assert(tB > 10, s"eq trap vacuous: $tB")
+    assert(tA > 30, s"title trap vacuous: $tA")
+    assert(tB > 5, s"eq trap vacuous: $tB")
     assert(tC > 100, s"discarded trap vacuous: $tC")
-    assert(tD > 100, s"fence trap vacuous: $tD")
-    assert(tE > 10, s"union trap vacuous: $tE")
+    assert(tD > 60, s"fence trap vacuous: $tD")
+    assert(tE > 5, s"union trap vacuous: $tE")
+    assert(tF > 10, s"ori-substitution trap vacuous: $tF")
+    assert(tG > 10, s"background-image negative vacuous: $tG")
+    assert(tH > 10, s"sliver trap vacuous: $tH")
   }
 }
