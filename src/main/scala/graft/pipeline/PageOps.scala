@@ -314,6 +314,36 @@ object PageOps {
     out.result()
   }
 
+  /** OCR det-box sort (sorted_boxes, ocr_utils.py:105-129), the exact
+    * top-to-bottom/left-to-right ordering the reference applies to raw
+    * detection boxes before merge/mask/recognition (rapid_ocr.py:272-277):
+    * primary sort by (y0, x0), then a single leftward bubble pass that
+    * swaps adjacent boxes whose y0 differ by LESS than 10px when the later
+    * box starts further left — same-visual-row boxes with detector y
+    * jitter come out in reading order, which a plain (y0, x0) sort cannot
+    * do. Here it runs on the whole per-page det stream at the same
+    * pipeline position, turning the kernel's scrambled emission into the
+    * reference's canonical det order; the later stages stay geometric, so
+    * ordering correctness never depends on it — exactly as in the
+    * reference, where spans are re-sorted again before line merge. */
+  def sortedBoxes(dets: Vector[Det]): Vector[Det] = {
+    if (dets.length < 2) return dets
+    val arr = dets.sortBy(d => (d.y0, d.x0)).toArray
+    var i = 0
+    while (i < arr.length - 1) {
+      var j = i
+      var stop = false
+      while (j >= 0 && !stop) {
+        if (math.abs(arr(j + 1).y0 - arr(j).y0) < 10 && arr(j + 1).x0 < arr(j).x0) {
+          val tmp = arr(j); arr(j) = arr(j + 1); arr(j + 1) = tmp
+          j -= 1
+        } else stop = true
+      }
+      i += 1
+    }
+    arr.toVector
+  }
+
   /** Formula-mask det-box update (update_det_boxes, ocr_utils.py:193-217;
     * the txt-route call site this ports is span_pre_proc.py:172): a
     * PRE-recognition text-line detection (empty text — its content comes
@@ -611,9 +641,45 @@ object PageOps {
       }
       bi += 1
     }
-    val capIdx = capB.result(); val fnIdx = fnB.result()
-    val numIdx = numB.result(); val bodyIdx = bodyB.result()
-    val formulaIdx = formulaB.result()
+    // containment reduction (reduct_overlap, magic_model_utils.py:9-27):
+    // each tie-up candidate list drops members fully contained (is_in,
+    // boxbase.py:6) in ANOTHER member of the same list — note two
+    // IDENTICAL boxes contain each other and BOTH die, the reference's
+    // exact loop. A reduced candidate leaves the page entirely (in the
+    // reference it never reaches the typed block lists feeding
+    // prepare_block_bboxes). Stage-order divergence, documented: the
+    // reference reduces at magic-model time BEFORE the block rules; here
+    // the tie-up runs last, so most contained pairs are already resolved
+    // by the earlier union/dedup walks — the reduction still owns the
+    // mutual-containment (both-die) edge those walks cannot express.
+    def reduct(idx: Vector[Int]): Vector[Int] = {
+      val n = idx.length
+      if (n < 2) return idx
+      val keep = Array.fill(n)(true)
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) {
+          if (i != j) {
+            val a = blocks(idx(i)); val b = blocks(idx(j))
+            if (a.x0 >= b.x0 && a.y0 >= b.y0 && a.x1 <= b.x1 && a.y1 <= b.y1)
+              keep(i) = false
+          }
+          j += 1
+        }
+        i += 1
+      }
+      idx.indices.filter(keep).map(idx).toVector
+    }
+    val capIdx0 = capB.result(); val fnIdx0 = fnB.result()
+    val numIdx0 = numB.result(); val bodyIdx0 = bodyB.result()
+    val formulaIdx0 = formulaB.result()
+    val capIdx = reduct(capIdx0); val fnIdx = reduct(fnIdx0)
+    val numIdx = reduct(numIdx0); val bodyIdx = reduct(bodyIdx0)
+    val formulaIdx = reduct(formulaIdx0)
+    val reduced = ((capIdx0 diff capIdx) ++ (fnIdx0 diff fnIdx) ++
+      (numIdx0 diff numIdx) ++ (bodyIdx0 diff bodyIdx) ++
+      (formulaIdx0 diff formulaIdx)).toSet
 
     // captions and footnotes tie to bodies in separate runs (the reference
     // runs one tie-up per category pair, pipeline_magic_model.py:227-300);
@@ -624,7 +690,8 @@ object PageOps {
     val attached = (capAssign.values.flatten ++ fnAssign.values.flatten ++
       numAssign.values.flatten).toSet
 
-    val anchorsIdx = blocks.indices.toVector.filterNot(attached)
+    val anchorsIdx = blocks.indices.toVector.filterNot(i =>
+      attached(i) || reduced(i))
     val order: Vector[Int] =
       if (anchorsIdx.exists(i => blocks(i).order >= 0)) {
         // model-order shortcut (block_sort.py:154-170): anchors sorted by
@@ -727,11 +794,16 @@ object PageOps {
     //      content underneath) are skipped
     val updets17 =
       removeLayoutInOriImages(updets15, oriImages, upchars)
+    // 0.69 OCR det-box sort: the canonical det ordering the reference
+    //      establishes before the merge/mask passes (sorted_boxes,
+    //      rapid_ocr.py:272) — the scrambled kernel emission becomes
+    //      top-down reading order with the <10px same-row bubble
+    val updets18 = sortedBoxes(updets17)
     // 0.7 formula-mask det-box update (update_det_boxes — txt-route call,
     //     span_pre_proc.py:172): pre-recognition empty line dets split
     //     around y-coinciding formula dets; the inline-equation carriers
     //     reclass to in-line text spans, rejoined at 3.7 after the fill
-    val updets = updateDetBoxes(updets17)
+    val updets = updateDetBoxes(updets18)
 
     // Steps 1-3 as flag passes over one array (this loop runs for every
     // page in the fleet — per-step Vector rebuilds here are measurable
@@ -831,7 +903,7 @@ object PageOps {
     //     actually split anything pay the rejoin sort (referential no-op
     //     check; most pages have no formula-cut line)
     val filled = fillChars(survivors.result(), upchars)
-    val live = if (updets eq updets17) filled else joinSplitLines(filled)
+    val live = if (updets eq updets18) filled else joinSplitLines(filled)
 
     // 4. page-number fence: a small isolated box in the bottom margin is
     //    boilerplate even when the model mislabeled it as text. The O(n)

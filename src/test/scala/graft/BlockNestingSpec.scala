@@ -125,6 +125,43 @@ class BlockNestingSpec extends AnyFunSuite {
     assert(out4.map(_.cat) == Vector(Kinds.Abandon))
   }
 
+  test("sorted_boxes: (y0,x0) sort plus the <10px same-row bubble") {
+    // jittered same-visual-row boxes: plain (y0,x0) puts B (y=100) before
+    // A (y=103) — the bubble restores reading order because |Δy| < 10 and
+    // A starts further left (ocr_utils.py:119-127)
+    def box(x: Double, y: Double, t: String) =
+      Det(Kinds.Text, x, y, x + 80, y + 12, 0.9, t, "", -1)
+    val a = box(36, 103, "left"); val b = box(300, 100, "right")
+    assert(PageOps.sortedBoxes(Vector(b, a)).map(_.text) ==
+      Vector("left", "right"))
+    // Δy >= 10: strictly top-down, no swap
+    val c = box(36, 111, "below")
+    assert(PageOps.sortedBoxes(Vector(c, b)).map(_.text) ==
+      Vector("right", "below"))
+    // three-row ladder with jitter: full reading order recovered
+    val r2l = box(36, 117, "r2l"); val r2r = box(300, 114, "r2r")
+    val r3 = box(36, 130, "r3")
+    assert(PageOps.sortedBoxes(Vector(r3, r2r, b, r2l, a)).map(_.text) ==
+      Vector("left", "right", "r2l", "r2r", "r3"))
+  }
+
+  test("reduct_overlap: contained tie-up candidates drop; identical twins BOTH die") {
+    val body = Det(Kinds.Figure, 100, 100, 400, 300, 0.9, "", "m", -1)
+    val cap = Det(Kinds.Caption, 100, 304, 400, 318, 0.8, "Figure 1", "", -1)
+    val inner = Det(Kinds.Caption, 150, 306, 300, 316, 0.7, "inner dup", "", -1)
+    // the contained caption never reaches the tie-up and never renders
+    val out = PageOps.emitBlocks(Vector(body, cap, inner)).map {
+      case (i, k) => (k, Vector(body, cap, inner)(i).text)
+    }
+    assert(out == Vector((Kinds.Figure, ""), (Kinds.Caption, "Figure 1")), s"got $out")
+    // two IDENTICAL junk footnotes contain each other -> both removed
+    // (reduct_overlap's loop marks keep[i]=false for both, :20-27)
+    val twin1 = Det(Kinds.Footnote, 100, 330, 250, 344, 0.8, "ghost fn", "", -1)
+    val twin2 = Det(Kinds.Footnote, 100, 330, 250, 344, 0.8, "ghost fn", "", -1)
+    val out2 = PageOps.emitBlocks(Vector(body, twin1, twin2)).map(_._1)
+    assert(out2 == Vector(0), s"twins survived: $out2")
+  }
+
   test("kernel authors all eight traps non-vacuously") {
     var tA = 0; var tB = 0; var tC = 0; var tD = 0; var tE = 0
     var tF = 0; var tG = 0; var tH = 0

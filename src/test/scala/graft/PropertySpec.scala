@@ -72,7 +72,24 @@ class PropertySpec extends AnyFunSuite {
           if (rng.nextBoolean()) rng.nextInt(50) else -1)
       }
       val out = PageOps.emitBlocks(blocks)
-      assert(out.map(_._1).sorted == (0 until n).toVector, "emit permutation")
+      // emitBlocks is a permutation of the NON-reduced blocks: a tie-up
+      // candidate fully contained in a same-category candidate leaves the
+      // page (reduct_overlap, magic_model_utils.py:9-27)
+      val tieCats = Set(Kinds.Caption, Kinds.Footnote, Kinds.FormulaNumber,
+        Kinds.Figure, Kinds.Table, Kinds.Formula)
+      def grp(c: String) =
+        if (c == Kinds.Figure || c == Kinds.Table) "body" else c
+      val reduced = blocks.indices.filter { i =>
+        val a = blocks(i)
+        tieCats(a.cat) && blocks.indices.exists { j =>
+          j != i && grp(blocks(j).cat) == grp(a.cat) && {
+            val b = blocks(j)
+            a.x0 >= b.x0 && a.y0 >= b.y0 && a.x1 <= b.x1 && a.y1 <= b.y1
+          }
+        }
+      }.toSet
+      assert(out.map(_._1).sorted ==
+        (0 until n).filterNot(reduced).toVector, "emit permutation")
       out.foreach { case (i, kind) =>
         assert(kind == blocks(i).cat || (blocks(i).cat == Kinds.Footnote &&
           kind == Kinds.ImageFootnote), s"kind $kind vs ${blocks(i).cat}")
