@@ -351,10 +351,24 @@ object StubModel extends DocModel {
     * layouts (aligned-gap columns, deferred captions, nested inserts). */
   private def orderSafe(placed: Vector[(InSpan, (Double, Double, Double, Double))],
       emitsOrd: Boolean,
-      regions: Vector[(Double, Double, Double, Double)] = Vector.empty): Boolean = {
+      regions: Vector[(Double, Double, Double, Double)] = Vector.empty,
+      matchDoc: Boolean = false): Boolean = {
+    // match docs: mirror the OcrMatch footnote fix the real pipeline
+    // applies BEFORE ordering (a footnote whose bottom sits above the
+    // lowest text block's bottom is body text, xycut_plus_v3.py:117-123) —
+    // without it the replay would validate the footnote as a tie-up
+    // attachment while reality orders it as an anchor, and the group
+    // median placement (process_block_list) would differ between the two
+    val textBot =
+      if (!matchDoc) 0.0
+      else placed.collect { case (s, (_, _, _, y1))
+        if s.kind == Kinds.Text || s.kind == Kinds.ListK || s.kind == Kinds.Index => y1
+      }.maxOption.getOrElse(0.0)
     val blocks = placed.map { case (s, (x0, y0, x1, y1)) =>
       val cat = s.kind match {
         case Kinds.ListK | Kinds.Index => Kinds.Text // model can't see listness
+        case Kinds.Footnote | Kinds.ImageFootnote if matchDoc && y1 < textBot =>
+          Kinds.Text // OcrMatch footnote fix mirror
         case Kinds.ImageFootnote => Kinds.Footnote // model emits plain footnote
         case k => k
       }
@@ -428,7 +442,8 @@ object StubModel extends DocModel {
 
   private def placePage(mains: Vector[InSpan], twoCol: Boolean, insert: Boolean,
       pageIdx: Int, vert: InSpan => Boolean, far: InSpan => Boolean,
-      emitsOrd: Boolean, narrow: InSpan => Boolean = _ => false)
+      emitsOrd: Boolean, narrow: InSpan => Boolean = _ => false,
+      matchDoc: Boolean = false)
       : (Vector[(InSpan, (Double, Double, Double, Double))],
          Vector[(Double, Double, Double, Double)]) = {
     type Placed = Vector[(InSpan, (Double, Double, Double, Double))]
@@ -560,7 +575,7 @@ object StubModel extends DocModel {
     var hardTried = false
     val chosen = hard.find { case (p, rs, counts, _) =>
       if (counts) hardTried = true
-      orderSafe(p, emitsOrd, rs)
+      orderSafe(p, emitsOrd, rs, matchDoc)
     }
     chosen match {
       case Some((p, rs, _, isIns)) =>
@@ -578,7 +593,8 @@ object StubModel extends DocModel {
           // (plain single-column pages skip this: the 20k golden sweep
           // already proves their ordering end to end)
           LayoutTelemetry.bumpAuthoredAway()
-          if (!orderSafe(s, emitsOrd)) LayoutTelemetry.bumpUnsolvable()
+          if (!orderSafe(s, emitsOrd, matchDoc = matchDoc))
+            LayoutTelemetry.bumpUnsolvable()
         }
         (s, Vector.empty)
     }
@@ -637,7 +653,7 @@ object StubModel extends DocModel {
       val insertUsed = usesInsert(doc.doc_id, p) && colForce(p) == 0
       val (placed, regionBoxes) =
         placePage(mains, twoCol, insertUsed, p, vert, far,
-          emitsOrd, narrow)
+          emitsOrd, narrow, matchDoc = isMatch)
       val regionDets = regionBoxes.map { case (x0, y0, x1, y1) =>
         Det("region", x0, y0, x1, y1, 1.0, "", "")
       }

@@ -692,16 +692,22 @@ object PageOps {
 
     val anchorsIdx = blocks.indices.toVector.filterNot(i =>
       attached(i) || reduced(i))
+    // the sort runs over ALL non-reduced blocks — attachments included, as
+    // in the reference where add_lines_to_blocks injects lines for bodies
+    // AND their captions/footnotes so every block earns a sort index
+    // (block_sort.py:57-89); the group then sits at the MEDIAN of its
+    // members' indices (process_block_list, block_sort.py:276-292)
+    val sortIdx = blocks.indices.toVector.filterNot(reduced)
     val order: Vector[Int] =
-      if (anchorsIdx.exists(i => blocks(i).order >= 0)) {
-        // model-order shortcut (block_sort.py:154-170): anchors sorted by
-        // the model's own order; orderless anchors go last by geometry
-        anchorsIdx.indices.toVector.sortBy { k =>
-          val b = blocks(anchorsIdx(k))
+      if (sortIdx.exists(i => blocks(i).order >= 0)) {
+        // model-order shortcut (block_sort.py:154-170): blocks sorted by
+        // the model's own order; orderless blocks go last by geometry
+        sortIdx.indices.toVector.sortBy { k =>
+          val b = blocks(sortIdx(k))
           if (b.order >= 0) (0, b.order.toDouble, 0.0) else (1, b.y0, b.x0)
         }
       } else {
-        val boxes = anchorsIdx.map { i =>
+        val boxes = sortIdx.map { i =>
           val b = blocks(i); (b.x0, b.y0, b.x1, b.y1)
         }
         try {
@@ -711,17 +717,29 @@ object PageOps {
           else XYCutV3.order(boxes)
         } catch { case _: Exception => XYCut.order(boxes) } // block_sort.py:230-236
       }
+    val pos = new Array[Double](blocks.length)
+    order.zipWithIndex.foreach { case (k, p) => pos(sortIdx(k)) = p.toDouble }
+    @inline def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     // footnotes attached to a figure re-class to image_footnote
     val reclass: Map[Int, String] = fnAssign.flatMap { case (si, ois) =>
       if (blocks(si).cat == Kinds.Figure) ois.map(_ -> Kinds.ImageFootnote)
       else Nil
     }
     @inline def kindOf(i: Int): String = reclass.getOrElse(i, blocks(i).cat)
-    order.flatMap { k =>
-      val ai = anchorsIdx(k)
+    val units = anchorsIdx.map { ai =>
       val atts = capAssign.getOrElse(ai, Vector.empty) ++
         fnAssign.getOrElse(ai, Vector.empty) ++
         numAssign.getOrElse(ai, Vector.empty)
+      val key =
+        if (atts.isEmpty) pos(ai)
+        else median(pos(ai) +: atts.map(pos(_)))
+      (ai, atts, key)
+    }
+    units.sortBy(u => (u._3, pos(u._1))).flatMap { case (ai, atts, _) =>
       if (atts.isEmpty) Vector((ai, kindOf(ai)))
       else {
         // attachments geometrically above their subject render BEFORE it

@@ -53,18 +53,21 @@ class TieUpSpec extends AnyFunSuite {
     assert(assign == Map(0 -> Vector(1), 2 -> Vector(3)))
   }
 
-  test("deferred far caption is pulled back to its body in the emitted order") {
+  test("deferred far caption joins its body's group at the MEDIAN index") {
     // Authoring: F (with caption C), then two text blocks. C is placed at
-    // the END of the column (below both texts) — the emitted sequence must
-    // still be F, C, T1, T2. Under an absolute 30px bound C would orphan
-    // and emit as F, T1, T2, C.
+    // the END of the column (below both texts). The tie-up's unconditional
+    // leftover attachment pulls C into F's group
+    // (magic_model_utils.py:130-156); the group then sits at the MEDIAN of
+    // its members' sort indices (process_block_list, block_sort.py:276-292)
+    // — median(F=0, C=3) = 1.5, between T1 (1) and T2 (2). An absolute
+    // 30px attachment bound would instead orphan C at the very end.
     val blocks = Vector(
       det(Kinds.Figure, 36, 60, 286, 180),   // 0: F
       det(Kinds.Text, 36, 214, 576, 270),    // 1: T1
       det(Kinds.Text, 36, 304, 576, 360),    // 2: T2
       det(Kinds.Caption, 36, 394, 246, 412)) // 3: C (far below F)
     val got = PageOps.orderBlocks(blocks)
-    assert(got == Vector(0, 3, 1, 2))
+    assert(got == Vector(1, 0, 3, 2))
   }
 
   test("model-order shortcut overrides geometry") {
