@@ -450,6 +450,24 @@ object DocGen {
     sb.toString
   }
 
+  /** Single-script page text: word-ish runs of 3-9 chars from one code
+    * range, space-separated with sentence stops — the script-dominant
+    * page shape the breadth classes (ru/el/ar/he/th/hi) author. */
+  private def scriptText(r: SplitMix64, base: Int, span: Int, n: Int): String = {
+    val sb = new java.lang.StringBuilder(n + n / 4)
+    var i = 0
+    while (i < n) {
+      val wl = 3 + r.nextInt(7)
+      var j = 0
+      while (j < wl && i < n) {
+        sb.append((base + r.nextInt(span)).toChar); i += 1; j += 1
+      }
+      if (i < n) sb.append(if (r.chance(0.1)) ". " else " ")
+    }
+    sb.append('.')
+    sb.toString
+  }
+
   /** U+7280-72DF chars OUTSIDE the reference's common-hanzi whitelist
     * (SUSPICIOUS_CJK_72XX_WHITELIST, pdf_classify.py:30-32). */
   private def u72Text(r: SplitMix64, n: Int): String = {
@@ -475,7 +493,10 @@ object DocGen {
     // 6 cross-script, 7 u72xx, 8 punct-garbage, 9 dot-leader TOC (txt),
     // 10 high image coverage (txt), 11 kana-dominant ja (txt),
     // 12 hangul-dominant ko (txt), 13-15 latin fr/de/es (r4: stopword +
-    // diacritic profile classes for the latin discriminator)
+    // diacritic profile classes for the latin discriminator),
+    // 16-21 single-script pages ru/el/ar/he/th/hi (r5: the script-range
+    // breadth classes — fasttext covers ~170 languages; script-dominant
+    // detection is the content-derivable slice of that surface)
     val cls =
       if (roll < 0.02) 1 else if (roll < 0.05) 2 else if (roll < 0.07) 3
       else if (roll < 0.09) 4 else if (roll < 0.11) 5 else if (roll < 0.13) 6
@@ -483,7 +504,10 @@ object DocGen {
       else if (roll < 0.25) 10 else if (roll < 0.27) 11
       else if (roll < 0.29) 12
       else if (roll < 0.31) 13 else if (roll < 0.33) 14
-      else if (roll < 0.35) 15 else 0
+      else if (roll < 0.35) 15
+      else if (roll < 0.365) 16 else if (roll < 0.38) 17
+      else if (roll < 0.395) 18 else if (roll < 0.41) 19
+      else if (roll < 0.425) 20 else if (roll < 0.44) 21 else 0
     doc.pages.zipWithIndex.map { case (pg, p) =>
       val base = pg.blocks.map(_.text).filter(_.nonEmpty).mkString(" ")
       val nFig = pg.blocks.count(_.kind == Kinds.Figure)
@@ -513,6 +537,12 @@ object DocGen {
         case 13 => latinText(r, frPool, 250)
         case 14 => latinText(r, dePool, 250)
         case 15 => latinText(r, esPool, 250)
+        case 16 => scriptText(r, 0x0430, 0x20, 400) // Cyrillic lowercase -> ru
+        case 17 => scriptText(r, 0x03B1, 0x19, 400) // Greek lowercase -> el
+        case 18 => scriptText(r, 0x0621, 0x2A, 400) // Arabic letters -> ar
+        case 19 => scriptText(r, 0x05D0, 0x1B, 400) // Hebrew letters -> he
+        case 20 => scriptText(r, 0x0E01, 0x2E, 400) // Thai consonants -> th
+        case 21 => scriptText(r, 0x0905, 0x35, 400) // Devanagari -> hi
         case _ => base
       }
       val mapErr = if (cls == 3) math.max(8, text.length * 8 / 100) else 0

@@ -196,6 +196,42 @@ object Oracles {
          |FROM c ORDER BY doc_id""".stripMargin
     },
 
+    "lang_id_v3" -> {
+      val profCols = ClassifySignals.LatinMarkers.map { case (lang, words, marks) =>
+        s"""sum(len(regexp_extract_all(text, '$words')) +
+           |      len(regexp_extract_all(text, '$marks')))::BIGINT AS $lang""".stripMargin
+      }.mkString(",\n  ")
+      val scriptCols = Queries.ScriptRanges.map { case (name, re) =>
+        s"sum(len(regexp_extract_all(text, '$re')))::BIGINT AS $name"
+      }.mkString(",\n  ")
+      val scriptCases = Queries.ScriptLangs.map { case (name, lang) =>
+        s"WHEN 2 * $name > cl THEN '$lang'"
+      }.mkString("\n    ")
+      s"""WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents),
+         |rp AS (SELECT g.* FROM read_parquet('/root/repo/src/test/resources/golden/classify_raw.parquet') g
+         |  JOIN ids ON g.doc_id = ids.did),
+         |c AS (SELECT doc_id,
+         |  sum(len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')))::BIGINT AS han,
+         |  sum(len(regexp_extract_all(text, '[\\x{3040}-\\x{30FF}]')))::BIGINT AS kana,
+         |  sum(len(regexp_extract_all(text, '[\\x{AC00}-\\x{D7AF}]')))::BIGINT AS hang,
+         |  sum(len(regexp_extract_all(text, '[A-Za-z]')))::BIGINT AS latin,
+         |  sum(length(regexp_replace(text, '\\s+', '', 'g')))::BIGINT AS cl,
+         |  $scriptCols,
+         |  $profCols
+         |  FROM rp GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CASE
+         |    WHEN 2 * (han + kana + hang) > cl THEN
+         |      CASE WHEN 4 * kana >= han + kana + hang THEN 'ja'
+         |           WHEN 4 * hang >= han + kana + hang THEN 'ko'
+         |           ELSE 'zh' END
+         |    $scriptCases
+         |    WHEN 2 * latin > cl THEN
+         |      ${ClassifySignals.latinCascadeSql}
+         |    ELSE 'und' END AS lang
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
     "token_count_bpe" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::INT AS n_bpe,

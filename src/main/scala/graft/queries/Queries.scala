@@ -428,6 +428,77 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Script ranges for the breadth classes, shared by the Spark tallies
+    * and (name-by-name) the DuckDB oracle replay. */
+  private[queries] val ScriptRanges: Vector[(String, String)] = Vector(
+    "cyr" -> """[\x{0400}-\x{04FF}]""",
+    "grek" -> """[\x{0370}-\x{03FF}]""",
+    "arab" -> """[\x{0600}-\x{06FF}]""",
+    "hebr" -> """[\x{0590}-\x{05FF}]""",
+    "thai" -> """[\x{0E00}-\x{0E7F}]""",
+    "deva" -> """[\x{0900}-\x{097F}]""")
+
+  private[queries] val ScriptLangs =
+    Vector("cyr" -> "ru", "grek" -> "el", "arab" -> "ar",
+      "hebr" -> "he", "thai" -> "th", "deva" -> "hi")
+
+  /** Breadth language ID (v3): [[langIdV2]]'s CJK split + latin cascade
+    * widened with six script-dominant classes — Cyrillic→ru, Greek→el,
+    * Arabic→ar, Hebrew→he, Thai→th, Devanagari→hi. fasttext
+    * (utils/language.py:22-41) covers ~170 languages from character
+    * n-grams; script-range dominance is the deterministic, content-
+    * derivable slice of that surface, and the scripts checked here are
+    * single-language in practice at the corpus contract. Ladder order:
+    * CJK first (a CJK page with minority foreign runs stays zh/ja/ko,
+    * matching v2), then each script by majority over the cleaned length,
+    * then the latin stopword/diacritic cascade. */
+  def langIdV3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents")
+      .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
+    val raw = ids.flatMap(id => graft.corpus.DocGen.rawPages(id)).toDF()
+    val base = ScriptRanges.foldLeft(raw
+      .withColumn("han", graft.functions.TextFns.countMatches(col("text"), """[\x{4E00}-\x{9FFF}]"""))
+      .withColumn("kana", graft.functions.TextFns.countMatches(col("text"), """[\x{3040}-\x{30FF}]"""))
+      .withColumn("hang", graft.functions.TextFns.countMatches(col("text"), """[\x{AC00}-\x{D7AF}]"""))
+      .withColumn("latin", graft.functions.TextFns.countMatches(col("text"), "[A-Za-z]"))
+      .withColumn("cl", expr("""length(regexp_replace(text, '\\s+', ''))"""))) {
+      case (df, (name, re)) =>
+        df.withColumn(name, graft.functions.TextFns.countMatches(col("text"), re))
+    }
+    val profiled = graft.queries.ClassifySignals.LatinMarkers
+      .foldLeft(base) { case (df, (lang, words, marks)) =>
+        df.withColumn(s"p_$lang",
+          graft.functions.TextFns.countMatches(col("text"), words) +
+            graft.functions.TextFns.countMatches(col("text"), marks))
+      }
+    val profCols = graft.queries.ClassifySignals.LatinMarkers.map {
+      case (lang, _, _) => sum(col(s"p_$lang")).as(lang)
+    }
+    val scriptAgg = ScriptRanges.map { case (name, _) => sum(col(name)).as(name) }
+    val scriptCases = ScriptLangs.map { case (name, lang) =>
+      s"WHEN 2 * $name > cl THEN '$lang'"
+    }.mkString("\n           |  ")
+    profiled
+      .groupBy(col("doc_id"))
+      .agg(sum(col("han")).as("han"),
+        (Seq(sum(col("kana")).as("kana"),
+          sum(col("hang")).as("hang"), sum(col("latin")).as("latin"),
+          sum(col("cl")).as("cl")) ++ scriptAgg ++ profCols): _*)
+      .withColumn("lang", expr(
+        s"""CASE
+           |  WHEN 2 * (han + kana + hang) > cl THEN
+           |    CASE WHEN 4 * kana >= han + kana + hang THEN 'ja'
+           |         WHEN 4 * hang >= han + kana + hang THEN 'ko'
+           |         ELSE 'zh' END
+           |  $scriptCases
+           |  WHEN 2 * latin > cl THEN
+           |    ${graft.queries.ClassifySignals.latinCascadeSql}
+           |  ELSE 'und' END""".stripMargin))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   /** Content-addressed document fingerprint: md5 plus its first 60 bits as a
     * join-friendly int64 (the reference fingerprints crops/bytes with
     * md5/sha256, rapid_doc/utils/hash_utils.py:7-27). */
@@ -1015,6 +1086,7 @@ object Queries {
     "quality_score" -> qualityScore _,
     "lang_id" -> langId _,
     "lang_id_v2" -> langIdV2 _,
+    "lang_id_v3" -> langIdV3 _,
     "doc_fingerprint" -> docFingerprint _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "ann_cosine_topk" -> annCosineTopK _,
