@@ -57,6 +57,62 @@ object ExtractJob {
     report
   }
 
+  /** Per-document output fan-out (the reference's `_dump_output_if_needed`,
+    * main.py:499-528): `{doc_id}.md` and `{doc_id}_content_list.json`
+    * rendered executor-side and pushed through a [[DataWriter]] — one
+    * writer per sink, composed with [[FanoutWriter]] exactly like the
+    * reference composes FanoutDataWriter over file/S3/memory targets.
+    * The writer ships inside the closure, so it must write to a location
+    * every executor can reach (a shared filesystem for [[FileWriter]];
+    * [[MemoryWriter]] is the single-JVM test sink, as in the reference).
+    * Returns the number of documents written. */
+  def writeOutputs(spark: SparkSession, docs: Dataset[DocRow],
+      writer: DataWriter): Long = {
+    val n = spark.sparkContext.longAccumulator("graft.outputs.docs")
+    docs.foreachPartition { (it: Iterator[DocRow]) =>
+      it.foreach { d =>
+        val res = Extract.extractDoc(d)
+        writer.writeString(s"${res.doc_id}.md", res.markdown)
+        writer.writeString(s"${res.doc_id}_content_list.json",
+          contentListJson(res))
+        n.add(1)
+      }
+    }
+    n.value
+  }
+
+  /** content_list rendering (make_blocks_to_content_list,
+    * pipeline_middle_json_mkcontent.py:240-317 at the sandbox schema):
+    * one JSON object per span, reference key names (`type`, `img_path`). */
+  private[graft] def contentListJson(res: graft.schema.DocResult): String = {
+    val sb = new java.lang.StringBuilder(res.spans.length * 64 + 2)
+    sb.append('[')
+    res.spans.zipWithIndex.foreach { case (s, i) =>
+      if (i > 0) sb.append(',')
+      sb.append("{\"type\":\"").append(jsonEsc(s.kind))
+        .append("\",\"text\":\"").append(jsonEsc(s.text))
+      if (s.media_ref.nonEmpty)
+        sb.append("\",\"img_path\":\"").append(jsonEsc(s.media_ref))
+      sb.append("\",\"order\":").append(s.order).append('}')
+    }
+    sb.append(']')
+    sb.toString
+  }
+
+  private def jsonEsc(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u$c%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
   /** Raw-blob ingestion under the SAME commit protocol: a (doc_id,
     * content) table of PDF files, office packages and HTML pages
     * interleaved — the per-partition [[Sniff]] routes each blob by magic
