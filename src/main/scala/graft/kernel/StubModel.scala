@@ -892,7 +892,32 @@ object StubModel extends DocModel {
             dets += Det(Kinds.Title, x0 + 30, y0 + 50, x0 + 140, y0 + 66,
               0.75, "Ghost Axis", "", -1)
           case k =>
-            dets += Det(k, x0, y0, x1, y1, score, s.text, s.media_ref, ord)
+            // ORIGINAL-IMAGE IoU trap (~1/7 figures off the match path):
+            // the model det carries NO media_ref — the content arrives as
+            // an embedded original image whose box matches at IoU ≈ 0.92;
+            // cut_image's extract-original path (pdf_image_tools.py:
+            // 196-201) must reuse the original's content identity, or the
+            // figure span surfaces with an empty ref.
+            val oriIou = k == Kinds.Figure && !isMatch &&
+              Math.floorMod(Rng.fnv64(doc.doc_id + "|oriiou|" + s.offset), 7L) == 0L
+            if (oriIou) {
+              dets += Det(k, x0, y0, x1, y1, score, s.text, "", ord)
+              val dx = 0.02 * (x1 - x0); val dy = 0.02 * (y1 - y0)
+              oriImgs += Det(Kinds.Figure, x0 + dx, y0 + dy, x1 - dx, y1 - dy,
+                1.0, "", s.media_ref)
+              // a text-layer watermark char under the image makes it a
+              // BACKGROUND image for the substitution rule
+              // (txt_in_ori_image) — isolating the cut_image IoU-reuse
+              // path from remove_layout_in_ori_images, which would
+              // otherwise fire on noise dets landing inside the region.
+              // The char claims no text span (figures are not fill
+              // targets), so it is residue the char fill drops.
+              val wx = (x0 + x1) / 2; val wy = (y0 + y1) / 2
+              chars += CharDet("©", wx, wy, wx + 8.0, wy + 10.0, charIdx)
+              charIdx += 1
+            } else {
+              dets += Det(k, x0, y0, x1, y1, score, s.text, s.media_ref, ord)
+            }
             // EQ-OVER-TEXT trap (~1/7 display formulas off the match path):
             // a junk TEXT detection misread from the equation pixels, 4%
             // larger than the formula box (IoU ≈ 0.857 — the inline fold's

@@ -1040,13 +1040,29 @@ object PageOps {
           d.copy(text = html)
         } else d
       }
+    // 4.68 original-image IoU match (cut_image, pdf_image_tools.py:
+    //      196-201): an image span matching an embedded original image at
+    //      IoU >= 0.9 reuses the ORIGINAL image content — here its
+    //      media_ref, the content identity — instead of a page crop
+    //      (extract_original_image_iou_thresh default 0.9,
+    //      model_json_to_middle_json.py:67-68)
+    val oriMatchedBodies =
+      if (oriImages.isEmpty) filledBodies
+      else filledBodies.map { d =>
+        if (d.cat == Kinds.Figure && d.media_ref.isEmpty)
+          oriImages.find(im =>
+            Geo.iou(d.x0, d.y0, d.x1, d.y1, im.x0, im.y0, im.x1, im.y1) >= 0.9)
+            .map(im => d.copy(media_ref = im.media_ref)).getOrElse(d)
+        else d
+      }
+
     // 4.7 span scope filter: a text block mostly contained in a figure/table
     //     body is a model misfire (chart labels, cell text) — the body
     //     carries its own content (span_pre_proc.py remove_outside_spans /
     //     remove_overlaps_min_spans:90-125)
     val scopedText = mergedVert.filter { t =>
       val tArea = t.area
-      tArea <= 0 || !filledBodies.exists { b =>
+      tArea <= 0 || !oriMatchedBodies.exists { b =>
         Kinds.bodies(b.cat) && {
           val inter = Geo.interLen(t.x0, t.x1, b.x0, b.x1) *
             Geo.interLen(t.y0, t.y1, b.y0, b.y1)
@@ -1063,7 +1079,7 @@ object PageOps {
     val blocks0 = {
       @inline def isText(d: Det): Boolean =
         d.cat == Kinds.Text || d.cat == Kinds.ListK || d.cat == Kinds.Index
-      var bs = scopedText ++ filledBodies
+      var bs = scopedText ++ oriMatchedBodies
       // (1) text-over-title IoU>0.8 -> trust the TEXT box, drop the title
       //     REGARDLESS of score (fix_text_overlap_title_blocks :125-150 —
       //     directional, unlike the score-keeps-winner IoU dedup)

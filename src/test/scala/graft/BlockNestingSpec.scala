@@ -125,6 +125,27 @@ class BlockNestingSpec extends AnyFunSuite {
     assert(out4.map(_.cat) == Vector(Kinds.Abandon))
   }
 
+  test("original-image IoU match: a ref-less figure takes the embedded image's ref at IoU>=0.9") {
+    import graft.schema.{CharDet, PageModel}
+    val fig = Det(Kinds.Figure, 100, 100, 400, 220, 0.8, "", "", -1)
+    val ori = Det(Kinds.Figure, 106, 102.4, 406, 222.4, 1.0, "", "img://orig")
+    // the watermark char marks the region as a background image for the
+    // substitution rule, so only the cut_image IoU path can supply the ref
+    val wm = CharDet("©", 250, 160, 258, 170, 0)
+    val pm = PageModel("d", 0, graft.kernel.StubModel.PageW,
+      graft.kernel.StubModel.PageH, Vector(fig), chars = Vector(wm),
+      oriImages = Vector(ori))
+    val out = PageOps.process(pm)
+    assert(out.map(b => (b.kind, b.media_ref)) ==
+      Vector((Kinds.Figure, "img://orig")), s"got $out")
+    // below the 0.9 threshold the ref is NOT reused
+    val oriFar = ori.copy(x0 = 180, x1 = 480)
+    val pm2 = PageModel("d", 0, graft.kernel.StubModel.PageW,
+      graft.kernel.StubModel.PageH, Vector(fig), chars = Vector(wm),
+      oriImages = Vector(oriFar))
+    assert(PageOps.process(pm2).map(_.media_ref) == Vector(""))
+  }
+
   test("sorted_boxes: (y0,x0) sort plus the <10px same-row bubble") {
     // jittered same-visual-row boxes: plain (y0,x0) puts B (y=100) before
     // A (y=103) — the bubble restores reading order because |Δy| < 10 and
