@@ -57,6 +57,40 @@ object Oracles {
          |    AND (b.score > a.score OR (b.score = a.score AND b.pos < a.pos)))
          |ORDER BY a.doc_id, a.pos""".stripMargin,
 
+    // virtual line injection: the insert_lines_into_block ladder replayed
+    // in SQL — per-page exact median line height (default 10), the branch
+    // CASE, unnest(range(n)) and the closed-form y0 + i*(h/n) arithmetic
+    "virtual_lines" ->
+      s"""$detsCte,
+         |blks AS (SELECT doc_id, page, pos, cat, x0, y0,
+         |  x0 + 60 + (length(word) * 37 + pos * 11) % 280 AS bx1,
+         |  y0 + 20 + (pos * 17 + length(word) * 5) % 220 AS by1
+         |  FROM dets),
+         |lhx AS (SELECT doc_id, page, quantile_cont((by1 - y0)::INT, 0.5) AS line_height
+         |  FROM blks WHERE cat IN ('text', 'title', 'caption', 'footnote')
+         |  GROUP BY doc_id, page),
+         |t AS (SELECT b.doc_id, b.page, b.pos, b.x0, b.y0, b.bx1, b.by1,
+         |  coalesce(l.line_height, 10.0) AS lh,
+         |  (b.by1 - b.y0) AS h, (b.bx1 - b.x0) AS w
+         |  FROM blks b LEFT JOIN lhx l ON b.doc_id = l.doc_id AND b.page = l.page
+         |  WHERE b.cat <> 'abandon'),
+         |n AS (SELECT *,
+         |  CASE WHEN NOT (lh * 2 < h) THEN 1
+         |       WHEN h > 792.0 * 0.25 AND 612.0 * 0.5 > w AND w > 612.0 * 0.25
+         |         THEN floor(h / lh)::INT
+         |       WHEN w > 612.0 * 0.4 THEN 3
+         |       WHEN w > 612.0 * 0.25 THEN floor(h / lh)::INT
+         |       WHEN h / w > 1.2 THEN 1
+         |       ELSE 2 END AS nl
+         |  FROM t),
+         |vx AS (SELECT doc_id, page, pos, x0, y0, bx1, by1, h, nl,
+         |  unnest(range(0, nl)) AS li FROM n)
+         |SELECT doc_id, page, pos, li::INT AS line_idx, x0,
+         |  CASE WHEN nl = 1 THEN y0 ELSE y0 + li * (h / nl) END AS y0,
+         |  bx1 AS x1,
+         |  CASE WHEN nl = 1 THEN by1 ELSE y0 + (li + 1) * (h / nl) END AS y1
+         |FROM vx ORDER BY doc_id, pos, line_idx""".stripMargin,
+
     "page_median_height" ->
       s"""$detsCte
          |SELECT doc_id, page, quantile_cont(y1 - y0, 0.5) AS med_h,

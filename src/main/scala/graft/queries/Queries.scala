@@ -39,6 +39,43 @@ object Queries {
           "WHEN 8 THEN 'caption' WHEN 9 THEN 'table' WHEN 10 THEN 'footnote' " +
           "WHEN 11 THEN 'abandon' ELSE 'text' END"))
 
+  /** Virtual line injection (insert_lines_into_block + get_line_height,
+    * block_sort.py:40-130): every non-discarded det slices through the
+    * exact reference ladder, at the page's exact-median text-line height
+    * (default 10) — the line granularity the reference's sorter consumes.
+    * Plan: one shuffle for the per-page median, broadcast-joined back,
+    * then a narrow typed flatMap through the ported Scala ladder; DuckDB
+    * replays median + ladder + unnest(range(n)) arithmetic bit-exactly
+    * (closed-form y0 + i·lh on both sides). */
+  def virtualLines(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // block-scale boxes derived from the det synthesis (det boxes are
+    // word-scale — too narrow to reach the ladder's page-fraction
+    // branches): widths 60..339 and heights 20..239 sweep every branch,
+    // including the quarter/half-page column tests against 612x792
+    val d = dets(spark, dir)
+      .withColumn("bx1", expr("x0 + 60 + (wlen * 37 + pos * 11) % 280"))
+      .withColumn("by1", expr("y0 + 20 + (pos * 17 + wlen * 5) % 220"))
+    val lh = d.filter(col("cat").isin("text", "title", "caption", "footnote"))
+      .groupBy(col("doc_id"), col("page"))
+      .agg(expr("percentile(CAST(by1 - y0 AS INT), 0.5)").as("line_height"))
+    d.filter(col("cat") =!= "abandon")
+      .join(broadcast(lh), Seq("doc_id", "page"), "left")
+      .select(col("doc_id"), col("page").cast("int").as("page"),
+        col("pos").cast("int").as("pos"),
+        col("x0"), col("y0"), col("bx1"), col("by1"),
+        coalesce(col("line_height"), lit(10.0)).as("lh"))
+      .as[(Long, Int, Int, Double, Double, Double, Double, Double)]
+      .flatMap { case (doc, page, pos, x0, y0, x1, y1, lh0) =>
+        graft.order.VirtualLines.insertLines(x0, y0, x1, y1, lh0, 612.0, 792.0)
+          .zipWithIndex.map { case ((lx0, ly0, lx1, ly1), li) =>
+            (doc, page, pos, li, lx0, ly0, lx1, ly1)
+          }
+      }
+      .toDF("doc_id", "page", "pos", "line_idx", "x0", "y0", "x1", "y1")
+      .orderBy("doc_id", "pos", "line_idx")
+  }
+
   // ---------------------------------------------------------------------
   // §2.2 geometric cleanup operators
   // ---------------------------------------------------------------------
@@ -1078,6 +1115,7 @@ object Queries {
     "page_majority_label" -> pageMajorityLabel _,
     "footnote_reclass" -> footnoteReclass _,
     "det_min_width_filter" -> detMinWidthFilter _,
+    "virtual_lines" -> virtualLines _,
     "dedup_exact" -> dedupExact _,
     "seq_pack" -> seqPack _,
     "stratified_sample" -> stratifiedSample _,

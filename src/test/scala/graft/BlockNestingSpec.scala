@@ -183,6 +183,24 @@ class BlockNestingSpec extends AnyFunSuite {
     assert(out2 == Vector(0), s"twins survived: $out2")
   }
 
+  test("virtual-line ladder: every insert_lines_into_block branch") {
+    import graft.order.VirtualLines._
+    // short block: whole box
+    assert(insertLines(0, 0, 300, 20, 12, 612, 792) == Vector((0.0, 0.0, 300.0, 20.0)))
+    // probable double column: tall (>198) and 153 < w < 306 -> slice at lh
+    assert(insertLines(0, 0, 200, 200, 12, 612, 792).length == 16) // floor(200/12)
+    // wide figure (>244.8): exactly 3
+    assert(insertLines(0, 0, 300, 100, 12, 612, 792).length == 3)
+    // probable three-column (153 < w <= 244.8, not tall): slice at lh
+    assert(insertLines(0, 0, 200, 100, 12, 612, 792).length == 8)
+    // tall and narrow (aspect > 1.2): whole box
+    assert(insertLines(0, 0, 100, 150, 12, 612, 792) == Vector((0.0, 0.0, 100.0, 150.0)))
+    // default: 2 lines
+    assert(insertLines(0, 0, 100, 110, 12, 612, 792).length == 2)
+    // exact median with the even-count average; default 10 on empty
+    assert(lineHeight(Seq(10, 14)) == 12.0 && lineHeight(Nil) == 10.0)
+  }
+
   test("kernel authors all eight traps non-vacuously") {
     var tA = 0; var tB = 0; var tC = 0; var tD = 0; var tE = 0
     var tF = 0; var tG = 0; var tH = 0
