@@ -91,6 +91,40 @@ object Oracles {
          |  CASE WHEN nl = 1 THEN by1 ELSE y0 + (li + 1) * (h / nl) END AS y1
          |FROM vx ORDER BY doc_id, pos, line_idx""".stripMargin,
 
+    // span->block fill: the compat matrix + in-span-area ratios + the
+    // earliest-qualifying-block claim (first-wins over the block list
+    // order = min pos), leftovers as block_pos -1
+    "span_block_fill" ->
+      s"""$detsCte,
+         |sp AS (SELECT doc_id, page, pos,
+         |  CASE (pos * 7 + length(word)) % 9
+         |    WHEN 5 THEN 'inline_formula' WHEN 6 THEN 'figure'
+         |    WHEN 7 THEN 'table' WHEN 8 THEN 'formula' ELSE 'text' END AS stype,
+         |  CASE pos % 3 WHEN 0 THEN x0 + 2 WHEN 1 THEN x0 + (x1 - x0) / 2 ELSE x0 END AS sx0,
+         |  CASE pos % 3 WHEN 0 THEN y0 + 2 WHEN 1 THEN y0 ELSE y0 + 55 END AS sy0,
+         |  CASE pos % 3 WHEN 0 THEN x1 - 2 WHEN 1 THEN x1 + (x1 - x0) / 2 ELSE x1 END AS sx1,
+         |  CASE pos % 3 WHEN 0 THEN y1 - 2 WHEN 1 THEN y1 ELSE y1 + 55 END AS sy1
+         |  FROM dets),
+         |asg AS (SELECT s.doc_id, s.page, s.pos, min(b.pos) AS bpos
+         |  FROM sp s JOIN dets b ON b.doc_id = s.doc_id AND b.page = s.page
+         |  WHERE (CASE
+         |      WHEN s.stype IN ('text', 'inline_formula')
+         |        THEN b.cat IN ('text', 'title', 'caption', 'footnote', 'abandon')
+         |      WHEN s.stype = 'formula' THEN b.cat IN ('formula', 'text')
+         |      WHEN s.stype = 'figure' THEN b.cat = 'figure'
+         |      WHEN s.stype = 'table' THEN b.cat = 'table'
+         |      ELSE FALSE END)
+         |    AND (greatest(least(s.sx1, b.x1) - greatest(s.sx0, b.x0), 0.0)
+         |         * greatest(least(s.sy1, b.y1) - greatest(s.sy0, b.y0), 0.0))
+         |        / ((s.sx1 - s.sx0) * (s.sy1 - s.sy0))
+         |        > CASE WHEN s.stype IN ('figure', 'table') THEN 0.9 ELSE 0.5 END
+         |  GROUP BY s.doc_id, s.page, s.pos)
+         |SELECT sp.doc_id, sp.page, sp.pos, sp.stype,
+         |  coalesce(asg.bpos, -1)::INT AS block_pos
+         |FROM sp LEFT JOIN asg
+         |  ON sp.doc_id = asg.doc_id AND sp.page = asg.page AND sp.pos = asg.pos
+         |ORDER BY sp.doc_id, sp.pos""".stripMargin,
+
     "page_median_height" ->
       s"""$detsCte
          |SELECT doc_id, page, quantile_cont(y1 - y0, 0.5) AS med_h,

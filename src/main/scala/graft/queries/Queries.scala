@@ -76,6 +76,56 @@ object Queries {
       .orderBy("doc_id", "pos", "line_idx")
   }
 
+  /** span→block fill (fill_spans_in_blocks + span_block_type_compatible,
+    * span_block_fix.py:9-69) driven per page through the ported Scala
+    * join: each synthetic span (contained / half-out at the exact 0.5
+    * boundary / far-shifted) claims the FIRST type-compatible block
+    * covering more than 0.5 of the span's area (0.9 for image/table
+    * spans); unclaimed spans surface with block_pos -1 — the leftover
+    * residue the reference routes to the discarded pass
+    * (model_json_to_middle_json.py:156). One shuffle (the per-page
+    * regroup); DuckDB replays the variants, the compat matrix and
+    * earliest-qualifying-block as min(pos). */
+  def spanBlockFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = dets(spark, dir)
+      .select(col("doc_id"), col("page").cast("int"), col("pos").cast("int"),
+        col("wlen").cast("int"), col("cat"),
+        col("x0"), col("y0"), col("x1"), col("y1"))
+      .as[(Long, Int, Int, Int, String, Double, Double, Double, Double)]
+    rows.groupByKey { case (doc, page, _, _, _, _, _, _, _) => (doc, page) }
+      .flatMapGroups { (key: (Long, Int),
+          it: Iterator[(Long, Int, Int, Int, String, Double, Double, Double, Double)]) =>
+        val (doc, page) = key
+        val ds = it.toVector.sortBy(_._3)
+        val blocks = ds.map { case (_, _, _, _, cat, x0, y0, x1, y1) =>
+          (cat, x0, y0, x1, y1)
+        }
+        val spans = ds.map { case (_, _, pos, wlen, _, x0, y0, x1, y1) =>
+          val w = x1 - x0
+          val stype = (pos * 7 + wlen) % 9 match {
+            case 5 => graft.schema.Kinds.InlineFormula
+            case 6 => graft.schema.Kinds.Figure
+            case 7 => graft.schema.Kinds.Table
+            case 8 => graft.schema.Kinds.Formula
+            case _ => graft.schema.Kinds.Text
+          }
+          (pos % 3: @unchecked) match {
+            case 0 => (pos, stype, x0 + 2, y0 + 2, x1 - 2, y1 - 2)
+            case 1 => (pos, stype, x0 + w / 2, y0, x1 + w / 2, y1)
+            case 2 => (pos, stype, x0, y0 + 55, x1, y1 + 55)
+          }
+        }
+        graft.pipeline.SpanFill.fill(blocks, spans, 0.5).map {
+          case (spanPos, bi) =>
+            (doc, page, spanPos, spans.find(_._1 == spanPos).get._2,
+              if (bi < 0) -1 else ds(bi)._3)
+        }
+      }
+      .toDF("doc_id", "page", "pos", "stype", "block_pos")
+      .orderBy("doc_id", "pos")
+  }
+
   // ---------------------------------------------------------------------
   // §2.2 geometric cleanup operators
   // ---------------------------------------------------------------------
@@ -1116,6 +1166,7 @@ object Queries {
     "footnote_reclass" -> footnoteReclass _,
     "det_min_width_filter" -> detMinWidthFilter _,
     "virtual_lines" -> virtualLines _,
+    "span_block_fill" -> spanBlockFill _,
     "dedup_exact" -> dedupExact _,
     "seq_pack" -> seqPack _,
     "stratified_sample" -> stratifiedSample _,
