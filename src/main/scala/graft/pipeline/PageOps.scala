@@ -652,34 +652,39 @@ object PageOps {
     // the tie-up runs last, so most contained pairs are already resolved
     // by the earlier union/dedup walks — the reduction still owns the
     // mutual-containment (both-die) edge those walks cannot express.
+    // `reduced` collects the dropped candidates; reduct returns its input
+    // INSTANCE when nothing drops, so the common no-overlap page pays no
+    // allocation beyond the flag array
+    val reducedB = Vector.newBuilder[Int]
     def reduct(idx: Vector[Int]): Vector[Int] = {
       val n = idx.length
       if (n < 2) return idx
-      val keep = Array.fill(n)(true)
+      val keep = new Array[Boolean](n)
+      java.util.Arrays.fill(keep, true)
+      var any = false
       var i = 0
       while (i < n) {
         var j = 0
         while (j < n) {
           if (i != j) {
             val a = blocks(idx(i)); val b = blocks(idx(j))
-            if (a.x0 >= b.x0 && a.y0 >= b.y0 && a.x1 <= b.x1 && a.y1 <= b.y1)
-              keep(i) = false
+            if (a.x0 >= b.x0 && a.y0 >= b.y0 && a.x1 <= b.x1 && a.y1 <= b.y1) {
+              if (keep(i)) { keep(i) = false; any = true; reducedB += idx(i) }
+            }
           }
           j += 1
         }
         i += 1
       }
-      idx.indices.filter(keep).map(idx).toVector
+      if (!any) idx
+      else idx.indices.filter(keep).map(idx).toVector
     }
-    val capIdx0 = capB.result(); val fnIdx0 = fnB.result()
-    val numIdx0 = numB.result(); val bodyIdx0 = bodyB.result()
-    val formulaIdx0 = formulaB.result()
-    val capIdx = reduct(capIdx0); val fnIdx = reduct(fnIdx0)
-    val numIdx = reduct(numIdx0); val bodyIdx = reduct(bodyIdx0)
-    val formulaIdx = reduct(formulaIdx0)
-    val reduced = ((capIdx0 diff capIdx) ++ (fnIdx0 diff fnIdx) ++
-      (numIdx0 diff numIdx) ++ (bodyIdx0 diff bodyIdx) ++
-      (formulaIdx0 diff formulaIdx)).toSet
+    val capIdx = reduct(capB.result()); val fnIdx = reduct(fnB.result())
+    val numIdx = reduct(numB.result()); val bodyIdx = reduct(bodyB.result())
+    val formulaIdx = reduct(formulaB.result())
+    val reducedV = reducedB.result()
+    val reduced: Int => Boolean =
+      if (reducedV.isEmpty) _ => false else reducedV.toSet
 
     // captions and footnotes tie to bodies in separate runs (the reference
     // runs one tie-up per category pair, pipeline_magic_model.py:227-300);
@@ -718,11 +723,12 @@ object PageOps {
         } catch { case _: Exception => XYCut.order(boxes) } // block_sort.py:230-236
       }
     val pos = new Array[Double](blocks.length)
-    order.zipWithIndex.foreach { case (k, p) => pos(sortIdx(k)) = p.toDouble }
-    @inline def median(xs: Vector[Double]): Double = {
-      val s = xs.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    var pp = 0
+    while (pp < order.length) { pos(sortIdx(order(pp))) = pp.toDouble; pp += 1 }
+    @inline def median(xs: Array[Double]): Double = {
+      java.util.Arrays.sort(xs)
+      if (xs.length % 2 == 1) xs(xs.length / 2)
+      else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2.0
     }
     // footnotes attached to a figure re-class to image_footnote
     val reclass: Map[Int, String] = fnAssign.flatMap { case (si, ois) =>
@@ -730,26 +736,63 @@ object PageOps {
       else Nil
     }
     @inline def kindOf(i: Int): String = reclass.getOrElse(i, blocks(i).cat)
-    val units = anchorsIdx.map { ai =>
+    // unit sort by (group median key, body position) over primitive arrays
+    val nu = anchorsIdx.length
+    val unitAtts = new Array[Vector[Int]](nu)
+    val unitKey = new Array[Double](nu)
+    val unitOrd = new Array[Int](nu)
+    var ui = 0
+    while (ui < nu) {
+      val ai = anchorsIdx(ui)
       val atts = capAssign.getOrElse(ai, Vector.empty) ++
         fnAssign.getOrElse(ai, Vector.empty) ++
         numAssign.getOrElse(ai, Vector.empty)
-      val key =
+      unitAtts(ui) = atts
+      unitKey(ui) =
         if (atts.isEmpty) pos(ai)
-        else median(pos(ai) +: atts.map(pos(_)))
-      (ai, atts, key)
+        else {
+          val xs = new Array[Double](atts.length + 1)
+          xs(0) = pos(ai)
+          var k = 0
+          while (k < atts.length) { xs(k + 1) = pos(atts(k)); k += 1 }
+          median(xs)
+        }
+      unitOrd(ui) = ui
+      ui += 1
     }
-    units.sortBy(u => (u._3, pos(u._1))).flatMap { case (ai, atts, _) =>
-      if (atts.isEmpty) Vector((ai, kindOf(ai)))
+    // insertion sort over the unit indices (pages hold ~10 units)
+    ui = 1
+    while (ui < nu) {
+      val u = unitOrd(ui)
+      val ku = unitKey(u); val pu = pos(anchorsIdx(u))
+      var uj = ui - 1
+      while (uj >= 0 && {
+        val o = unitOrd(uj)
+        unitKey(o) > ku || (unitKey(o) == ku && pos(anchorsIdx(o)) > pu)
+      }) { unitOrd(uj + 1) = unitOrd(uj); uj -= 1 }
+      unitOrd(uj + 1) = u
+      ui += 1
+    }
+    val out = Vector.newBuilder[(Int, String)]
+    ui = 0
+    while (ui < nu) {
+      val u = unitOrd(ui)
+      val ai = anchorsIdx(u)
+      val atts = unitAtts(u)
+      if (atts.isEmpty) out += ((ai, kindOf(ai)))
       else {
         // attachments geometrically above their subject render BEFORE it
         // (table captions sit above the body; the reference emits caption
         // lists before the body, pipeline_middle_json_mkcontent.py:52-82),
         // attachments below render after; tie-up list order within each side
         val (above, below) = atts.partition(oi => blocks(oi).cy < blocks(ai).cy)
-        ((above :+ ai) ++ below).map(i => (i, kindOf(i)))
+        above.foreach(i => out += ((i, kindOf(i))))
+        out += ((ai, kindOf(ai)))
+        below.foreach(i => out += ((i, kindOf(i))))
       }
+      ui += 1
     }
+    out.result()
   }
 
   /** Orientation restore (restore_poly, boxbase.py:328; orientation model
