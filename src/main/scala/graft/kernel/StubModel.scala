@@ -965,7 +965,28 @@ object StubModel extends DocModel {
               dets += Det(Kinds.Text, MarginX + 30, 14, MarginX + 150, 28,
                 0.88, "stray header echo", "", -1)
           case Kinds.Footer =>
-            dets += Det(Kinds.Abandon, MarginX, 752, 400, 768, 0.93, s.text, "")
+            // a detector never emits a footer box THROUGH body content: on
+            // overflow pages where a placed box sits in the footer band at
+            // >0.6 of its own area (the remove_need_drop_blocks ratio —
+            // the rule would eat the content), the footer detection is
+            // suppressed for the page
+            val fx0 = MarginX; val fy0 = 752.0; val fx1 = 400.0; val fy1 = 768.0
+            val footerClear = !placed.exists { case (_, (px0, py0, px1, py1)) =>
+              val iw = math.min(px1, fx1) - math.max(px0, fx0)
+              val ih = math.min(py1, fy1) - math.max(py0, fy0)
+              val eaten = iw > 0 && ih > 0 && {
+                val own = (px1 - px0) * (py1 - py0)
+                own > 0 && iw * ih / own > 0.6
+              }
+              // ... nor a footer line ABOVE content it would fence away
+              // (find_blocks_under_footnote: y0 >= footer bottom with
+              // >=0.8 x-projection cover) — deep-overflow pages
+              val fenced = py0 >= fy1 && (px1 - px0) > 0 &&
+                iw / (px1 - px0) >= 0.8
+              eaten || fenced
+            }
+            if (footerClear)
+              dets += Det(Kinds.Abandon, MarginX, 752, 400, 768, 0.93, s.text, "")
             // FOOTNOTE-FENCE trap (~1/6 pages): the footer abandon box IS a
             // fence (wider than a third of the page, >10 tall, in the
             // bottom 30% — block_pre_proc.py:79-83); junk detected BELOW it
@@ -973,7 +994,7 @@ object StubModel extends DocModel {
             // (find_blocks_under_footnote :202-219). At 140 wide it clears
             // the small-page-number fence, so only the footnote fence can
             // remove it.
-            if (!isMatch && !emitsOrd &&
+            if (footerClear && !isMatch && !emitsOrd &&
               Math.floorMod(Rng.fnv64(doc.doc_id + "|ftrap|" + p), 6L) == 0L)
               dets += Det(Kinds.Text, MarginX + 8, 770, MarginX + 148, 784,
                 0.9, "dangling footer shadow", "", -1)

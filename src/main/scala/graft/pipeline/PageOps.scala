@@ -697,12 +697,18 @@ object PageOps {
 
     val anchorsIdx = blocks.indices.toVector.filterNot(i =>
       attached(i) || reduced(i))
-    // the sort runs over ALL non-reduced blocks — attachments included, as
-    // in the reference where add_lines_to_blocks injects lines for bodies
-    // AND their captions/footnotes so every block earns a sort index
-    // (block_sort.py:57-89); the group then sits at the MEDIAN of its
-    // members' indices (process_block_list, block_sort.py:276-292)
-    val sortIdx = blocks.indices.toVector.filterNot(reduced)
+    // the sort runs over all non-reduced blocks with caption/footnote
+    // attachments INCLUDED — the reference's add_lines_to_blocks indexes
+    // bodies and their captions/footnotes so each earns a sort index, and
+    // revert_group_blocks then places each IMAGE/TABLE group at the
+    // MEDIAN of its members' indices (block_sort.py:57-89,246-292).
+    // Formula NUMBERS stay OUT of the sort: the reference never groups
+    // them (they are attached by the later formula-number fold,
+    // model_json_to_middle_json.py:256-292), and a column of small
+    // number boxes in the cut would read as a phantom layout column.
+    val numAttached: Set[Int] = numAssign.values.flatten.toSet
+    val sortIdx = blocks.indices.toVector.filterNot(i =>
+      reduced(i) || numAttached(i))
     val order: Vector[Int] =
       if (sortIdx.exists(i => blocks(i).order >= 0)) {
         // model-order shortcut (block_sort.py:154-170): blocks sorted by
@@ -744,17 +750,20 @@ object PageOps {
     var ui = 0
     while (ui < nu) {
       val ai = anchorsIdx(ui)
-      val atts = capAssign.getOrElse(ai, Vector.empty) ++
-        fnAssign.getOrElse(ai, Vector.empty) ++
-        numAssign.getOrElse(ai, Vector.empty)
+      val capFn = capAssign.getOrElse(ai, Vector.empty) ++
+        fnAssign.getOrElse(ai, Vector.empty)
+      val atts = capFn ++ numAssign.getOrElse(ai, Vector.empty)
       unitAtts(ui) = atts
+      // the group median reads body + caption/footnote positions only
+      // (the revert_group_blocks member set); formula numbers ride the
+      // expansion without a sort index
       unitKey(ui) =
-        if (atts.isEmpty) pos(ai)
+        if (capFn.isEmpty) pos(ai)
         else {
-          val xs = new Array[Double](atts.length + 1)
+          val xs = new Array[Double](capFn.length + 1)
           xs(0) = pos(ai)
           var k = 0
-          while (k < atts.length) { xs(k + 1) = pos(atts(k)); k += 1 }
+          while (k < capFn.length) { xs(k + 1) = pos(capFn(k)); k += 1 }
           median(xs)
         }
       unitOrd(ui) = ui
