@@ -116,4 +116,22 @@ class PdfSliceSpec extends AnyFunSuite {
     }
     assert(rebase(parts.result()) == full, "test.pdf slice concat diverged")
   }
+
+  test("reference demo1.pdf windows reassemble (real CJK financial report)") {
+    val f = new java.io.File("/root/reference/demo/pdfs/demo1.pdf")
+    assume(f.exists(), "reference tree not present")
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val full = PdfConvert.spans("demo1.pdf", bytes)
+    assume(full.nonEmpty)
+    val parts = Vector.newBuilder[Vector[OutSpan]]
+    var start = 0
+    var fileEnd = false
+    while (!fileEnd) {
+      val (wb, fe) = PdfSlice.window(bytes, start, batch = 2)
+      parts += PdfConvert.spans("demo1.pdf", wb)
+      fileEnd = fe
+      start += 2
+    }
+    assert(rebase(parts.result()) == full, "demo1.pdf window concat diverged")
+  }
 }
