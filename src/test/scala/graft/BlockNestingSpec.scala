@@ -183,6 +183,44 @@ class BlockNestingSpec extends AnyFunSuite {
     assert(out2 == Vector(0), s"twins survived: $out2")
   }
 
+  test("threshold boundaries: each rule's comparator is exactly the reference's") {
+    import graft.geom.Geo
+    // rule 2 is STRICT > 0.6 of the block's own area: exactly 0.6 survives
+    val header = Det(Kinds.Abandon, 0, 0, 400, 30, 0.95, "hdr", "")
+    def jk(frac: Double) = { // overlap-in-own-area == frac by construction
+      val w = 100.0; val inH = 20.0 * frac
+      Det(Kinds.Text, 50, 30 - inH, 50 + w, 50 - inH, 0.9, "j", "", -1)
+    }
+    assert(kinds(Vector(header, jk(0.6))).exists(_._2 == "j"), "0.6 must survive (strict >)")
+    assert(!kinds(Vector(header, jk(0.65))).exists(_._2 == "j"), "0.65 must drop")
+    // fence vproj is >= 0.8: exactly 0.8 drops
+    val footer = Det(Kinds.Abandon, 36, 752, 400, 768, 0.93, "f", "")
+    def sh(cover: Double) = {
+      val w = 140.0
+      Det(Kinds.Text, 400 - cover * w, 770, 400 - cover * w + w, 784, 0.9, "s", "", -1)
+    }
+    assert(!kinds(Vector(footer, sh(0.8))).exists(_._2 == "s"), "0.8 cover must fence")
+    assert(kinds(Vector(footer, sh(0.75))).exists(_._2 == "s"), "0.75 cover survives")
+    // prefilter is STRICT > 0.7 over the smaller: exactly 0.7 keeps both
+    def pair(frac: Double) = {
+      val a = Det(Kinds.Text, 0, 0, 300, 40, 0.5, "big", "", 1)
+      val w = 200.0 // smaller box shifted so overlap/min == frac exactly
+      val bb = Det(Kinds.Text, 300 - frac * w, 0, 300 - frac * w + w, 40, 0.9, "small", "", 2)
+      Vector(a, bb)
+    }
+    assert(PageOps.filterOverlapBoxes(pair(0.7)).length == 2, "0.7 exactly keeps both")
+    assert(PageOps.filterOverlapBoxes(pair(0.75)).length == 1, "0.75 drops the smaller")
+    // union rule is STRICT > 0.8 over the smaller
+    val t8 = Det(Kinds.Title, 36, 56, 576, 74, 0.78, "Head", "", -1)
+    // shadow with overlap/min exactly 0.8: 14.4/18 of its height inside
+    val s8 = Det(Kinds.Title, 36, 56 - 3.6, 252, 74 - 3.6, 0.9, "", "", -1)
+    val out8 = PageOps.process(page(Vector(t8, s8)))
+    assert(out8.map(_.level).max == 3, s"0.8 exactly must NOT union: $out8")
+    // verify the constructed ratio really is 0.8
+    assert(math.abs(Geo.overlapOverMin(t8.x0, t8.y0, t8.x1, t8.y1,
+      s8.x0, s8.y0, s8.x1, s8.y1) - 0.8) < 1e-9)
+  }
+
   test("virtual-line ladder: every insert_lines_into_block branch") {
     import graft.order.VirtualLines._
     // short block: whole box
