@@ -74,6 +74,26 @@ object PdfSlice {
       case scala.util.control.NonFatal(_) => (Array.empty[Byte], true)
     }
 
+  /** The full batching loop with ONE source parse: the per-window variant
+    * re-walks the xref for every call, which at crawl scale makes a
+    * 10k-page document pay O(windows) parses — this parses once, then
+    * re-serializes each window from the shared object model (the memoized
+    * object cache makes later windows cheaper, not costlier). Returns the
+    * window byte arrays in order; parse failure yields a single empty
+    * window, mirroring the windowed error contract. */
+  def windows(bytes: Array[Byte], batch: Int): Vector[Array[Byte]] =
+    try {
+      val pdf = new Pdf(bytes)
+      val pages = pdf.pages()
+      if (pages.isEmpty) return Vector(Array.empty[Byte])
+      pages.indices.grouped(math.max(1, batch)).map { idxs =>
+        try write(pdf, idxs.map(pages), skipBroken = true)
+        catch { case scala.util.control.NonFatal(_) => Array.empty[Byte] }
+      }.toVector
+    } catch {
+      case scala.util.control.NonFatal(_) => Vector(Array.empty[Byte])
+    }
+
   // ---- serializer ----------------------------------------------------------
 
   private final class Writer(pdf: Pdf) {

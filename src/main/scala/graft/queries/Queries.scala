@@ -1016,16 +1016,11 @@ object Queries {
     ids.mapPartitions { it =>
       it.flatMap { id =>
         val bytes = graft.corpus.PdfGen.bytes(id)
-        val spans = Vector.newBuilder[graft.schema.OutSpan]
-        var start = 0
-        var fileEnd = false
-        while (!fileEnd) {
-          val (wb, fe) = graft.pdf.PdfSlice.window(bytes, start, batch = 2)
-          spans ++= graft.pdf.PdfConvert.spans(id, wb)
-          fileEnd = fe
-          start += 2
-        }
-        spans.result().zipWithIndex
+        // parse-once windowing: the source xref walks once, every window
+        // re-serializes from the shared object model
+        graft.pdf.PdfSlice.windows(bytes, batch = 2)
+          .flatMap(wb => graft.pdf.PdfConvert.spans(id, wb))
+          .zipWithIndex
           .map { case (s, ord) => (id, ord, s.kind, s.media_ref, s.text) }
       }
     }.toDF("doc_id", "ord", "kind", "media_ref", "text")

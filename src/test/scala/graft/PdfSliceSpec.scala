@@ -70,6 +70,28 @@ class PdfSliceSpec extends AnyFunSuite {
     assert(fe && PdfConvert.spans(id, wb) == full)
   }
 
+  test("parse-once windows equal the per-call window loop") {
+    val ids = multiPageIds.take(12) ++ (0 until 12).map(i => f"doc-$i%012d")
+    ids.foreach { id =>
+      val bytes = graft.corpus.PdfGen.bytes(id)
+      val once = PdfSlice.windows(bytes, batch = 2)
+        .flatMap(wb => PdfConvert.spans(id, wb))
+      val loop = Vector.newBuilder[OutSpan]
+      var start = 0
+      var fileEnd = false
+      while (!fileEnd) {
+        val (wb, fe) = PdfSlice.window(bytes, start, batch = 2)
+        loop ++= PdfConvert.spans(id, wb)
+        fileEnd = fe
+        start += 2
+      }
+      assert(once == loop.result(), s"windows vs window loop for $id")
+    }
+    // failure contract: one empty window
+    val junk = "not a pdf".getBytes("ISO-8859-1")
+    assert(PdfSlice.windows(junk, 2).map(_.length) == Vector(0))
+  }
+
   test("parse failure returns the ORIGINAL bytes unchanged (common.py:84-86)") {
     val junk = "this is not a pdf at all".getBytes("ISO-8859-1")
     assert(PdfSlice.slice(junk, 0, 3) eq junk)
