@@ -34,6 +34,11 @@ object Geo {
     }
   }
 
+  /** Box A fully inside box B — inclusive edges (is_in, boxbase.py:6-17). */
+  @inline def isIn(ax0: Double, ay0: Double, ax1: Double, ay1: Double,
+      bx0: Double, by0: Double, bx1: Double, by1: Double): Boolean =
+    ax0 >= bx0 && ay0 >= by0 && ax1 <= bx1 && ay1 <= by1
+
   /** Intersection area over box A's own area
     * (calculate_overlap_area_in_bbox1_area_ratio, boxbase.py:175-193). */
   def overlapInA(ax0: Double, ay0: Double, ax1: Double, ay1: Double,

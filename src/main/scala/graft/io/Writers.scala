@@ -42,6 +42,9 @@ final class MemoryWriter extends DataWriter {
     MemoryWriter.registry.getOrElseUpdate(key, TrieMap.empty)
   def write(path: String, bytes: Array[Byte]): Unit =
     data.put(path.replace("\\", "/"), bytes)
+  /** Release the registry entry — the static map would otherwise pin the
+    * written bytes for the JVM lifetime. Call when done reading. */
+  def close(): Unit = { MemoryWriter.registry.remove(key); () }
 }
 
 object MemoryWriter {

@@ -114,11 +114,18 @@ object PdfSlice {
       n
     })
 
+    /** Names re-emit VERBATIM: [[PdfConvert]]'s lexer never decodes #XX
+      * escapes (a crawled /F#31 stays the raw string "F#31" in dict keys
+      * AND in the verbatim-copied content streams), so re-escaping '#' or
+      * high bytes here would break name identity between a resource key
+      * and its content-stream use across the slice round-trip. Whitespace
+      * and delimiter bytes cannot occur in a lexed name (the lexer
+      * terminates on them), so the only escape kept is the defensive one
+      * for them — unreachable from parser-produced names. */
     private def serName(v: String): String = {
       val sb = new StringBuilder("/")
       v.foreach { c =>
-        if (c <= ' ' || c >= 0x7f || "()<>[]{}/%#".contains(c))
-          sb.append(f"#${c.toInt}%02X")
+        if (c <= ' ' || "()<>[]{}/%".contains(c)) sb.append(f"#${c.toInt}%02X")
         else sb.append(c)
       }
       sb.toString
@@ -257,14 +264,19 @@ object PdfSlice {
       skipBroken: Boolean): Array[Byte] = {
     if (!skipBroken) new Writer(pdf).emit(pageDicts)
     else {
-      // per-page isolation with a CLEAN writer per probe: check each
-      // page's serializability first, then emit the survivors in one pass
-      // (a failure mid-write would corrupt the shared offset table)
-      val good = pageDicts.filter { pd =>
-        try { new Writer(pdf).emit(Seq(pd)); true }
-        catch { case scala.util.control.NonFatal(_) => false }
+      // fast path: the common all-healthy window serializes ONCE; only a
+      // failing window falls back to per-page probing (clean writer per
+      // probe — a failure mid-write would corrupt the shared offset
+      // table), then one emit of the survivors
+      try new Writer(pdf).emit(pageDicts)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          val good = pageDicts.filter { pd =>
+            try { new Writer(pdf).emit(Seq(pd)); true }
+            catch { case scala.util.control.NonFatal(_) => false }
+          }
+          new Writer(pdf).emit(good)
       }
-      new Writer(pdf).emit(good)
     }
   }
 }

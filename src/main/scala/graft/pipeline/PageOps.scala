@@ -296,8 +296,7 @@ object PageOps {
         var k = 0
         while (k < valid.length && m < 0) {
           val o = valid(k)
-          if (d.x0 >= o.x0 && d.y0 >= o.y0 && d.x1 <= o.x1 && d.y1 <= o.y1)
-            m = k
+          if (Geo.isIn(d.x0, d.y0, d.x1, d.y1, o.x0, o.y0, o.x1, o.y1)) m = k
           k += 1
         }
         if (m >= 0) replaced(m) = true else out += d
@@ -668,7 +667,7 @@ object PageOps {
         while (j < n) {
           if (i != j) {
             val a = blocks(idx(i)); val b = blocks(idx(j))
-            if (a.x0 >= b.x0 && a.y0 >= b.y0 && a.x1 <= b.x1 && a.y1 <= b.y1) {
+            if (Geo.isIn(a.x0, a.y0, a.x1, a.y1, b.x0, b.y0, b.x1, b.y1)) {
               if (keep(i)) { keep(i) = false; any = true; reducedB += idx(i) }
             }
           }

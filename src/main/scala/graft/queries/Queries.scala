@@ -1017,8 +1017,12 @@ object Queries {
       it.flatMap { id =>
         val bytes = graft.corpus.PdfGen.bytes(id)
         // parse-once windowing: the source xref walks once, every window
-        // re-serializes from the shared object model
+        // re-serializes from the shared object model. An EMPTY window is
+        // PdfSlice's documented degrade value (a window that failed to
+        // serialize) — it contributes no spans rather than aborting the
+        // task on a parse of zero bytes.
         graft.pdf.PdfSlice.windows(bytes, batch = 2)
+          .filter(_.nonEmpty)
           .flatMap(wb => graft.pdf.PdfConvert.spans(id, wb))
           .zipWithIndex
           .map { case (s, ord) => (id, ord, s.kind, s.media_ref, s.text) }
