@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked JVMs inherit no locale here and mangle non-ASCII filenames
+// (the reference's CJK-named demo PDFs); pin a UTF-8 locale for both
+Test / envVars += ("LC_ALL" -> "C.UTF-8")
+run / envVars += ("LC_ALL" -> "C.UTF-8")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

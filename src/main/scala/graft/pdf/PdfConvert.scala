@@ -742,10 +742,16 @@ object PdfConvert {
         }
       })
 
+    /** A DANGLING reference (object number absent from the xref) resolves
+      * to the null object, exactly pdfium's GetIndirectObject behavior —
+      * real crawl PDFs carry them in /Resources, and erroring here costs
+      * whole pages where pdfium merely loses one resource. Objects that
+      * EXIST but fail to parse still throw (real corruption). */
     def obj(num: Int): PObj = cache.getOrElseUpdate(num, {
-      offsets.getOrElse(num, sys.error(s"object $num not in xref")) match {
-        case Direct(off) => parseObjectAt(off)
-        case InStm(stm, idx) => objstmObjects(stm)(idx)
+      offsets.get(num) match {
+        case None => PNull
+        case Some(Direct(off)) => parseObjectAt(off)
+        case Some(InStm(stm, idx)) => objstmObjects(stm)(idx)
       }
     })
 

@@ -212,11 +212,18 @@ object PdfSlice {
       }
     }
 
-    /** Drain scheduled referenced objects (BFS over the closure). */
+    /** Drain scheduled referenced objects (BFS over the closure). A
+      * DANGLING reference — an object number absent from the xref, which
+      * real crawl PDFs carry in /Resources (pdfium resolves such refs to
+      * null) — serializes as the PDF null object, so the slice degrades
+      * exactly like the source parse instead of failing the window. */
     private def drain(): Unit =
       while (pending.nonEmpty) {
         val (old, nn) = pending.dequeue()
-        writeObj(nn, pdf.obj(old))
+        val body =
+          try pdf.obj(old)
+          catch { case scala.util.control.NonFatal(_) => PNull }
+        writeObj(nn, body)
       }
 
     def emit(pageDicts: Seq[PDict]): Array[Byte] = {

@@ -139,21 +139,24 @@ class PdfSliceSpec extends AnyFunSuite {
     assert(rebase(parts.result()) == full, "test.pdf slice concat diverged")
   }
 
-  test("reference demo1.pdf windows reassemble (real CJK financial report)") {
-    val f = new java.io.File("/root/reference/demo/pdfs/demo1.pdf")
-    assume(f.exists(), "reference tree not present")
-    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-    val full = PdfConvert.spans("demo1.pdf", bytes)
-    assume(full.nonEmpty)
-    val parts = Vector.newBuilder[Vector[OutSpan]]
-    var start = 0
-    var fileEnd = false
-    while (!fileEnd) {
-      val (wb, fe) = PdfSlice.window(bytes, start, batch = 2)
-      parts += PdfConvert.spans("demo1.pdf", wb)
-      fileEnd = fe
-      start += 2
+  test("EVERY reference demo PDF reassembles from parse-once windows") {
+    val dir = new java.io.File("/root/reference/demo/pdfs")
+    assume(dir.isDirectory, "reference tree not present")
+    val files = dir.listFiles().filter(_.getName.endsWith(".pdf")).sortBy(_.getName)
+    assume(files.nonEmpty)
+    files.foreach { f =>
+      // FileInputStream, not toPath: the CJK demo filenames fail Path
+      // encoding under the forked JVM's default charset
+      val bytes = {
+        val in = new java.io.FileInputStream(f)
+        try in.readAllBytes() finally in.close()
+      }
+      val full = PdfConvert.spans(f.getName, bytes)
+      val once = PdfSlice.windows(bytes, batch = 3)
+        .filter(_.nonEmpty)
+        .flatMap(wb => PdfConvert.spans(f.getName, wb))
+      assert(rebase(Seq(once)) == full,
+        s"${f.getName}: window concat diverged (${once.length} vs ${full.length} spans)")
     }
-    assert(rebase(parts.result()) == full, "demo1.pdf window concat diverged")
   }
 }
