@@ -106,6 +106,24 @@ class RealPdfSpec extends AnyFunSuite {
     assert(checked >= 5)
   }
 
+  test("dangling /Resources refs lose a resource, not the page (pdfium null semantics)") {
+    // the reference's own 示例7 research report carries references absent
+    // from the xref in its /Resources dicts; before the null-resolution
+    // fix the whole text layer was lost (8 image-only spans) — pdfium
+    // extracts the text (r5)
+    val f = new java.io.File("/root/reference/demo/pdfs/示例7-研究报告.pdf")
+    assume(f.exists(), "reference tree not present")
+    val bytes = {
+      val in = new java.io.FileInputStream(f)
+      try in.readAllBytes() finally in.close()
+    }
+    val spans = PdfConvert.spans("report.pdf", bytes)
+    assert(spans.length > 30, s"text layer lost again: ${spans.length} spans")
+    val text = spans.map(_.text).mkString(" ")
+    assert(text.contains("盈 利 承 压"), "CJK body text missing")
+    assert(spans.count(_.media_ref.nonEmpty) >= 8, "figure spans missing")
+  }
+
   test("demo1.pdf: dense Latin text volume and CJK decode in the financial report") {
     val demo1 = new java.io.File("/root/reference/demo/pdfs/demo1.pdf")
     assume(demo1.exists(), "reference tree not present")
