@@ -37,6 +37,14 @@ object Oracles {
         |JOIN ids ON g.doc_id = ids.did
         |ORDER BY g.doc_id, g.ord""".stripMargin,
 
+    // the whole-operator exec variant shares the extraction golden
+    "extract_exec" ->
+      """WITH ids AS (SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS did FROM documents)
+        |SELECT g.doc_id, g.ord, g.kind, g.media_ref, g.text
+        |FROM read_parquet('/root/repo/src/test/resources/golden/extract_golden.parquet') g
+        |JOIN ids ON g.doc_id = ids.did
+        |ORDER BY g.doc_id, g.ord""".stripMargin,
+
     "det_low_conf_filter" ->
       s"""$detsCte
          |SELECT doc_id, pos, word,

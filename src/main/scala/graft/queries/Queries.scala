@@ -1152,6 +1152,17 @@ object Queries {
     // additionally pins span equality per document
     "extract_pipeline" -> ((s: SparkSession, d: String) =>
       graft.pipeline.Extract.extractSpans(s, d)),
+    // the same pipeline as a WHOLE-OPERATOR Catalyst node (custom
+    // LogicalPlan -> SparkStrategy -> fused SparkPlan emitting
+    // UnsafeRows, via SparkSessionExtensions) — must reproduce the same
+    // golden oracle as the Dataset path
+    "extract_exec" -> ((s: SparkSession, d: String) => {
+      val ids = s.read.parquet(s"$d/documents.parquet")
+        .select(expr("concat('doc-', lpad(CAST(doc_id AS STRING), 12, '0'))")
+          .as("doc_id"))
+        .repartition(32, col("doc_id"))
+      graft.plans.DocExtract(ids).orderBy("doc_id", "ord")
+    }),
     "det_low_conf_filter" -> detLowConfFilter _,
     "det_iou_dedup" -> detIouDedup _,
     "page_median_height" -> pageMedianHeight _,
