@@ -438,6 +438,23 @@ object DocGen {
     "había", "través", "número", "página", "tiempo", "puede", "entre",
     "mismo", "cada", "forma")
 
+  // Italian accents restricted to ò/ì/ù (è/à would feed the FRENCH
+  // diacritic class) and Portuguese to ã/õ (á/í/ó/ú feed the Spanish
+  // class, ç/ê/â the French) — each pool's accent signal stays inside its
+  // own language-unique class, the r4 discipline
+  private val itPool = Vector(
+    "che", "della", "sono", "anche", "nella", "questo", "essere", "degli",
+    "sulla", "quindi", "può", "ciò", "però", "perciò", "così", "lì", "giù",
+    "più", "virtù", "laggiù", "dove", "ogni", "tutti", "fare", "tempo",
+    "grande", "parte", "stato", "governo", "mondo", "giorno", "storia",
+    "numero", "ancora", "dopo", "prima")
+  private val ptPool = Vector(
+    "uma", "com", "mais", "depois", "isso", "muito", "fazer", "anos",
+    "seus", "pelo", "não", "então", "são", "mão", "questão", "verão",
+    "irmã", "manhã", "visões", "razões", "limões", "botões", "tempo",
+    "casa", "vida", "grande", "mundo", "parte", "governo", "sempre",
+    "coisa", "aqui", "trabalho", "momento", "forma", "cidade")
+
   private def latinText(r: SplitMix64, pool: Vector[String], n: Int): String = {
     val sb = new java.lang.StringBuilder(n * 7)
     var i = 0
@@ -496,7 +513,8 @@ object DocGen {
     // diacritic profile classes for the latin discriminator),
     // 16-21 single-script pages ru/el/ar/he/th/hi (r5: the script-range
     // breadth classes — fasttext covers ~170 languages; script-dominant
-    // detection is the content-derivable slice of that surface)
+    // detection is the content-derivable slice of that surface),
+    // 22-23 latin it/pt (r5: stopword + unique-diacritic profiles)
     val cls =
       if (roll < 0.02) 1 else if (roll < 0.05) 2 else if (roll < 0.07) 3
       else if (roll < 0.09) 4 else if (roll < 0.11) 5 else if (roll < 0.13) 6
@@ -507,7 +525,8 @@ object DocGen {
       else if (roll < 0.35) 15
       else if (roll < 0.365) 16 else if (roll < 0.38) 17
       else if (roll < 0.395) 18 else if (roll < 0.41) 19
-      else if (roll < 0.425) 20 else if (roll < 0.44) 21 else 0
+      else if (roll < 0.425) 20 else if (roll < 0.44) 21
+      else if (roll < 0.455) 22 else if (roll < 0.47) 23 else 0
     doc.pages.zipWithIndex.map { case (pg, p) =>
       val base = pg.blocks.map(_.text).filter(_.nonEmpty).mkString(" ")
       val nFig = pg.blocks.count(_.kind == Kinds.Figure)
@@ -543,6 +562,8 @@ object DocGen {
         case 19 => scriptText(r, 0x05D0, 0x1B, 400) // Hebrew letters -> he
         case 20 => scriptText(r, 0x0E01, 0x2E, 400) // Thai consonants -> th
         case 21 => scriptText(r, 0x0905, 0x35, 400) // Devanagari -> hi
+        case 22 => latinText(r, itPool, 250)
+        case 23 => latinText(r, ptPool, 250)
         case _ => base
       }
       val mapErr = if (cls == 3) math.max(8, text.length * 8 / 100) else 0

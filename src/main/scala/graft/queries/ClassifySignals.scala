@@ -39,7 +39,9 @@ object ClassifySignals {
   val LatinMarkers: Vector[(String, String, String)] = Vector(
     ("fr", """\b(le|les|des|est|dans|pour|nous|avec|donc|sans)\b""", "[èêçàâô]"),
     ("de", """\b(der|die|das|und|ist|nicht|mit|von|den|durch)\b""", "[äöüß]"),
-    ("es", """\b(el|los|las|para|con|por|pero|como|desde|hasta)\b""", "[ñáíóú]"))
+    ("es", """\b(el|los|las|para|con|por|pero|como|desde|hasta)\b""", "[ñáíóú]"),
+    ("it", """\b(che|della|sono|anche|nella|questo|essere|degli|sulla|quindi)\b""", "[ìò]"),
+    ("pt", """\b(uma|com|mais|depois|isso|muito|fazer|anos|seus|pelo)\b""", "[ãõ]"))
 
   /** Minimum per-doc profile score (marker hits + diacritic hits) before a
     * latin doc leaves 'en'. */

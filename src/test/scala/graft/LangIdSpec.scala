@@ -27,12 +27,12 @@ class LangIdSpec extends AnyFunSuite {
     assert(counts("en") > counts.values.sum / 2)
   }
 
-  test("v3 breadth: fourteen language classes, each non-vacuous at sf0.01") {
+  test("v3 breadth: sixteen language classes, each non-vacuous at sf0.01") {
     import spark.implicits._
     val counts = graft.queries.Queries.all("lang_id_v3")(spark, "/root/testdata/sf0.01")
       .groupBy("lang").count()
       .as[(String, Long)].collect().toMap
-    Seq("en", "fr", "de", "es", "ja", "ko", "zh",
+    Seq("en", "fr", "de", "es", "it", "pt", "ja", "ko", "zh",
       "ru", "el", "ar", "he", "th", "hi", "und").foreach { l =>
       assert(counts.getOrElse(l, 0L) > 0L, s"class '$l' vacuous: $counts")
     }
