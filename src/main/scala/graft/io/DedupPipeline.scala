@@ -121,22 +121,35 @@ object DedupPipeline {
     * resume spec's crash hook. Returns the per-stage job reports. */
   def run(spark: SparkSession, dir: String, outDir: String,
       buckets: Int = 8,
-      failAfterStages: Int = Int.MaxValue): Vector[(String, ExtractJob.JobReport)] = {
+      failAfterStages: Int = Int.MaxValue,
+      recordFp: Boolean = true): Vector[(String, ExtractJob.JobReport)] = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val out = Vector.newBuilder[(String, ExtractJob.JobReport)]
+    // `recordFp = false` (the fresh one-shot pipelineQuery run into a
+    // scratch dir deleted on exit): the per-stage input fingerprints
+    // exist ONLY to serve future incremental re-runs of the same dir —
+    // computing five aggregation jobs' worth of fps for a dir about to
+    // be deleted is pure overhead. The memoized ensure() path always
+    // records them (the production shape).
+    @inline def fpOf(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      if (recordFp) bucketFp(df, cols, buckets) else Map.empty[Int, Long]
+    @inline def putFp(path: String, fp: Map[Int, Long]): Unit =
+      if (recordFp) writeFp(spark, path, fp)
 
     // stage 0 — SHINGLES (per-doc, bucket-incremental on the corpus delta)
     val shDir = s"$outDir/shingles"
-    val corpusFp = bucketFp(docs.select(col("doc_id"), col("text")),
-      Seq("doc_id", "text"), buckets)
-    val staleSh = staleBuckets(corpusFp, readFp(spark, s"$shDir/_input_fp"), buckets)
+    val corpusFp = fpOf(docs.select(col("doc_id"), col("text")),
+      Seq("doc_id", "text"))
+    val staleSh =
+      if (recordFp) staleBuckets(corpusFp, readFp(spark, s"$shDir/_input_fp"), buckets)
+      else Set.empty[Int]
     dropDoneBuckets(spark, shDir, staleSh)
     out += "shingles" -> ExtractJob.runWith[org.apache.spark.sql.Row](
       spark, docs.toDF(),
       slice => ScaleQueries.shinglesFrom(slice).select(col("doc_id"), col("g32")),
       shDir, buckets = buckets, groups = math.min(2, buckets),
       runId = "shingles", failAfterGroups = Int.MaxValue)
-    writeFp(spark, s"$shDir/_input_fp", corpusFp)
+    putFp(s"$shDir/_input_fp", corpusFp)
     if (failAfterStages <= 1) return out.result()
     def shingleTable = readStage(spark, s"$shDir/data", shingleSchema)
       .select(col("doc_id"), col("g32"))
@@ -158,15 +171,17 @@ object DedupPipeline {
     // changed: fingerprinted on the recomputed candidate table, so a
     // byte-identical candidates rebuild invalidates nothing here)
     val verDir = s"$outDir/verified"
-    val candFp = bucketFp(candTable, Seq("doc_id", "b_id", "nbands"), buckets)
-    val staleV = staleBuckets(candFp, readFp(spark, s"$verDir/_input_fp"), buckets)
+    val candFp = fpOf(candTable, Seq("doc_id", "b_id", "nbands"))
+    val staleV =
+      if (recordFp) staleBuckets(candFp, readFp(spark, s"$verDir/_input_fp"), buckets)
+      else Set.empty[Int]
     dropDoneBuckets(spark, verDir, staleV)
     out += "verified" -> ExtractJob.runWith[org.apache.spark.sql.Row](
       spark, candTable,
       slice => ScaleQueries.minhashVerifyFromShingles(slice, shingleTable),
       verDir, buckets = buckets, groups = math.min(2, buckets),
       runId = "verified", failAfterGroups = Int.MaxValue)
-    writeFp(spark, s"$verDir/_input_fp", candFp)
+    putFp(s"$verDir/_input_fp", candFp)
     if (failAfterStages <= 3) return out.result()
 
     // stage 3 — GROUPS (global: min-label propagation to convergence)
@@ -184,15 +199,17 @@ object DedupPipeline {
 
     // stage 4 — KEEP (per-row decision, incremental on the groups delta)
     val keepDir = s"$outDir/keep"
-    val grpFp = bucketFp(grpTable, Seq("doc_id", "group_id"), buckets)
-    val staleK = staleBuckets(grpFp, readFp(spark, s"$keepDir/_input_fp"), buckets)
+    val grpFp = fpOf(grpTable, Seq("doc_id", "group_id"))
+    val staleK =
+      if (recordFp) staleBuckets(grpFp, readFp(spark, s"$keepDir/_input_fp"), buckets)
+      else Set.empty[Int]
     dropDoneBuckets(spark, keepDir, staleK)
     out += "keep" -> ExtractJob.runWith[org.apache.spark.sql.Row](
       spark, grpTable,
       slice => ScaleQueries.dedupKeepFrom(slice),
       keepDir, buckets = buckets, groups = math.min(2, buckets),
       runId = "keep", failAfterGroups = Int.MaxValue)
-    writeFp(spark, s"$keepDir/_input_fp", grpFp)
+    putFp(s"$keepDir/_input_fp", grpFp)
     out.result()
   }
 
@@ -267,7 +284,7 @@ object DedupPipeline {
     val out = java.nio.file.Files.createTempDirectory("graft_dedup_run").toString
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       deleteDir(new java.io.File(out))))
-    run(spark, dir, out)
+    run(spark, dir, out, recordFp = false)
     readStage(spark, s"$out/keep/data", keepSchema)
       .select(col("doc_id"), col("group_id"), col("keep"))
       .orderBy("doc_id")
