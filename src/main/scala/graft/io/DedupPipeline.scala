@@ -102,6 +102,12 @@ object DedupPipeline {
     spark.createDataset(keepRows).write.mode("overwrite").parquet(tmp)
     deleteDir(new java.io.File(ckpt))
     new java.io.File(tmp).renameTo(new java.io.File(ckpt))
+    // r5 advice (medium): dynamic partition overwrite only replaces
+    // partitions that receive rows — a delta that recomputes a stale
+    // bucket to ZERO rows would silently keep serving its old parquet.
+    // Delete the re-opened buckets' data dirs here; the re-run rewrites
+    // the non-empty ones.
+    stale.foreach(b => deleteDir(new java.io.File(s"$stageOut/data/bucket=$b")))
   }
 
   private def wipeCheckpoint(stageOut: String): Unit =
@@ -122,7 +128,8 @@ object DedupPipeline {
   def run(spark: SparkSession, dir: String, outDir: String,
       buckets: Int = 8,
       failAfterStages: Int = Int.MaxValue,
-      recordFp: Boolean = true): Vector[(String, ExtractJob.JobReport)] = {
+      recordFp: Boolean = true,
+      unitGroups: Int = 2): Vector[(String, ExtractJob.JobReport)] = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val out = Vector.newBuilder[(String, ExtractJob.JobReport)]
     // `recordFp = false` (the fresh one-shot pipelineQuery run into a
@@ -147,7 +154,7 @@ object DedupPipeline {
     out += "shingles" -> ExtractJob.runWith[org.apache.spark.sql.Row](
       spark, docs.toDF(),
       slice => ScaleQueries.shinglesFrom(slice).select(col("doc_id"), col("g32")),
-      shDir, buckets = buckets, groups = math.min(2, buckets),
+      shDir, buckets = buckets, groups = math.min(unitGroups, buckets),
       runId = "shingles", failAfterGroups = Int.MaxValue)
     putFp(s"$shDir/_input_fp", corpusFp)
     if (failAfterStages <= 1) return out.result()
@@ -179,7 +186,7 @@ object DedupPipeline {
     out += "verified" -> ExtractJob.runWith[org.apache.spark.sql.Row](
       spark, candTable,
       slice => ScaleQueries.minhashVerifyFromShingles(slice, shingleTable),
-      verDir, buckets = buckets, groups = math.min(2, buckets),
+      verDir, buckets = buckets, groups = math.min(unitGroups, buckets),
       runId = "verified", failAfterGroups = Int.MaxValue)
     putFp(s"$verDir/_input_fp", candFp)
     if (failAfterStages <= 3) return out.result()
@@ -207,7 +214,7 @@ object DedupPipeline {
     out += "keep" -> ExtractJob.runWith[org.apache.spark.sql.Row](
       spark, grpTable,
       slice => ScaleQueries.dedupKeepFrom(slice),
-      keepDir, buckets = buckets, groups = math.min(2, buckets),
+      keepDir, buckets = buckets, groups = math.min(unitGroups, buckets),
       runId = "keep", failAfterGroups = Int.MaxValue)
     putFp(s"$keepDir/_input_fp", grpFp)
     out.result()
@@ -278,13 +285,22 @@ object DedupPipeline {
     * hygiene (r4): prior run dirs are deleted on entry and this run's dir
     * on JVM exit, so repeated bench runs don't grow tmp. */
   def pipelineQuery(spark: SparkSession, dir: String): DataFrame = {
+    // scratch reaping is AGE-GATED (r5 advice): another JVM's in-flight
+    // run dir (a verify and a bench overlapping) must not be deleted
+    // mid-run; only dirs a stale hour old are clearly abandoned
     val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
     Option(tmpRoot.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("graft_dedup_run")).foreach(deleteDir)
+      .filter(f => f.getName.startsWith("graft_dedup_run") && f.lastModified() < cutoff)
+      .foreach(deleteDir)
     val out = java.nio.file.Files.createTempDirectory("graft_dedup_run").toString
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       deleteDir(new java.io.File(out))))
-    run(spark, dir, out, recordFp = false)
+    // unitGroups = 1: the fresh one-shot chain has nothing to resume, so
+    // splitting each bucketed stage into 2 sequential commit units only
+    // doubled the per-stage job count (the memoized ensure() path keeps
+    // the default resume granularity)
+    run(spark, dir, out, recordFp = false, unitGroups = 1)
     readStage(spark, s"$out/keep/data", keepSchema)
       .select(col("doc_id"), col("group_id"), col("keep"))
       .orderBy("doc_id")

@@ -611,30 +611,48 @@ object Queries {
     * capped sets. The exact verification path for the MinHash/LSH
     * candidates. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = tbl(spark, dir, "documents")
+    // r6 restructure (guide §2.3/§2.4, result-identical — the r5 plan
+    // computed the shingle+window-df subtree FOUR times, each with its own
+    // Exchange+Sort+Window: self-join left, self-join right, sizes-a,
+    // sizes-b; 4 Exchanges on the exploded shingles → 1):
+    //  - group by the 32-bit shingle hash ONCE (collect_list, sorted);
+    //    the df cap is the list size — same rows kept as the window count;
+    //  - candidate pairs expand join-free inside a transform over the
+    //    sorted per-shingle doc list (a<b by construction, equal ids
+    //    dropped — exactly the old a.join(b, g).filter(a<b) multiset);
+    //  - per-doc kept-shingle sizes re-derive from the same grouped frame
+    //    (the Exchange on g is reused); the final size joins stay
+    //    planner-chosen — sizes is per-doc, the wrong side to pin as a
+    //    broadcast at corpus scale.
+    val ex = tbl(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .withColumn("grams", expr(
-        "array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"))
-    // join on a 32-bit shingle hash: the shuffle moves 8-byte keys instead
-    // of 20-char strings (same result — both sides hash identically)
-    val ex = docs.select(col("doc_id"), explode(col("grams")).as("gs"))
+      // gram array built inside the explode (see ScaleQueries.shinglesFrom:
+      // a named intermediate column gets substituted into the Generate's
+      // inferred filter and pays the interpreted transform ~3x per row)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1])))")).as("gs"))
       .select(col("doc_id"), expr("CAST(conv(substring(md5(gs), 1, 8), 16, 10) AS BIGINT)").as("g"))
-    val kept = ex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("df") <= ShingleDfCap)
-      .select(col("doc_id"), col("g"))
-    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("gsz"))
-    val pairs = kept.join(kept.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
-      .filter(col("doc_id") < col("b_id"))
-      .groupBy(col("doc_id"), col("b_id"))
+    val byG = ex.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= ShingleDfCap)
+    val sizes = byG.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("gsz"))
+    val pairs = byG
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), b -> named_struct('a', a, 'b', b))))")).as("p"))
+      .filter(col("p.a") < col("p.b"))
+      .groupBy(col("p.a").as("doc_id"), col("p.b").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.select(col("doc_id"), col("gsz").as("a_sz")), Seq("doc_id"))
       .join(sizes.select(col("doc_id").as("b_id"), col("gsz").as("b_sz")), Seq("b_id"))
       .withColumn("jac", col("inter") / (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
       .filter(col("jac") >= 0.12)
-      .select(col("doc_id"), col("b_id"), col("inter"), col("jac"))
+      // r5 schema parity: widen the join-free pair columns back to
+      // nullable in the analyzed schema (zero runtime cost)
+      .select(ScaleQueries.asNullable("doc_id"), ScaleQueries.asNullable("b_id"),
+        col("inter"), col("jac"))
       .orderBy("doc_id", "b_id")
   }
 

@@ -81,14 +81,18 @@ object ScaleQueries {
     shinglesFrom(tbl(spark, dir, "documents"))
 
   /** Shingles from an explicit documents frame (the materialized-chain
-    * stages slice their own inputs). */
+    * stages slice their own inputs). The gram array is built INSIDE the
+    * explode call (r6, guide §1.2 per-task work): naming it via a
+    * withColumn first made the optimizer substitute the whole interpreted
+    * higher-order `transform(...)` into the Generate's inferred
+    * size/notnull filter, evaluating it ~3x per row — measured 2.8s vs
+    * 0.6s for the whole stage at sf0.1 (graft.tools.ShingleProf2). */
   def shinglesFrom(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .withColumn("grams", expr(
-        "array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"))
-      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1])))")).as("g"))
       .withColumn("g32", expr("CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)"))
 
   /** Hybrid capped pair expansion of a bucketed id column: buckets at or
@@ -98,18 +102,28 @@ object ScaleQueries {
     * (a_id, b_id) with a_id < b_id. */
   private def cappedBucketPairs(df: DataFrame, keys: Seq[String], id: String,
       cap: Long): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-    val st = df
-      .withColumn("cnt", count(lit(1)).over(w))
-      .withColumn("mn", min(col(id)).over(w))
-    val small = st.filter(col("cnt") <= cap)
-    val smallPairs = small
-      .join(small.select((col(id).as("b_id") +: keys.map(col)): _*), keys)
-      .filter(col(id) < col("b_id"))
-      .select(col(id).as("a_id"), col("b_id"))
-    val starPairs = st.filter(col("cnt") > cap && col(id) > col("mn"))
-      .select(col("mn").as("a_id"), col(id).as("b_id"))
-    smallPairs.unionByName(starPairs)
+    // r6 (guide §2.4/§3): ONE shuffle — each bucket's member list is
+    // collected (sorted, so pair order is deterministic) and the pair
+    // expansion happens join-free inside a higher-order transform. The
+    // previous form paid two window functions over (keys) plus a self-join
+    // (the windowed subtree planned 3x: small-left, small-right, star);
+    // result-identical — all-pairs a<b under the cap, star-to-minimum
+    // above it. Memory: one bucket's id list lives in one aggregation
+    // buffer — the same locality the window form already forced (a window
+    // partitioned by the bucket key buffers the whole bucket per task),
+    // and 8 bytes/member keeps even a 10^6-member hot cluster at ~8 MB.
+    val byB = df.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col(id))).as("ids"))
+    val small = byB.filter(size(col("ids")) <= cap)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), b -> named_struct('a', a, 'b', b))))")).as("p"))
+      .filter(col("p.a") < col("p.b"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+    val star = byB.filter(size(col("ids")) > cap)
+      .select(col("ids").getItem(0).as("a_id"),
+        explode(expr("slice(ids, 2, size(ids) - 1)")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+    small.unionByName(star)
   }
 
   /** MinHash signature (16 hashes, universal-hash family over the 32-bit
@@ -148,7 +162,16 @@ object ScaleQueries {
     cappedBucketPairs(bands, Seq("band", "key"), "doc_id", MinhashBucketCap)
       .groupBy(col("a_id").as("doc_id"), col("b_id"))
       .agg(count(lit(1)).as("nbands"))
+      // r5 schema parity: the join-free pair expansion yields a
+      // non-nullable b_id; widen the analyzed schema back to the r5
+      // nullability (the optimizer folds the conditional away at runtime)
+      .select(asNullable("doc_id"), asNullable("b_id"), col("nbands"))
   }
+
+  /** Widen a non-nullable column back to nullable in the analyzed schema —
+    * zero runtime cost (the optimizer simplifies the conditional). */
+  private[queries] def asNullable(c: String): Column =
+    expr(s"CASE WHEN $c IS NOT NULL THEN $c END").as(c)
 
   /** Exact-Jaccard verification of the MinHash candidates — the VERIFY
     * stage of the canonical candidates -> verify -> groups dedup chain
@@ -250,7 +273,8 @@ object ScaleQueries {
       // orthogonal (max pairwise cosine ~0.51), so "near-dup" here is the
       // far tail of the similarity distribution
       .filter(col("sim") >= 0.42)
-      .select(col("a_id"), col("b_id"))
+      // r5 schema parity (nullability of the join-free pair columns)
+      .select(asNullable("a_id"), asNullable("b_id"))
       .orderBy("a_id", "b_id")
   }
 
@@ -274,7 +298,17 @@ object ScaleQueries {
     val edges = pairs.select(col("doc_id").as("v"), col("b_id").as("u"))
       .unionByName(pairs.select(col("b_id").as("v"), col("doc_id").as("u")))
       .persist()
-    var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("lbl")).persist()
+    // r6 (guide §2.3 — shuffle the proxy, not the corpus): propagation
+    // iterates over the CANDIDATE SUBGRAPH only. A doc with no candidate
+    // pair is a fixed point of min-label propagation (its closed
+    // neighbourhood is itself), so it can never change labels; iterating
+    // it anyway made every round shuffle n rows instead of
+    // O(candidate-pair vertices) — at crawl scale the difference between
+    // the corpus and its near-dup fringe. Isolated docs re-join once at
+    // the end via a left join (labels side is O(2·candidates), the
+    // broadcastable side).
+    var labels = edges.select(col("v")).distinct()
+      .withColumn("lbl", col("v")).persist()
     var iter = 0
     var changed = 1L
     // run to CONVERGENCE: min-label propagation terminates in component-
@@ -291,17 +325,22 @@ object ScaleQueries {
       val nbrMin = edges
         .join(labels.select(col("v").as("u"), col("lbl").as("ulbl")), Seq("u"))
         .groupBy(col("v")).agg(min(col("ulbl")).as("nbr_lbl"))
+      // carry the previous label through the checkpoint so the changed-
+      // row count is a filter over materialized data instead of a second
+      // join against the previous round (r6: one join per round, not two)
       val next0 = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"))
       val next = if (reliable) next0.checkpoint() else next0.localCheckpoint(true)
-      changed = next.join(labels.select(col("v"), col("lbl").as("old")), Seq("v"))
-        .filter(col("lbl") =!= col("old")).count()
+      changed = next.filter(col("lbl") =!= col("prev")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("v"), col("lbl"))
       iter += 1
     }
-    val out = labels.select(col("v").as("doc_id"), col("lbl").as("group_id"))
+    val out = docs.select(col("doc_id"))
+      .join(labels.select(col("v").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("group_id"))
     pairs.unpersist(); edges.unpersist()
     out
   }

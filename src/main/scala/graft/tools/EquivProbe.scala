@@ -1,0 +1,154 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dev probe: r6 restructures must be RESULT-IDENTICAL. This tool keeps a
+  * verbatim copy of the r5 formulations and diffs them row-exactly against
+  * the restructured queries on the given SF dirs. */
+object EquivProbe {
+
+  // ---- r5 verbatim copies --------------------------------------------------
+
+  private def oldShinglesFrom(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .withColumn("g32", expr("CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)"))
+
+  private def oldCappedBucketPairs(df: DataFrame, keys: Seq[String], id: String,
+      cap: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val st = df
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("mn", min(col(id)).over(w))
+    val small = st.filter(col("cnt") <= cap)
+    val smallPairs = small
+      .join(small.select((col(id).as("b_id") +: keys.map(col)): _*), keys)
+      .filter(col(id) < col("b_id"))
+      .select(col(id).as("a_id"), col("b_id"))
+    val starPairs = st.filter(col("cnt") > cap && col(id) > col("mn"))
+      .select(col("mn").as("a_id"), col(id).as("b_id"))
+    smallPairs.unionByName(starPairs)
+  }
+
+  private def oldMinhashPairsFromShingles(sh: DataFrame): DataFrame = {
+    val minCols = (0 until 16).map { i =>
+      min(expr(s"(${17 + 13 * i} * g32 + ${3 + 7 * i}) % 4294967311")).as(s"mh$i")
+    }
+    val minh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*).as("key"))
+    }
+    val bands = minh
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    oldCappedBucketPairs(bands, Seq("band", "key"), "doc_id", 64L)
+      .groupBy(col("a_id").as("doc_id"), col("b_id"))
+      .agg(count(lit(1)).as("nbands"))
+  }
+
+  private def oldDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"))
+    val ex = docs.select(col("doc_id"), explode(col("grams")).as("gs"))
+      .select(col("doc_id"), expr("CAST(conv(substring(md5(gs), 1, 8), 16, 10) AS BIGINT)").as("g"))
+    val kept = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("df") <= 32)
+      .select(col("doc_id"), col("g"))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("gsz"))
+    val pairs = kept.join(kept.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
+      .filter(col("doc_id") < col("b_id"))
+      .groupBy(col("doc_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id"), col("gsz").as("a_sz")), Seq("doc_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("gsz").as("b_sz")), Seq("b_id"))
+      .withColumn("jac", col("inter") / (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
+      .filter(col("jac") >= 0.12)
+      .select(col("doc_id"), col("b_id"), col("inter"), col("jac"))
+      .orderBy("doc_id", "b_id")
+  }
+
+  private def oldCosNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecFns
+    import graft.queries.ScaleQueries.{lshPlanesPerBand, planesFor}
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = e.count()
+    val pB = lshPlanesPerBand(n)
+    val nBands = 4
+    val pl = planesFor(nBands * pB)
+    def bandBucket(emb: org.apache.spark.sql.Column, band: Int): org.apache.spark.sql.Column =
+      (0 until pB).map { k =>
+        when(VecFns.dotConst(emb, pl(band * pB + k)) >= 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val ids = e.select(col("vec_id") +:
+      (0 until nBands).map(b => bandBucket(col("embedding"), b).cast("long").as(s"bb$b")): _*)
+    val cand = (0 until nBands).map { b =>
+      oldCappedBucketPairs(
+        ids.select(col("vec_id"), col(s"bb$b").as("k")), Seq("k"), "vec_id", 256L)
+    }.reduce(_ unionByName _).distinct()
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("va")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("vb")), Seq("b_id"))
+      .withColumn("sim", VecFns.cosineSim(col("va"), col("vb")))
+      .filter(col("sim") >= 0.42)
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---- diff ----------------------------------------------------------------
+
+  def diff(name: String, oldDf: DataFrame, newDf: DataFrame): Boolean = {
+    val o = oldDf.collect().map(_.toString).sorted
+    val n = newDf.collect().map(_.toString).sorted
+    val same = o.sameElements(n) && oldDf.schema == newDf.schema
+    println(s"  $name: old=${o.length} new=${n.length} " +
+      (if (same) "IDENTICAL" else "*** MISMATCH ***"))
+    if (!same) {
+      o.diff(n).take(5).foreach(r => println(s"    only-old: $r"))
+      n.diff(o).take(5).foreach(r => println(s"    only-new: $r"))
+      if (oldDf.schema != newDf.schema) {
+        println(s"    old schema: ${oldDf.schema.treeString}")
+        println(s"    new schema: ${newDf.schema.treeString}")
+      }
+    }
+    same
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    var ok = true
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      println(s"== $dir ==")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      ok &= diff("shinglesFrom",
+        oldShinglesFrom(docs), graft.queries.ScaleQueries.shinglesFrom(docs))
+      ok &= diff("minhash_pairs_from_shingles",
+        oldMinhashPairsFromShingles(oldShinglesFrom(docs).select(col("doc_id"), col("g32"))),
+        graft.queries.ScaleQueries.minhashLshPairsFromShingles(
+          graft.queries.ScaleQueries.shinglesFrom(docs).select(col("doc_id"), col("g32"))))
+      ok &= diff("dedup_ngram_jaccard",
+        oldDedupNgramJaccard(spark, dir),
+        graft.queries.Queries.dedupNgramJaccard(spark, dir))
+      ok &= diff("cos_neardup_pairs",
+        oldCosNeardupPairs(spark, dir),
+        graft.queries.ScaleQueries.cosNeardupPairs(spark, dir))
+    }
+    println(if (ok) "ALL IDENTICAL" else "MISMATCHES FOUND")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
