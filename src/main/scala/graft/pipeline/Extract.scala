@@ -141,11 +141,24 @@ object Extract {
     * nothing. */
   def extractSpansUnordered(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val ids = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
-    run(corpus(ids))
+    run(corpus(docIds(spark, dir)))
       .select(col("doc_id"), explode(col("spans")).as("s"))
       .select(col("doc_id"), col("s.order").as("ord"), col("s.kind"),
         col("s.media_ref"), col("s.text"))
+  }
+
+  /** Whole-document extraction results for the given corpus dir — the
+    * per-doc consumers (the chunkers) fold inside the extraction
+    * partitions instead of re-grouping an exploded span stream (r6:
+    * documents are already WHOLE in the kernel stage; a
+    * groupByKey(doc_id) downstream re-shuffles every span for an
+    * aggregation the map side can do for free). */
+  def extractDocs(spark: SparkSession, dir: String): Dataset[graft.schema.DocResult] =
+    run(corpus(docIds(spark, dir)))
+
+  private def docIds(spark: SparkSession, dir: String): Dataset[String] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
   }
 }

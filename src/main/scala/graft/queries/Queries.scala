@@ -741,17 +741,43 @@ object Queries {
   }
 
   def chunkLocate(spark: SparkSession, dir: String): DataFrame = {
-    val spans = graft.pipeline.Extract.extractSpansUnordered(spark, dir)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("ord"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spans
-      .withColumn("toks",
-        when(col("text") === "", lit(0)).otherwise(size(split(col("text"), " "))))
-      .withColumn("cum_before", sum(col("toks")).over(w) - col("toks"))
-      .withColumn("chunk_id", expr(s"CAST(cum_before div $LocatorChunkTokens AS INT)"))
-      .groupBy(col("doc_id"), col("chunk_id"))
-      .agg(min(col("ord")).as("first_ord"), max(col("ord")).as("last_ord"),
-        count(lit(1)).as("n_spans"), sum(col("toks")).as("n_tokens"))
+    // r6 (guide §2.4): same in-partition fold as chunk_blocks — the r5
+    // plan shuffled every span for the per-doc window (cumulative token
+    // sum) and again for the groupBy (2 Exchanges -> 0). The walk applies
+    // THE shared locator rule (locatorChunkIds — same constant as
+    // chunk_locate_fuzzy, cross-checked by spec), and chunk ids are
+    // nondecreasing, so the contiguous fold equals the old aggregation.
+    import spark.implicits._
+    graft.pipeline.Extract.extractDocs(spark, dir)
+      .mapPartitions { docs =>
+        docs.flatMap { res =>
+          val ss = res.spans.sortBy(_.order)
+          val chunkOf = locatorChunkIds(ss.map(_.text).toVector)
+          var cur = -1
+          var first = 0
+          var last = 0
+          var nSpans = 0L
+          var nTok = 0L
+          val out = Vector.newBuilder[(String, Int, Int, Int, Long, Long)]
+          def flush(): Unit =
+            if (cur >= 0) out += ((res.doc_id, cur, first, last, nSpans, nTok))
+          ss.zip(chunkOf).foreach { case (s, c) =>
+            if (c != cur) { flush(); cur = c; first = s.order; nSpans = 0L; nTok = 0L }
+            last = s.order
+            nSpans += 1
+            nTok += locatorToks(s.text)
+          }
+          flush()
+          out.result()
+        }
+      }
+      .toDF("doc_id", "chunk_id", "first_ord", "last_ord", "n_spans", "n_tokens")
+      // r5 schema parity: chunk_id (window-derived) and the min/max/sum
+      // aggregates were nullable
+      .select(col("doc_id"), ScaleQueries.asNullable("chunk_id"),
+        ScaleQueries.asNullable("first_ord"),
+        ScaleQueries.asNullable("last_ord"), col("n_spans"),
+        ScaleQueries.asNullable("n_tokens"))
       .orderBy("doc_id", "chunk_id")
   }
 
@@ -768,33 +794,54 @@ object Queries {
     * Emits (chunk_id, span range, token count); the oracle replays the
     * same walk over the committed golden parquet with a recursive CTE. */
   def chunkBlocks(spark: SparkSession, dir: String): DataFrame = {
+    // r6 (guide §2.4 remove shuffles outright): documents are WHOLE inside
+    // the extraction partitions, so the chunk walk and its per-chunk
+    // aggregation fold in the same mapPartitions — the r5 plan exploded
+    // every span, shuffled them by doc_id for groupByKey, walked, then
+    // shuffled AGAIN for the groupBy aggregation (2 Exchanges -> 0).
+    // Chunk ids are nondecreasing along the walk, so each chunk's rows are
+    // contiguous and the running (first, last, count, sum) fold is exactly
+    // the old min/max/count/sum aggregation.
     import spark.implicits._
     val Budget = 60
     val MinTok = 12
-    val spans = graft.pipeline.Extract.extractSpansUnordered(spark, dir)
-      .select(col("doc_id"), col("ord").cast("int").as("ord"), col("kind"), col("text"))
-      .as[(String, Int, String, String)]
-    spans.groupByKey(_._1).flatMapGroups { (id: String, it: Iterator[(String, Int, String, String)]) =>
-      val ss = it.toVector.sortBy(_._2)
-      var chunk = 1
-      var cum = 0
-      val out = Vector.newBuilder[(String, Int, Int, Int)]
-      ss.foreach { case (_, ord, kind, text) =>
-        // split(regex, -1) keeps trailing empties — the SQL engines'
-        // split/string_split semantics, unlike Scala's default
-        val toks = if (text.isEmpty) 0 else text.split(" ", -1).length
-        val brk =
-          ((kind == Kinds0.Title || kind == Kinds0.Table || kind == Kinds0.Algorithm) && cum >= MinTok) ||
-            (cum + toks > Budget && cum >= MinTok)
-        if (brk) { chunk += 1; cum = 0 }
-        cum += toks
-        out += ((id, chunk, ord, toks))
+    graft.pipeline.Extract.extractDocs(spark, dir)
+      .mapPartitions { docs =>
+        docs.flatMap { res =>
+          val ss = res.spans.sortBy(_.order)
+          var chunk = 1
+          var cum = 0
+          var cur = 0
+          var first = 0
+          var last = 0
+          var nSpans = 0L
+          var nTok = 0L
+          val out = Vector.newBuilder[(String, Int, Int, Int, Long, Long)]
+          def flush(): Unit =
+            if (cur > 0) out += ((res.doc_id, cur, first, last, nSpans, nTok))
+          ss.foreach { s =>
+            // split(regex, -1) keeps trailing empties — the SQL engines'
+            // split/string_split semantics, unlike Scala's default
+            val toks = if (s.text.isEmpty) 0 else s.text.split(" ", -1).length
+            val brk =
+              ((s.kind == Kinds0.Title || s.kind == Kinds0.Table || s.kind == Kinds0.Algorithm) && cum >= MinTok) ||
+                (cum + toks > Budget && cum >= MinTok)
+            if (brk) { chunk += 1; cum = 0 }
+            cum += toks
+            if (chunk != cur) { flush(); cur = chunk; first = s.order; nSpans = 0L; nTok = 0L }
+            last = s.order
+            nSpans += 1
+            nTok += toks
+          }
+          flush()
+          out.result()
+        }
       }
-      out.result()
-    }.toDF("doc_id", "chunk_id", "ord", "toks")
-      .groupBy(col("doc_id"), col("chunk_id"))
-      .agg(min(col("ord")).as("first_ord"), max(col("ord")).as("last_ord"),
-        count(lit(1)).as("n_spans"), sum(col("toks")).as("n_tokens"))
+      .toDF("doc_id", "chunk_id", "first_ord", "last_ord", "n_spans", "n_tokens")
+      // r5 schema parity: min/max/sum aggregates were nullable
+      .select(col("doc_id"), col("chunk_id"), ScaleQueries.asNullable("first_ord"),
+        ScaleQueries.asNullable("last_ord"), col("n_spans"),
+        ScaleQueries.asNullable("n_tokens"))
       .orderBy("doc_id", "chunk_id")
   }
   private object Kinds0 {
@@ -844,13 +891,14 @@ object Queries {
     * with windows instead of sequential state. Emits one row per located
     * block. */
   def chunkLocateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    // r6 (guide §2.4): the per-doc fuzzy walk runs inside the extraction
+    // partitions (docs are whole there) instead of shuffling the exploded
+    // span stream through groupByKey — the walk body is unchanged.
     import spark.implicits._
-    val spans = graft.pipeline.Extract.extractSpansUnordered(spark, dir)
-      .select(col("doc_id"), col("ord").cast("int").as("ord"), col("kind"),
-        col("media_ref"), col("text"))
-      .as[(String, Int, String, String, String)]
-    spans.groupByKey(_._1).flatMapGroups { (id: String, it: Iterator[(String, Int, String, String, String)]) =>
-      val blocks = it.toVector.sortBy(_._2)
+    graft.pipeline.Extract.extractDocs(spark, dir).mapPartitions(_.flatMap { res =>
+      val id = res.doc_id
+      val blocks = res.spans.sortBy(_.order)
+        .map(s => (id, s.order, s.kind, s.media_ref, s.text)).toVector
       // chunk boundaries: THE shared locator rule (same function family
       // as chunk_locate — one constant, no drift)
       val chunkOf = locatorChunkIds(blocks.map(_._5))
@@ -912,7 +960,7 @@ object Queries {
         }
       }
       out.result()
-    }.toDF("doc_id", "chunk_id", "ord")
+    }).toDF("doc_id", "chunk_id", "ord")
       .orderBy("doc_id", "chunk_id", "ord")
   }
 
@@ -1054,11 +1102,25 @@ object Queries {
     * ContentType.HYPERLINK, enum_class.py:59) — URL targets and named
     * /Dest targets both flow through media_ref, at parity with the
     * office/html hyperlink spans. */
-  def pdfHyperlinks(spark: SparkSession, dir: String): DataFrame =
-    pdfExtract(spark, dir)
-      .filter(col("kind") === "hyperlink")
-      .select(col("doc_id"), col("ord"), col("text"), col("media_ref").as("url"))
+  def pdfHyperlinks(spark: SparkSession, dir: String): DataFrame = {
+    // r6 (guide §2.3 project-early): filter to the hyperlink spans INSIDE
+    // the parse partition instead of stacking filter+sort on top of the
+    // already-sorted pdfExtract — the r5 plan sorted the full span stream,
+    // filtered, then sorted again (the parse subtree is opaque to the
+    // optimizer, so nothing pushed down). Same rows: `ord` is the span's
+    // own order value, untouched by the filter.
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents")
+      .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
+    ids.mapPartitions { it =>
+      it.flatMap { id =>
+        graft.pdf.PdfConvert.spans(id, graft.corpus.PdfGen.bytes(id))
+          .withFilter(_.kind == graft.schema.Kinds.Hyperlink)
+          .map(s => (id, s.order, s.text, s.media_ref))
+      }
+    }.toDF("doc_id", "ord", "text", "url")
       .orderBy("doc_id", "ord")
+  }
 
   /** Mixed raw-blob ingestion: one table interleaving office packages
     * (doc index ≡ 0 mod 5), HTML pages (≡ 1), PDF files (≡ 2), raster

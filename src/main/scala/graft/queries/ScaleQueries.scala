@@ -210,23 +210,31 @@ object ScaleQueries {
   }
 
   /** 64-bit SimHash over distinct tokens, carried as two 32-bit halves so
-    * neither side can overflow a signed 64-bit shift-accumulate. */
+    * neither side can overflow a signed 64-bit shift-accumulate.
+    * r6 (guide §2.3 aggregate-before-shuffle): the per-bit majority vote
+    * is 64 conditional-sum aggregate columns in ONE partial-aggregable
+    * pass over the tokens — the r5 form exploded every token into 32
+    * bit-rows (x32 shuffle input) and aggregated twice. Same integer
+    * sums, same majority rule, bit-identical signatures. */
   def simhash64(spark: SparkSession, dir: String): DataFrame = {
     val toks = tbl(spark, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .withColumn("hi", expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
       .withColumn("lo", expr("CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT)"))
-    val bits = toks
-      .select(col("doc_id"), col("hi"), col("lo"), explode(expr("sequence(0, 31)")).as("j"))
-      .select(col("doc_id"), col("j"),
-        expr("(shiftright(hi, j) & 1)").as("hbit"),
-        expr("(shiftright(lo, j) & 1)").as("lbit"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(count(lit(1)).as("cnt"), sum(col("hbit")).as("oh"), sum(col("lbit")).as("ol"))
-    bits.groupBy(col("doc_id"))
-      .agg(
-        sum(expr("CASE WHEN 2 * oh >= cnt THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END")).as("sig_hi"),
-        sum(expr("CASE WHEN 2 * ol >= cnt THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END")).as("sig_lo"))
+    val bitSums =
+      count(lit(1)).as("cnt") +:
+        (0 until 32).map(j => sum(expr(s"(shiftright(hi, $j) & 1)")).as(s"oh$j")) ++:
+        (0 until 32).map(j => sum(expr(s"(shiftright(lo, $j) & 1)")).as(s"ol$j"))
+    val sig = (pre: String) => (0 until 32)
+      .map(j => s"CASE WHEN 2 * $pre$j >= cnt THEN shiftleft(CAST(1 AS BIGINT), $j) ELSE 0 END")
+      .mkString(" + ")
+    toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        expr(sig("oh")).as("sig_hi"),
+        expr(sig("ol")).as("sig_lo"))
+      // r5 schema parity (the old double aggregation left the sigs nullable)
+      .select(col("doc_id"), asNullable("sig_hi"), asNullable("sig_lo"))
       .orderBy("doc_id")
   }
 

@@ -106,6 +106,89 @@ object EquivProbe {
       .orderBy("a_id", "b_id")
   }
 
+  private def oldSimhash64(spark: SparkSession, dir: String): DataFrame = {
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("hi", expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("lo", expr("CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT)"))
+    val bits = toks
+      .select(col("doc_id"), col("hi"), col("lo"), explode(expr("sequence(0, 31)")).as("j"))
+      .select(col("doc_id"), col("j"),
+        expr("(shiftright(hi, j) & 1)").as("hbit"),
+        expr("(shiftright(lo, j) & 1)").as("lbit"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(count(lit(1)).as("cnt"), sum(col("hbit")).as("oh"), sum(col("lbit")).as("ol"))
+    bits.groupBy(col("doc_id"))
+      .agg(
+        sum(expr("CASE WHEN 2 * oh >= cnt THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END")).as("sig_hi"),
+        sum(expr("CASE WHEN 2 * ol >= cnt THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END")).as("sig_lo"))
+      .orderBy("doc_id")
+  }
+
+  private def oldPdfHyperlinks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
+    val pdfExtract = ids.mapPartitions { it =>
+      it.flatMap { id =>
+        graft.pdf.PdfConvert.spans(id, graft.corpus.PdfGen.bytes(id))
+          .map(s => (id, s.order, s.kind, s.media_ref, s.text))
+      }
+    }.toDF("doc_id", "ord", "kind", "media_ref", "text")
+      .orderBy("doc_id", "ord")
+    pdfExtract
+      .filter(col("kind") === "hyperlink")
+      .select(col("doc_id"), col("ord"), col("text"), col("media_ref").as("url"))
+      .orderBy("doc_id", "ord")
+  }
+
+  private def oldChunkBlocks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Budget = 60
+    val MinTok = 12
+    val Title = graft.schema.Kinds.Title
+    val Table = graft.schema.Kinds.Table
+    val Algorithm = graft.schema.Kinds.Algorithm
+    val spans = graft.pipeline.Extract.extractSpansUnordered(spark, dir)
+      .select(col("doc_id"), col("ord").cast("int").as("ord"), col("kind"), col("text"))
+      .as[(String, Int, String, String)]
+    spans.groupByKey(_._1).flatMapGroups { (id: String, it: Iterator[(String, Int, String, String)]) =>
+      val ss = it.toVector.sortBy(_._2)
+      var chunk = 1
+      var cum = 0
+      val out = Vector.newBuilder[(String, Int, Int, Int)]
+      ss.foreach { case (_, ord, kind, text) =>
+        val toks = if (text.isEmpty) 0 else text.split(" ", -1).length
+        val brk =
+          ((kind == Title || kind == Table || kind == Algorithm) && cum >= MinTok) ||
+            (cum + toks > Budget && cum >= MinTok)
+        if (brk) { chunk += 1; cum = 0 }
+        cum += toks
+        out += ((id, chunk, ord, toks))
+      }
+      out.result()
+    }.toDF("doc_id", "chunk_id", "ord", "toks")
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(min(col("ord")).as("first_ord"), max(col("ord")).as("last_ord"),
+        count(lit(1)).as("n_spans"), sum(col("toks")).as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private def oldChunkLocate(spark: SparkSession, dir: String): DataFrame = {
+    val spans = graft.pipeline.Extract.extractSpansUnordered(spark, dir)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans
+      .withColumn("toks",
+        when(col("text") === "", lit(0)).otherwise(size(split(col("text"), " "))))
+      .withColumn("cum_before", sum(col("toks")).over(w) - col("toks"))
+      .withColumn("chunk_id", expr("CAST(cum_before div 60 AS INT)"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(min(col("ord")).as("first_ord"), max(col("ord")).as("last_ord"),
+        count(lit(1)).as("n_spans"), sum(col("toks")).as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   // ---- diff ----------------------------------------------------------------
 
   def diff(name: String, oldDf: DataFrame, newDf: DataFrame): Boolean = {
@@ -146,6 +229,14 @@ object EquivProbe {
       ok &= diff("cos_neardup_pairs",
         oldCosNeardupPairs(spark, dir),
         graft.queries.ScaleQueries.cosNeardupPairs(spark, dir))
+      ok &= diff("simhash64",
+        oldSimhash64(spark, dir), graft.queries.ScaleQueries.simhash64(spark, dir))
+      ok &= diff("pdf_hyperlinks",
+        oldPdfHyperlinks(spark, dir), graft.queries.Queries.pdfHyperlinks(spark, dir))
+      ok &= diff("chunk_blocks",
+        oldChunkBlocks(spark, dir), graft.queries.Queries.chunkBlocks(spark, dir))
+      ok &= diff("chunk_locate",
+        oldChunkLocate(spark, dir), graft.queries.Queries.chunkLocate(spark, dir))
     }
     println(if (ok) "ALL IDENTICAL" else "MISMATCHES FOUND")
     spark.stop()
