@@ -20,6 +20,22 @@ object Queries {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** doc-id stream for the converter tier (office/html/pdf/ingest), hash-
+    * repartitioned across the session's cores. r6 (guide §2.5 input skew):
+    * the documents table is ONE parquet row group, so without this every
+    * per-doc parse ran in a SINGLE task (measured pdf_extract 5.0s -> 0.7s
+    * at local[32]). The shuffle moves bare 8-byte ids; the explicit
+    * partition count keeps AQE from coalescing the tiny exchange back to
+    * one partition; hash-on-doc_id (not round-robin) stays deterministic
+    * under retries and skips the sort-before-repartition pass. */
+  private def converterIds(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long].map(i => f"doc-$i%012d")
+  }
+
   /** Deterministic synthetic layout-det table derived from `documents`:
     * one det per word. Bboxes collide pairwise (slot = pos % 12, two words
     * per 24-word page share a cell) so IoU dedup is non-trivial. */
@@ -1017,8 +1033,7 @@ object Queries {
     * pipeline. Value-checked against the committed office golden parquet. */
   def officeExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = tbl(spark, dir, "documents")
-      .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
+    val ids = converterIds(spark, dir)
     ids.mapPartitions { it =>
       it.flatMap { id =>
         val res = graft.office.OfficeConvert.convert(id, graft.corpus.OfficeGen.bytes(id))
@@ -1035,8 +1050,7 @@ object Queries {
     * the compare covers generation determinism + the strip heuristics. */
   def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = tbl(spark, dir, "documents")
-      .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
+    val ids = converterIds(spark, dir)
     ids.mapPartitions { it =>
       it.flatMap { id =>
         val spans = graft.html.HtmlConvert.convert(id, graft.corpus.HtmlGen.bytes(id))
@@ -1054,8 +1068,7 @@ object Queries {
     * — the same narrow-map plan shape as office/html. */
   def pdfExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = tbl(spark, dir, "documents")
-      .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
+    val ids = converterIds(spark, dir)
     ids.mapPartitions { it =>
       it.flatMap { id =>
         graft.pdf.PdfConvert.spans(id, graft.corpus.PdfGen.bytes(id))
@@ -1077,8 +1090,7 @@ object Queries {
     * reference's contract for its batching loop. */
   def pdfPageSlice(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = tbl(spark, dir, "documents")
-      .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
+    val ids = converterIds(spark, dir)
     ids.mapPartitions { it =>
       it.flatMap { id =>
         val bytes = graft.corpus.PdfGen.bytes(id)
@@ -1110,8 +1122,7 @@ object Queries {
     // optimizer, so nothing pushed down). Same rows: `ord` is the span's
     // own order value, untouched by the filter.
     import spark.implicits._
-    val ids = tbl(spark, dir, "documents")
-      .select(col("doc_id")).as[Long].map(i => f"doc-$i%012d")
+    val ids = converterIds(spark, dir)
     ids.mapPartitions { it =>
       it.flatMap { id =>
         graft.pdf.PdfConvert.spans(id, graft.corpus.PdfGen.bytes(id))
@@ -1131,7 +1142,10 @@ object Queries {
     * direction breaks the compare. */
   def ingestRaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = tbl(spark, dir, "documents").select(col("doc_id")).as[Long]
+    // same single-row-group fan-out as converterIds (guide §2.5)
+    val ids = tbl(spark, dir, "documents").select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
     ids.mapPartitions { it =>
       it.flatMap { i =>
         val id = f"doc-$i%012d"
