@@ -68,8 +68,9 @@ object SoupParser {
     try Some(Integer.parseInt(s, radix)) catch { case _: NumberFormatException => None }
 
   def parse(html: String): Element = {
-    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      .newDocumentBuilder().newDocument()
+    // per-thread reused builder (graft.util.Xml): factory construction per
+    // document dominated profile, not the parse itself
+    val doc = graft.util.Xml.builder().newDocument()
     val root = doc.createElement("html")
     doc.appendChild(root)
     val head = doc.createElement("head")

@@ -24,13 +24,12 @@ object Ooxml {
     out.result()
   }
 
-  def parseXml(xml: String): Element = {
-    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    f.setNamespaceAware(false)
-    f.newDocumentBuilder()
+  def parseXml(xml: String): Element =
+    // per-thread reused builder (graft.util.Xml) — building a fresh
+    // DocumentBuilderFactory per part dominated the office tier profile
+    graft.util.Xml.builder()
       .parse(new ByteArrayInputStream(xml.getBytes("UTF-8")))
       .getDocumentElement
-  }
 
   def children(e: Element): Vector[Element] = {
     val nl = e.getChildNodes
@@ -39,8 +38,26 @@ object Ooxml {
   }
 
   def descendants(e: Element, name: String): Vector[Element] = {
-    val nl = e.getElementsByTagName(name)
-    (0 until nl.getLength).iterator.map(nl.item(_).asInstanceOf[Element]).toVector
+    // one explicit preorder walk (document order, nested matches included,
+    // self excluded — exactly getElementsByTagName's contract) instead of
+    // Xerces' DeepNodeList, whose item()/getLength re-traversal showed up
+    // hot in the office tier profile (r6)
+    val out = Vector.newBuilder[Element]
+    val all = name == "*"
+    def walk(n: org.w3c.dom.Node): Unit = {
+      var c = n.getFirstChild
+      while (c != null) {
+        c match {
+          case el: Element =>
+            if (all || el.getTagName == name) out += el
+            walk(el)
+          case _ =>
+        }
+        c = c.getNextSibling
+      }
+    }
+    walk(e)
+    out.result()
   }
 
   /** Relationship map (Id -> Target) of a rels part. */
