@@ -23,7 +23,16 @@ object ImageDoc {
       (at(4) == '7' || at(4) == '9') && at(5) == 'a') Some("gif")
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
       at(8) == 'W' && at(9) == 'E' && at(10) == 'B' && at(11) == 'P') Some("webp")
-    else if (at(0) == 'B' && at(1) == 'M' && bytes.length > 14) Some("bmp")
+    else if (at(0) == 'B' && at(1) == 'M' && bytes.length > 18 && {
+      // r5 advice: 'BM' alone misroutes text/HTML starting with "BM" —
+      // require a plausible u32 file-size field (within 8 bytes of the
+      // actual blob, little-endian) AND a known DIB header size
+      // (BITMAPCOREHEADER 12 / BITMAPINFOHEADER 40 / V4 108 / V5 124)
+      val fileSize = (at(2) | (at(3) << 8) | (at(4) << 16) | (at(5) << 24)).toLong & 0xffffffffL
+      val dib = at(14) | (at(15) << 8) | (at(16) << 16) | (at(17) << 24)
+      math.abs(fileSize - bytes.length) <= 8 &&
+        (dib == 12 || dib == 40 || dib == 108 || dib == 124)
+    }) Some("bmp")
     else None
   }
 

@@ -65,7 +65,11 @@ object ExtractJob {
     * The writer ships inside the closure, so it must write to a location
     * every executor can reach (a shared filesystem for [[FileWriter]];
     * [[MemoryWriter]] is the single-JVM test sink, as in the reference).
-    * Returns the number of documents written. */
+    * Returns the number of documents written — an AT-LEAST-ONCE counter
+    * (r5 advice): task retries and speculative attempts re-add to
+    * accumulators inside actions, so the value can exceed the distinct
+    * document count; the writes themselves are idempotent by path. Use a
+    * count() over the input when an exact figure is needed. */
   def writeOutputs(spark: SparkSession, docs: Dataset[DocRow],
       writer: DataWriter): Long = {
     val n = spark.sparkContext.longAccumulator("graft.outputs.docs")
@@ -177,8 +181,12 @@ object ExtractJob {
     val t0 = System.nanoTime()
 
     units.zipWithIndex.takeWhile(_._2 < failAfterGroups).foreach { case (unit, _) =>
-      val in = input.filter(
-        pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int").isin(unit: _*))
+      // a unit spanning every bucket (fresh single-unit run) needs no
+      // bucket filter — skip the per-row hash predicate (r6)
+      val in =
+        if (unit.size == buckets) input
+        else input.filter(
+          pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int").isin(unit: _*))
       val res = extract(in)
         .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int"))
         .persist()

@@ -79,7 +79,7 @@ object EquivProbe {
       .orderBy("doc_id", "b_id")
   }
 
-  private def oldCosNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[tools] def oldCosNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VecFns
     import graft.queries.ScaleQueries.{lshPlanesPerBand, planesFor}
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -106,7 +106,7 @@ object EquivProbe {
       .orderBy("a_id", "b_id")
   }
 
-  private def oldSimhash64(spark: SparkSession, dir: String): DataFrame = {
+  private[tools] def oldSimhash64(spark: SparkSession, dir: String): DataFrame = {
     val toks = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .withColumn("hi", expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
@@ -174,7 +174,7 @@ object EquivProbe {
       .orderBy("doc_id", "chunk_id")
   }
 
-  private def oldChunkLocate(spark: SparkSession, dir: String): DataFrame = {
+  private[tools] def oldChunkLocate(spark: SparkSession, dir: String): DataFrame = {
     val spans = graft.pipeline.Extract.extractSpansUnordered(spark, dir)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -82,6 +82,23 @@ class OleSpec extends AnyFunSuite {
     assert(forms == Set("jpeg", "png", "gif", "webp"), s"forms=$forms")
   }
 
+  test("BMP sniff validates the header, not just the 'BM' magic (r6)") {
+    // a text/HTML blob that happens to start with "BM" must NOT route to
+    // the image tier (r5 advice: the 2-byte magic misrouted such blobs)
+    val text = "BMW dealers published new listings this week.".getBytes("UTF-8")
+    assert(ImageDoc.imageKind(text).isEmpty)
+    // a minimal plausible BMP (file-size field matches, BITMAPINFOHEADER)
+    val n = 62
+    val bmp = new Array[Byte](n)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(2) = n.toByte; bmp(3) = 0; bmp(4) = 0; bmp(5) = 0 // u32 size LE
+    bmp(14) = 40 // DIB header size
+    assert(ImageDoc.imageKind(bmp).contains("bmp"))
+    // a wrong DIB header size is rejected even with 'BM' + length
+    val bad = bmp.clone(); bad(14) = 39
+    assert(ImageDoc.imageKind(bad).isEmpty)
+  }
+
   test("an HTML page quoting %PDF- falls back to the markup route") {
     val html = ("<html><head><title>PDF spec notes</title></head><body>" +
       "<p>The header line %PDF-1.7 marks a pdf file.</p>" +
