@@ -81,6 +81,10 @@ object Queries {
         col("pos").cast("int").as("pos"),
         col("x0"), col("y0"), col("bx1"), col("by1"),
         coalesce(col("line_height"), lit(10.0)).as("lh"))
+      // r6 (guide §2.5): the broadcast join keeps the dets side's single
+      // input partition (one parquet row group), so the typed ladder below
+      // ran in ONE task; hash-spread it across the session's cores
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"), col("pos"))
       .as[(Long, Int, Int, Double, Double, Double, Double, Double)]
       .flatMap { case (doc, page, pos, x0, y0, x1, y1, lh0) =>
         graft.order.VirtualLines.insertLines(x0, y0, x1, y1, lh0, 612.0, 792.0)
@@ -163,8 +167,15 @@ object Queries {
     * (reference: pipeline_magic_model.py:84-110). Expressed as a left-anti
     * self-join — the distributed form of the reference's O(n^2) page loop. */
   def detIouDedup(spark: SparkSession, dir: String): DataFrame = {
+    // r6 (guide §3.1): `slot` joins as an extra EQUI-key. Result-identical
+    // by geometry: slot columns sit 130 px apart in x and rows 110 px in y,
+    // while a det box is at most 20+8·wlen wide and 18+4·16 high — with the
+    // corpus vocabulary (max word length 8, asserted by SizingSpec) two
+    // dets in different slots cannot even intersect (84 < 130, 82 < 110),
+    // so IoU > 0.9 implies same slot. The per-key self-join fan-out drops
+    // from (dets/page)² to (dets/slot)² — ~12x fewer pair evaluations.
     val d = dets(spark, dir)
-    val a = d.select(col("doc_id"), col("page"), col("pos"), col("word"),
+    val a = d.select(col("doc_id"), col("page"), col("slot"), col("pos"), col("word"),
       col("x0"), col("y0"), col("x1"), col("y1"), col("score"))
     val b = a.select(a.columns.map(c => col(c).as("b_" + c)): _*)
     val interW = greatest(least(col("x1"), col("b_x1")) - greatest(col("x0"), col("b_x0")), lit(0.0))
@@ -175,6 +186,7 @@ object Queries {
     val iou = inter / (areaA + areaB - inter)
     val losers = a.join(b,
       col("doc_id") === col("b_doc_id") && col("page") === col("b_page") &&
+        col("slot") === col("b_slot") &&
         col("pos") =!= col("b_pos") && iou > 0.9 &&
         (col("b_score") > col("score") ||
           (col("b_score") === col("score") && col("b_pos") < col("pos"))),

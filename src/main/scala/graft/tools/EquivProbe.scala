@@ -189,6 +189,29 @@ object EquivProbe {
       .orderBy("doc_id", "chunk_id")
   }
 
+  private[tools] def oldDetIouDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.queries.Queries.dets(spark, dir)
+    val a = d.select(col("doc_id"), col("page"), col("pos"), col("word"),
+      col("x0"), col("y0"), col("x1"), col("y1"), col("score"))
+    val b = a.select(a.columns.map(c => col(c).as("b_" + c)): _*)
+    val interW = greatest(least(col("x1"), col("b_x1")) - greatest(col("x0"), col("b_x0")), lit(0.0))
+    val interH = greatest(least(col("y1"), col("b_y1")) - greatest(col("y0"), col("b_y0")), lit(0.0))
+    val inter = interW * interH
+    val areaA = (col("x1") - col("x0")) * (col("y1") - col("y0"))
+    val areaB = (col("b_x1") - col("b_x0")) * (col("b_y1") - col("b_y0"))
+    val iou = inter / (areaA + areaB - inter)
+    val losers = a.join(b,
+      col("doc_id") === col("b_doc_id") && col("page") === col("b_page") &&
+        col("pos") =!= col("b_pos") && iou > 0.9 &&
+        (col("b_score") > col("score") ||
+          (col("b_score") === col("score") && col("b_pos") < col("pos"))),
+      "left_semi")
+    a.join(losers.select(col("doc_id").as("l_doc"), col("pos").as("l_pos")),
+        col("doc_id") === col("l_doc") && col("pos") === col("l_pos"), "left_anti")
+      .select(col("doc_id"), col("pos"), col("word"))
+      .orderBy("doc_id", "pos")
+  }
+
   // ---- diff ----------------------------------------------------------------
 
   def diff(name: String, oldDf: DataFrame, newDf: DataFrame): Boolean = {
@@ -237,6 +260,8 @@ object EquivProbe {
         oldChunkBlocks(spark, dir), graft.queries.Queries.chunkBlocks(spark, dir))
       ok &= diff("chunk_locate",
         oldChunkLocate(spark, dir), graft.queries.Queries.chunkLocate(spark, dir))
+      ok &= diff("det_iou_dedup",
+        oldDetIouDedup(spark, dir), graft.queries.Queries.detIouDedup(spark, dir))
     }
     println(if (ok) "ALL IDENTICAL" else "MISMATCHES FOUND")
     spark.stop()

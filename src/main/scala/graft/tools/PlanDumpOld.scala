@@ -39,6 +39,32 @@ object PlanDumpOld {
       .orderBy("doc_id", "ord")
   }
 
+  // r5 virtual_lines (no fan-out repartition before the typed ladder)
+  private def oldVirtualLines(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = graft.queries.Queries.dets(spark, dir)
+      .withColumn("bx1", expr("x0 + 60 + (wlen * 37 + pos * 11) % 280"))
+      .withColumn("by1", expr("y0 + 20 + (pos * 17 + wlen * 5) % 220"))
+    val lh = d.filter(col("cat").isin("text", "title", "caption", "footnote"))
+      .groupBy(col("doc_id"), col("page"))
+      .agg(expr("percentile(CAST(by1 - y0 AS INT), 0.5)").as("line_height"))
+    d.filter(col("cat") =!= "abandon")
+      .join(broadcast(lh), Seq("doc_id", "page"), "left")
+      .select(col("doc_id"), col("page").cast("int").as("page"),
+        col("pos").cast("int").as("pos"),
+        col("x0"), col("y0"), col("bx1"), col("by1"),
+        coalesce(col("line_height"), lit(10.0)).as("lh"))
+      .as[(Long, Int, Int, Double, Double, Double, Double, Double)]
+      .flatMap { case (doc, page, pos, x0, y0, x1, y1, lh0) =>
+        graft.order.VirtualLines.insertLines(x0, y0, x1, y1, lh0, 612.0, 792.0)
+          .zipWithIndex.map { case ((lx0, ly0, lx1, ly1), li) =>
+            (doc, page, pos, li, lx0, ly0, lx1, ly1)
+          }
+      }
+      .toDF("doc_id", "page", "pos", "line_idx", "x0", "y0", "x1", "y1")
+      .orderBy("doc_id", "pos", "line_idx")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
@@ -58,6 +84,8 @@ object PlanDumpOld {
     dump("chunk_locate", EquivProbe.oldChunkLocate(spark, dir))
     dump("chunk_locate_fuzzy", oldGroupByKeyShape(spark, dir))
     dump("html_extract", oldHtmlExtract(spark, dir))
+    dump("det_iou_dedup", EquivProbe.oldDetIouDedup(spark, dir))
+    dump("virtual_lines", oldVirtualLines(spark, dir))
     spark.stop()
   }
 }

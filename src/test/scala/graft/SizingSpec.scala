@@ -88,4 +88,22 @@ class SizingSpec extends AnyFunSuite {
       assert(pop <= 32.0 && pop > 16.0 - 1e-9, s"bucket pop $pop out of band at n=$n")
     }
   }
+
+  test("det_iou_dedup slot-key invariant: corpus words stay under the overlap width (r6)") {
+    // det_iou_dedup joins on slot as an equi-key; that is result-identical
+    // only while det boxes (20 + 8·wlen wide, ≤82 high) cannot reach the
+    // next slot column 130 px away — i.e. max word length ≤ 13. The corpus
+    // vocabulary is well under it; this pins the invariant so a corpus
+    // change that would break the join-key proof fails here first.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val f = new java.io.File(s"$dir/documents.parquet")
+      assume(f.exists())
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+      val mx = spark.read.parquet(f.getPath)
+        .selectExpr("max(array_max(transform(split(text, ' '), w -> length(w)))) AS m")
+        .collect()(0).getInt(0)
+      assert(mx <= 13, s"max word length $mx in $dir breaks the slot-key proof")
+    }
+  }
 }
