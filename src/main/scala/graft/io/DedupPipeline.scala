@@ -99,7 +99,7 @@ object DedupPipeline {
       .as[graft.schema.CheckpointRow].collect()
       .filterNot(r => stale.contains(r.bucket)).toSeq
     val tmp = ckpt + ".rewrite"
-    spark.createDataset(keepRows).write.mode("overwrite").parquet(tmp)
+    spark.createDataset(keepRows).coalesce(1).write.mode("overwrite").parquet(tmp)
     deleteDir(new java.io.File(ckpt))
     new java.io.File(tmp).renameTo(new java.io.File(ckpt))
     // r5 advice (medium): dynamic partition overwrite only replaces

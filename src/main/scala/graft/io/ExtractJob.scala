@@ -51,7 +51,7 @@ object ExtractJob {
         ("layout", "unsolvable_pages", sink.unsolvable.value.toDouble),
         ("layout", "insert_pages", sink.insertPages.value.toDouble))
         .map { case (stage, key, value) => (runId, stage, key, value) }
-      spark.createDataset(rows).toDF("run_id", "stage", "key", "value")
+      spark.createDataset(rows).coalesce(1).toDF("run_id", "stage", "key", "value")
         .write.mode(SaveMode.Append).parquet(s"$outDir/_metrics")
     }
     report
@@ -147,7 +147,7 @@ object ExtractJob {
       outDir, buckets, groups, runId, failAfterGroups)
     if (report.processed > 0) {
       val rows = Seq((runId, "ingest", "failed_docs", failed.value.toDouble))
-      spark.createDataset(rows).toDF("run_id", "stage", "key", "value")
+      spark.createDataset(rows).coalesce(1).toDF("run_id", "stage", "key", "value")
         .write.mode(SaveMode.Append).parquet(s"$outDir/_metrics")
     }
     report
@@ -207,7 +207,9 @@ object ExtractJob {
         CheckpointRow(runId, b, "done",
           st.map(_.getLong(1)).getOrElse(0L), st.map(_.getLong(2)).getOrElse(0L), wallMs)
       }
-      spark.createDataset(rows).write.mode(SaveMode.Append).parquet(ckptPath)
+      // coalesce(1): a <=buckets-row bookkeeping write must not fan out
+      // into default-parallelism empty tasks/files (r6)
+      spark.createDataset(rows).coalesce(1).write.mode(SaveMode.Append).parquet(ckptPath)
       res.unpersist()
       processedBuckets += unit.size
       totDocs += rows.map(_.docs).sum
@@ -230,7 +232,7 @@ object ExtractJob {
       ("extract", "buckets_processed", processedBuckets.toDouble),
       ("extract", "buckets_skipped", done.size.toDouble))
       .map { case (stage, key, value) => (runId, stage, key, value) }
-    spark.createDataset(metrics).toDF("run_id", "stage", "key", "value")
+    spark.createDataset(metrics).coalesce(1).toDF("run_id", "stage", "key", "value")
       .write.mode(SaveMode.Append).parquet(s"$outDir/_metrics")
     JobReport(runId, buckets, processedBuckets, done.size, totDocs, totSpans, wallMs)
   }
