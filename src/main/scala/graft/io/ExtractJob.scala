@@ -180,6 +180,13 @@ object ExtractJob {
     var totSpans = 0L
     val t0 = System.nanoTime()
 
+    // job labels (optimization guide §1): every job this protocol fires is
+    // attributable in the UI / listener probes as "<runId>:<phase>"
+    def labeled[A](phase: String)(body: => A): A = {
+      spark.sparkContext.setJobDescription(s"$runId:$phase")
+      try body finally spark.sparkContext.setJobDescription(null)
+    }
+
     units.zipWithIndex.takeWhile(_._2 < failAfterGroups).foreach { case (unit, _) =>
       // a unit spanning every bucket (fresh single-unit run) needs no
       // bucket filter — skip the per-row hash predicate (r6)
@@ -191,7 +198,9 @@ object ExtractJob {
         .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int"))
         .persist()
       val tU = System.nanoTime()
-      res.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dataPath)
+      labeled("write") {
+        res.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dataPath)
+      }
       val wallMs = (System.nanoTime() - tU) / 1000000
       // per-bucket lineage from the persisted result (an Iceberg deployment
       // reads these from commit metrics instead); non-span stages (the
@@ -199,9 +208,11 @@ object ExtractJob {
       val spanStat =
         if (res.columns.contains("spans")) sum(size(col("spans")))
         else sum(lit(0L))
-      val stats = res.groupBy(col("bucket"))
-        .agg(count(lit(1)).as("docs"), spanStat.as("spans"))
-        .collect()
+      val stats = labeled("stats") {
+        res.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("docs"), spanStat.as("spans"))
+          .collect()
+      }
       val rows = unit.map { b =>
         val st = stats.find(_.getInt(0) == b)
         CheckpointRow(runId, b, "done",
@@ -209,7 +220,9 @@ object ExtractJob {
       }
       // coalesce(1): a <=buckets-row bookkeeping write must not fan out
       // into default-parallelism empty tasks/files (r6)
-      spark.createDataset(rows).coalesce(1).write.mode(SaveMode.Append).parquet(ckptPath)
+      labeled("ckpt") {
+        spark.createDataset(rows).coalesce(1).write.mode(SaveMode.Append).parquet(ckptPath)
+      }
       res.unpersist()
       processedBuckets += unit.size
       totDocs += rows.map(_.docs).sum
@@ -232,8 +245,10 @@ object ExtractJob {
       ("extract", "buckets_processed", processedBuckets.toDouble),
       ("extract", "buckets_skipped", done.size.toDouble))
       .map { case (stage, key, value) => (runId, stage, key, value) }
-    spark.createDataset(metrics).coalesce(1).toDF("run_id", "stage", "key", "value")
-      .write.mode(SaveMode.Append).parquet(s"$outDir/_metrics")
+    labeled("metrics") {
+      spark.createDataset(metrics).coalesce(1).toDF("run_id", "stage", "key", "value")
+        .write.mode(SaveMode.Append).parquet(s"$outDir/_metrics")
+    }
     JobReport(runId, buckets, processedBuckets, done.size, totDocs, totSpans, wallMs)
   }
 }
